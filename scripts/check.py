@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Dev-loop correctness checker: mimics the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+For each <name>/ parquet dir in verifyOutDir, runs oracle_sql.json[name]
+in DuckDB over the sfDir tables and compares (column-name-sorted,
+row-sorted) values. Prints PASS/FAIL per query.
+"""
+import sys, os, json
+import duckdb
+
+def canon(rel):
+    df = rel.df()
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = [d for d in sorted(os.listdir(out_dir))
+             if os.path.isdir(f"{out_dir}/{d}")]
+    n_pass = n_fail = 0
+    for name in names:
+        got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(got)} rows")
+            continue
+        try:
+            want = canon(con.sql(oracles[name]))
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        ok = list(got.columns) == list(want.columns) and len(got) == len(want)
+        if ok:
+            import pandas as pd
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                              check_exact=True)
+            except AssertionError as e:
+                ok = False
+                print(f"FAIL {name}: value mismatch: {str(e)[:400]}")
+        else:
+            print(f"FAIL {name}: shape/cols: got {got.shape} {list(got.columns)} "
+                  f"want {want.shape} {list(want.columns)}")
+        if ok:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {len(names)} total")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.etl.{Aggregation, EventsStage, Mapping}
+import graft.serve.Serving
+import graft.stream.Fraud
+
+/** Reference-parity queries (SURVEY.md §2) over the harness tables,
+  * each with a DuckDB oracle twin. Names and aliases are kept identical
+  * between the Spark plan and the SQL so the driver's column-sorted hash
+  * compare lines up.
+  */
+object ReferenceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fraud thresholds chosen so sf0.001 already yields rows (driver
+    * smoke-checks rows > 0): 10s window sums > 150 → 40 rows at sf0.001.
+    */
+  val WindowSec = 10
+  val Threshold = 150.0
+
+  def defs: Map[String, Q] = Map(
+    // A1 + P4 + P5 + T1-T5: tumbling window grouped sum with HAVING
+    "fraud_window_sum" -> ((s, dir) =>
+      Fraud.windowSum(Tables.events(s, dir), WindowSec, Threshold)),
+
+    // literal grouping parity with flink_app/app.py:78 (includes unique id)
+    "fraud_literal_parity" -> ((s, dir) =>
+      Fraud.literalParity(Tables.events(s, dir), WindowSec, Threshold)),
+
+    // P1 + P2 + P8 + S8: JSON extract → cast/rename → unnest → partition col
+    "etl_stage_mapping" -> ((s, dir) =>
+      EventsStage.stage(Tables.events(s, dir))),
+
+    // P3 + A2 + A3: PII drop then multi-dim grouped sum
+    "spec_pii_agg" -> ((s, dir) => {
+      val li = Mapping.dropFields(Tables.lineitem(s, dir), "l_partkey", "l_suppkey")
+      Aggregation.sparkAggregate(li,
+        Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+        Seq(Aggregation.AggSpec("l_quantity", "sum", Some("sum_qty_raw"))))
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"),
+          round(col("sum_qty_raw"), 2).as("sum_qty"))
+    }),
+
+    // A2 empty-groups fallback → global aggregate (spec.py:17-21)
+    "agg_global_fallback" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      Aggregation.sparkAggregate(li, Seq.empty, Seq(
+        Aggregation.AggSpec("l_quantity", "sum", Some("sum_qty_raw")),
+        Aggregation.AggSpec("l_orderkey", "count", Some("n")),
+        Aggregation.AggSpec("l_extendedprice", "max", Some("max_price"))))
+        .select(round(col("sum_qty_raw"), 2).as("sum_qty"), col("n"), col("max_price"))
+    }),
+
+    // P6 + §2.6: point lookup in sort-key order
+    "serve_point_lookup" -> ((s, dir) =>
+      Serving.pointLookup(
+        Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"),
+        "user_id", 7L, "event_id")),
+
+    // P7: full scan (identity projection)
+    "serve_scan" -> ((s, dir) =>
+      Serving.scanAll(Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"))),
+
+    // F6 + S10: TTL stamping (30 days past event time)
+    "serve_ttl_stamp" -> ((s, dir) =>
+      Serving.withTtl(Tables.events(s, dir), "ts").select("event_id", "ttl"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "fraud_window_sum" ->
+      s"""SELECT user_id,
+         |  CAST(floor(epoch(ts)/$WindowSec)*$WindowSec AS BIGINT) AS window_start,
+         |  CAST(floor(epoch(ts)/$WindowSec)*$WindowSec + $WindowSec AS BIGINT) AS window_end,
+         |  round(sum(value), 2) AS total_value
+         |FROM events GROUP BY 1, 2, 3
+         |HAVING round(sum(value), 2) > $Threshold""".stripMargin,
+
+    "fraud_literal_parity" ->
+      s"""SELECT user_id, event_id, round(sum(value), 2) AS value,
+         |  CAST(floor(epoch(ts)/$WindowSec)*$WindowSec + $WindowSec AS BIGINT) AS window_end
+         |FROM events GROUP BY user_id, event_id, floor(epoch(ts)/$WindowSec)
+         |HAVING round(sum(value), 2) > $Threshold""".stripMargin,
+
+    "etl_stage_mapping" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(value AS DOUBLE) AS amount,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |  CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS k_bucket,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+        |FROM events""".stripMargin,
+
+    "spec_pii_agg" ->
+      """SELECT l_returnflag, l_linestatus, l_linenumber,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2, 3""".stripMargin,
+
+    "agg_global_fallback" ->
+      """SELECT round(sum(l_quantity), 2) AS sum_qty,
+        |  count(l_orderkey) AS n,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+
+    "serve_point_lookup" ->
+      "SELECT event_id, user_id, event_type, value FROM events WHERE user_id = 7 ORDER BY event_id",
+
+    "serve_scan" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+
+    "serve_ttl_stamp" ->
+      s"SELECT event_id, CAST(floor(epoch(ts)) + ${Serving.TtlSeconds} AS BIGINT) AS ttl FROM events"
+  )
+}
