@@ -1,0 +1,207 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+import graft.text.TextAnalysis
+
+/** Deduplication operators for LLM-training-data pipelines (north-star
+  * extension). Four families:
+  *
+  *  - [[dedupExact]] — hash-groupBy exact dedup (keep the min-id copy).
+  *  - MinHash + LSH — [[shingles]] → [[minhashSignature]] →
+  *    [[lshCandidatePairs]] → [[withJaccard]]: the standard
+  *    shingle/minhash/band/bucket-join pipeline (Broder '97), built
+  *    entirely from codegen'd higher-order functions (`transform`,
+  *    `aggregate`, `xxhash64`) — no UDFs.
+  *  - SimHash — [[simhash64]] (Charikar '02): 64-bit fingerprint; near
+  *    dups = fingerprints within small Hamming distance, found by the
+  *    pigeonhole band join ([[simhashCandidatePairs]]) + `bit_count`
+  *    verify.
+  *  - [[ngramJaccardPairs]] — exact n-gram Jaccard over all pairs of a
+  *    (bounded) corpus slice; the brute-force baseline the LSH paths are
+  *    measured against.
+  *
+  * Scale design: candidate generation shuffles on (band, bucket-hash) —
+  * cardinality ∝ corpus × bands, with each bucket small when bands/rows
+  * are tuned to the target threshold. The only quadratic step is *within
+  * buckets* (and the explicitly-bounded brute-force baseline). Signatures
+  * are fixed-width arrays, so the shuffle payload is signature-sized, not
+  * document-sized.
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min of `idCol`) per distinct `keyCol`,
+    * plus the duplicate count. Hash-aggregate, shuffles |distinct keys|.
+    */
+  def dedupExact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup keeping whole surviving rows (row_number over the key). */
+  def dedupExactRows(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles from a token array; empty when the document is
+    * shorter than `n` tokens.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** Mersenne prime 2^31-1: hash values and permutation coefficients stay
+    * below 2^31, so `a*x + b` fits a long without overflow.
+    */
+  val MinHashPrime: Long = 2147483647L
+
+  /** Deterministic permutation coefficients (a odd, b any) drawn from a
+    * fixed-seed PRNG — same on every run and every executor.
+    */
+  def permutations(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong * 2 + 1) % MinHashPrime,
+      rnd.nextInt(Int.MaxValue).toLong)
+  }
+
+  /** MinHash signature: for each permutation i, min over shingles of
+    * `(a_i * h(s) + b_i) mod p` where `h` = xxhash64 folded into [0, p).
+    * One fixed-width array column; computed in a single codegen'd
+    * Project.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val perms = permutations(numHashes, seed)
+    // native codegen'd expression — one pass over the shingles for all k
+    // permutations; values identical to the HOF formulation
+    // array(array_min(transform(...))) it replaces
+    VectorExprs.minhash_signature(shingleCol, perms.map(_._1), perms.map(_._2), MinHashPrime)
+  }
+
+  /** Explode a signature into LSH bands: one row per (id, band_id,
+    * band_hash). Banding theory: P(candidate) = 1-(1-j^r)^b for Jaccard
+    * j, with b bands of r rows (b*r = signature length).
+    */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = array((0 until bands).map { bi =>
+      struct(lit(bi).as("band_id"),
+        xxhash64(concat_ws(",", slice(col(sigCol), bi * rowsPerBand + 1, rowsPerBand)))
+          .as("band_hash"))
+    }: _*)
+    df.select(col(idCol), explode(bandStructs).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Candidate pairs: ids sharing at least one LSH bucket. The self-join
+    * shuffles on (band_id, band_hash); `<` orders the pair and drops
+    * self-matches; distinct collapses multi-band hits.
+    */
+  def lshCandidatePairs(banded: DataFrame, idCol: String): DataFrame = {
+    val l = banded.select(col("band_id"), col("band_hash"), col(idCol).as("id_a"))
+    val r = banded.select(col("band_id"), col("band_hash"), col(idCol).as("id_b"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard over two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Attach exact Jaccard to candidate pairs by joining the shingle sets
+    * back in (two broadcast-or-shuffle hash joins on the id).
+    */
+  def withJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                  shingleCol: String): DataFrame = {
+    val a = docs.select(col(idCol).as("id_a"), col(shingleCol).as("__sh_a"))
+    val b = docs.select(col(idCol).as("id_b"), col(shingleCol).as("__sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .drop("__sh_a", "__sh_b")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: returns (id_a, id_b, jaccard)
+    * for pairs whose exact Jaccard ≥ `threshold`, with LSH pruning the
+    * candidate space. 16 hashes in 8 bands of 2 catches j ≥ 0.8 with
+    * P ≈ 1-(1-0.8²)^8 ≈ 0.9997.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 16,
+                      bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withShingles = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shingles(col("__toks"), shingleSize).as("__sh"))
+    val signed = withShingles
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    val pairs = lshCandidatePairs(lshBands(signed, idCol, "__sig", bands, rowsPerBand), idCol)
+    withJaccard(pairs, withShingles, idCol, "__sh")
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash (64-bit): majority vote per bit over token hashes. Built as
+    * a fold over bit positions of a fold over tokens — all codegen'd.
+    */
+  def simhash64(toks: Column): Column = VectorExprs.simhash64(toks)
+
+  /** Pigeonhole candidates for Hamming distance ≤ h: split the 64-bit
+    * fingerprint into h+1 chunks; any pair within distance h shares at
+    * least one exact chunk. Join on (chunk_id, chunk), verify with
+    * `bit_count(xor) <= maxHamming`. Tradeoff: larger h → narrower
+    * chunks → bigger buckets (the within-bucket pass is quadratic), so
+    * keep h modest (≤ 7 ⇒ 8-bit chunks minimum).
+    */
+  def simhashCandidatePairs(df: DataFrame, idCol: String, simCol: String,
+                            maxHamming: Int = 7): DataFrame = {
+    val numChunks = maxHamming + 1
+    // chunk ci covers bits [lo, hi): boundaries spread evenly over 64
+    val chunks = array((0 until numChunks).map { ci =>
+      val lo = ci * 64 / numChunks
+      val hi = (ci + 1) * 64 / numChunks
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
+      struct(lit(ci).as("chunk_id"),
+        shiftright(col(simCol), lo).bitwiseAND(lit(mask)).as("chunk"))
+    }: _*)
+    val exploded = df.select(col(idCol), col(simCol), explode(chunks).as("c"))
+      .select(col(idCol), col(simCol), col("c.chunk_id"), col("c.chunk"))
+    val l = exploded.select(col("chunk_id"), col("chunk"),
+      col(idCol).as("id_a"), col(simCol).as("__sim_a"))
+    val r = exploded.select(col("chunk_id"), col("chunk"),
+      col(idCol).as("id_b"), col(simCol).as("__sim_b"))
+    l.join(r, Seq("chunk_id", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup pipeline over a text column. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 7): DataFrame = {
+    val signed = df.select(col(idCol),
+      simhash64(TextAnalysis.tokens(col(textCol))).as("__sim"))
+    simhashCandidatePairs(signed, idCol, "__sim", maxHamming)
+  }
+
+  /** Brute-force exact n-gram Jaccard over all pairs of `df` — O(n²),
+    * for bounded slices and as the LSH recall baseline. Caller bounds n.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int, threshold: Double): DataFrame = {
+    val withShingles = df.select(col(idCol),
+      shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("__sh"))
+    val a = withShingles.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+    val b = withShingles.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

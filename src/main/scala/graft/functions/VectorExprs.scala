@@ -1,0 +1,279 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot vector/text paths.
+  *
+  * The builtin higher-order functions (`aggregate`/`zip_with`/`transform`)
+  * are CodegenFallback — every array element costs an interpreted
+  * expression-tree walk. For the similarity/dedup inner loops (millions of
+  * candidate pairs × 64 elements) that interpretation dominates the run
+  * time, which is exactly the case the Spark docs reserve for native
+  * `Expression`s with `doGenCode` (preference order: builtins → custom
+  * Expression → custom operator → mapPartitions).
+  *
+  * Semantics parity: [[FloatVecDot]] accumulates left-to-right in double
+  * after per-element float→double widening — bit-identical to the
+  * `aggregate(zip_with(...))` formulation it replaces (and to the DuckDB
+  * oracle's `list_cosine_similarity` over double-cast lists).
+  */
+object VectorExprs {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  case class FloatVecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** SimHash-64 of a token array: per-bit majority vote over xxhash64
+    * token hashes (seed 42, matching the SQL `xxhash64` builtin so
+    * signatures are comparable with plan-level variants). One tight JVM
+    * loop per row instead of 64 interpreted folds.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      val n = toks.numElements()
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        val h = XxHash64Function.hash(t, StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < 64) {
+        if (votes(j) > 0) fp |= (1L << j)
+        j += 1
+      }
+      fp
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, toks => {
+        val votes = ctx.freshName("votes")
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val h = ctx.freshName("h")
+        val fp = ctx.freshName("fp")
+        val xxhash = classOf[XxHash64Function.type].getName.stripSuffix("$") + ".MODULE$"
+        s"""
+           |int[] $votes = new int[64];
+           |int $n = $toks.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $h = $xxhash.hash($toks.getUTF8String($i),
+           |    org.apache.spark.sql.types.DataTypes.StringType, 42L);
+           |  for (int $j = 0; $j < 64; $j++) {
+           |    if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+           |  }
+           |}
+           |long $fp = 0L;
+           |for (int $j = 0; $j < 64; $j++) {
+           |  if ($votes[$j] > 0) $fp |= (1L << $j);
+           |}
+           |${ev.value} = $fp;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** MinHash signature as a native expression: for each of `numHashes`
+    * permutations `(a_i * h(s) + b_i) mod p`, the min over the shingle
+    * array (h = xxhash64 folded into [0, p)). Returns array<long>.
+    * Coefficients are injected (deterministic, fixed-seed — see
+    * [[graft.dedup.Dedup.permutations]]).
+    */
+  case class MinHashSignature(child: Expression, as: Seq[Long], bs: Seq[Long], prime: Long)
+      extends UnaryExpression {
+
+    require(as.length == bs.length)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val shingles = input.asInstanceOf[ArrayData]
+      val k = as.length
+      val sig = Array.fill(k)(Long.MaxValue)
+      val n = shingles.numElements()
+      var i = 0
+      while (i < n) {
+        val s = shingles.getUTF8String(i)
+        val raw = XxHash64Function.hash(s, StringType, 42L)
+        val x = ((raw % prime) + prime) % prime
+        var j = 0
+        while (j < k) {
+          val v = (as(j) * x + bs(j)) % prime
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aArr = ctx.addReferenceObj("as", as.toArray, "long[]")
+      val bArr = ctx.addReferenceObj("bs", bs.toArray, "long[]")
+      nullSafeCodeGen(ctx, ev, shingles => {
+        val k = as.length
+        val sig = ctx.freshName("sig")
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val x = ctx.freshName("x")
+        val v = ctx.freshName("v")
+        val xxhash = classOf[XxHash64Function.type].getName.stripSuffix("$") + ".MODULE$"
+        s"""
+           |long[] $sig = new long[$k];
+           |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+           |int $n = $shingles.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $x = $xxhash.hash($shingles.getUTF8String($i),
+           |    org.apache.spark.sql.types.DataTypes.StringType, 42L);
+           |  $x = (($x % ${prime}L) + ${prime}L) % ${prime}L;
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    long $v = ($aArr[$j] * $x + $bArr[$j]) % ${prime}L;
+           |    if ($v < $sig[$j]) $sig[$j] = $v;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Signed-random-projection signature: bit p = sign(v · plane_p), the
+    * whole signature in one codegen'd loop. `planes` is row-major
+    * (numPlanes × dim), injected as a constant.
+    */
+  case class SrpSignature(child: Expression, planes: Array[Double], numPlanes: Int)
+      extends UnaryExpression {
+
+    require(numPlanes > 0 && numPlanes <= 63 && planes.length % numPlanes == 0)
+    private val dim = planes.length / numPlanes
+
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = math.min(dim, v.numElements())
+      var sig = 0L
+      var p = 0
+      while (p < numPlanes) {
+        var acc = 0.0
+        var i = 0
+        val off = p * dim
+        while (i < n) {
+          acc += v.getFloat(i).toDouble * planes(off + i)
+          i += 1
+        }
+        if (acc > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pl = ctx.addReferenceObj("planes", planes, "double[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val sig = ctx.freshName("sig")
+        val acc = ctx.freshName("acc")
+        val n = ctx.freshName("n")
+        val p = ctx.freshName("p")
+        val i = ctx.freshName("i")
+        val off = ctx.freshName("off")
+        s"""
+           |long $sig = 0L;
+           |int $n = Math.min($dim, $v.numElements());
+           |for (int $p = 0; $p < $numPlanes; $p++) {
+           |  double $acc = 0.0;
+           |  int $off = $p * $dim;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += (double) $v.getFloat($i) * $pl[$off + $i];
+           |  }
+           |  if ($acc > 0) $sig |= (1L << $p);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  // ---- Column wrappers ----
+
+  def float_dot(a: Column, b: Column): Column =
+    bridge.column(FloatVecDot(
+      bridge.expression(a), bridge.expression(b)))
+
+  def simhash64(toks: Column): Column =
+    bridge.column(SimHash64(bridge.expression(toks)))
+
+  def minhash_signature(shingles: Column, as: Seq[Long], bs: Seq[Long], prime: Long): Column =
+    bridge.column(MinHashSignature(
+      bridge.expression(shingles), as, bs, prime))
+
+  def srp_signature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    bridge.column(SrpSignature(bridge.expression(vec),
+      planes.flatten.toArray, planes.length))
+}

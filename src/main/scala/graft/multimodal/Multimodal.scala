@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star extension): treat image/audio/
+  * video payloads as opaque `binary` columns with typed metadata, and run
+  * decode/feature-extraction as a partition-batched pass.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic fake ([[fakeDecodeFeatures]] — a byte
+  * histogram standing in for "decode then embed"); everything around it —
+  * schema, binary column handling, partition batching, feature-vector
+  * shape — is real and tested. Swapping in a real codec means replacing
+  * only the body of [[fakeDecodeFeatures]].
+  *
+  * Scale notes: payloads stay in executor memory one partition batch at a
+  * time (`mapPartitions` — the Scala analog of `mapInPandas` batch
+  * processing); metadata-only queries never touch the payload column
+  * (Parquet column pruning), which is the point of splitting meta from
+  * bytes.
+  */
+object Multimodal {
+
+  /** A multimodal record: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      payload: Array[Byte],
+      media_type: String,
+      width: Int,
+      height: Int,
+      n_bytes: Long)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      checksum: String,
+      features: Array[Float])
+
+  val FeatureDim = 16
+
+  /** Wrap a text corpus as fake media: payload = UTF-8 bytes, metadata
+    * derived deterministically from content. Pure column expressions.
+    */
+  def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      col(textCol).cast("binary").as("payload"),
+      when(pmod(col(idCol), lit(3)) === 0, "image")
+        .when(pmod(col(idCol), lit(3)) === 1, "audio")
+        .otherwise("video").as("media_type"),
+      (pmod(abs(xxhash64(col(textCol))), lit(1280)) + lit(64)).cast("int").as("width"),
+      (pmod(abs(xxhash64(col(textCol), lit(1))), lit(720)) + lit(64)).cast("int").as("height"),
+      length(col(textCol).cast("binary")).cast("long").as("n_bytes"))
+
+  /** STUB decode: a real implementation would decode the payload with a
+    * codec and run a vision/audio model; here a deterministic byte
+    * histogram (16 buckets, L1-normalized) so tests have exact expected
+    * values. The partition-batched iteration pattern is the real part.
+    */
+  def fakeDecodeFeatures(payload: Array[Byte]): Array[Float] = {
+    val counts = new Array[Int](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      counts((payload(i) & 0xff) % FeatureDim) += 1
+      i += 1
+    }
+    val total = math.max(1, payload.length).toFloat
+    counts.map(_ / total)
+  }
+
+  /** Feature extraction over media records: one partition at a time, the
+    * decode stub applied per record inside the batch. Returns a typed
+    * Dataset so downstream similarity ops get `Array[Float]` columns.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      // per-partition setup would open the codec/model once here
+      batch.map { rec =>
+        MediaFeatures(
+          media_id = rec.media_id,
+          media_type = rec.media_type,
+          n_bytes = rec.n_bytes,
+          checksum = java.security.MessageDigest.getInstance("MD5")
+            .digest(rec.payload).map("%02x".format(_)).mkString,
+          features = fakeDecodeFeatures(rec.payload))
+      }
+    }
+  }
+
+  /** Frame-sampling analog: deterministic stride over the payload,
+    * emitting one row per sampled "frame" offset — the explode-shaped
+    * operation a video pipeline needs (one input row → many samples).
+    */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.select(col("media_id"), col("n_bytes"),
+      posexplode(sequence(lit(0), greatest(col("n_bytes") - 1, lit(0)), lit(stride))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "byte_offset")
+}

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.model.Tables
+
+/** Capability-breadth queries (SURVEY.md §7.3 M4). The reference itself
+  * has no joins/sorts/set-ops/window-functions (§2.3/2.5-2.7) — these
+  * demonstrate the full relational surface a user of the engine gets,
+  * each with a DuckDB oracle.
+  *
+  * Scale notes, per query, live on the defs. Common rules:
+  *  - dimension tables (region/nation/supplier) are broadcast — at
+  *    100 TB the fact side streams, no shuffle of the big side for the
+  *    dim join;
+  *  - fact-fact joins shuffle on the join key (sort-merge w/ AQE);
+  *  - fp-sensitive sums of *products* run in decimal and cast to double
+  *    at the end, so Spark and the oracle agree bitwise regardless of
+  *    accumulation order (sums of raw 2dp columns just round to 2dp).
+  */
+object BreadthQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: String) = col(c).cast(DecimalType(18, 2))
+
+  def defs: Map[String, Q] = Map(
+    // broadcast join chain: fact(customer) ⋈ dim(nation) ⋈ dim(region)
+    "join_broadcast_dims" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(col("c_custkey")).as("n_customers"),
+          round(sum("c_acctbal"), 2).as("total_acctbal"))
+    }),
+
+    // shuffle (sort-merge) join on the two biggest tables + grouped agg:
+    // revenue per order status/priority. Decimal arithmetic for the
+    // product sum; AQE picks SMJ or SHJ — the shuffle is on o_orderkey.
+    "join_fact_fact_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          (sum(dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // left-semi: customers that have at least one order (EXISTS)
+    "join_semi_customers_with_orders" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // left-anti: customers with no high-value order (NOT EXISTS); the
+    // filter on the right side is pushed below the join, shrinking the
+    // build side before the anti probe
+    "join_anti_customers_without_orders" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).where(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // top-k: global sort + limit; Spark runs TakeOrderedAndProject —
+    // per-partition top-k then a k-row driver merge, no full sort at scale
+    "topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // set ops over aligned projections
+    "set_union_nations" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val sp = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      c.union(sp).distinct()
+    }),
+    "set_intersect_nations" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val sp = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      c.intersect(sp)
+    }),
+    "set_except_nations" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val sp = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      c.except(sp)
+    }),
+
+    // analytic window: each customer's single most expensive order
+    // (row_number with deterministic tie-break)
+    "window_top_order_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
+    // analytic window: running sum + lag over an ordered per-user frame
+    "window_running_user_value" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("running_value",
+          round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("rank_in_user", row_number().over(w))
+    }),
+
+    // scalar-function battery (F4-F9 analogs): dates, strings, math,
+    // conditionals — one Project, fully codegen'd
+    "scalar_battery" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        unix_timestamp(col("o_orderdate")).as("o_epoch"),
+        upper(col("o_orderstatus")).as("status_upper"),
+        concat(col("o_orderpriority"), lit(":"), col("o_orderstatus")).as("prio_tag"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        length(col("o_orderpriority")).as("prio_len"),
+        round(col("o_totalprice"), 0).as("price_round0"),
+        floor(col("o_totalprice")).as("price_floor"),
+        ceil(col("o_totalprice")).as("price_ceil"),
+        abs(col("o_totalprice") - lit(1000.0)).as("price_abs_dev"),
+        when(col("o_totalprice") > 100000, lit("high"))
+          .when(col("o_totalprice") > 10000, lit("mid"))
+          .otherwise(lit("low")).as("price_band"))),
+
+    // TPC-H Q1 pricing summary — the classic agg headline. Partial
+    // aggregation makes the shuffle |groups|-sized; decimal sums for the
+    // product terms, round/div for the averages.
+    "tpch_q1_pricing_summary" -> ((s, dir) => {
+      val one = lit(1).cast(DecimalType(18, 2))
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(dec("l_extendedprice") * (one - dec("l_discount")) * (one + dec("l_tax")))
+            .cast("double").as("sum_charge"),
+          (round(sum("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+          (round(sum("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // distinct aggregation (§2.4 notes the reference lacks it)
+    "agg_count_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_distinct(col("l_orderkey")).as("n_orders"),
+          count_distinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_lines"))),
+
+    // grouping sets via rollup: per-(year, priority) + per-year + grand
+    "agg_rollup_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "join_broadcast_dims" ->
+      """SELECT r_name, n_name, count(c_custkey) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "join_fact_fact_revenue" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "join_semi_customers_with_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "join_anti_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "set_union_nations" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)""".stripMargin,
+
+    "set_intersect_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "set_except_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "window_top_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+
+    "window_running_user_value" ->
+      """SELECT user_id, event_id, value,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rank_in_user
+        |FROM events""".stripMargin,
+
+    "scalar_battery" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  CAST(day(o_orderdate) AS INTEGER) AS o_day,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_epoch,
+        |  upper(o_orderstatus) AS status_upper,
+        |  o_orderpriority || ':' || o_orderstatus AS prio_tag,
+        |  substring(o_orderpriority, 1, 1) AS prio_code,
+        |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+        |  round(o_totalprice, 0) AS price_round0,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+        |  abs(o_totalprice - 1000.0) AS price_abs_dev,
+        |  CASE WHEN o_totalprice > 100000 THEN 'high'
+        |       WHEN o_totalprice > 10000 THEN 'mid'
+        |       ELSE 'low' END AS price_band
+        |FROM orders""".stripMargin,
+
+    "tpch_q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) *
+        |           (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  round(sum(l_quantity), 2) / count(*) AS avg_qty,
+        |  round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "agg_rollup_orders" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (1, 2)""".stripMargin
+  )
+}

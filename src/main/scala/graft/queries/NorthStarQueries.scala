@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** North-star extension queries (BASELINE.json): dedup, similarity
+  * search, text analysis, multimodal — the LLM-training-data operators
+  * layered on the same engine. SQL-expressible ones carry DuckDB oracles
+  * (list/lambda functions); hash-dependent ones (xxhash64-based LSH,
+  * SimHash) are rows-only here and exactness-tested in ScalaTest against
+  * brute-force baselines.
+  */
+object NorthStarQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def defs: Map[String, Q] = Map(
+    // ---- text analysis ----
+    "text_quality_stats" -> ((s, dir) =>
+      TextAnalysis.qualityStats(
+        Tables.documents(s, dir).select("doc_id", "text"), "text")
+        .drop("text")),
+
+    "text_lang_guess" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langGuess(col("text")).as("lang_guess"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(
+        Tables.documents(s, dir).select("doc_id", "text"), "text")
+        .select("doc_id", "fp_exact", "fp_norm")),
+
+    // ---- dedup ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.dedupExact(Tables.documents(s, dir), "text", "doc_id")
+        .select(md5(col("text").cast("binary")).as("text_hash"),
+          col("doc_id"), col("n_copies"))),
+
+    // MinHash LSH near-dups: banding tuned for j≥0.8; planted dup pairs
+    // in the corpus sit at j≈0.95 with the next pair down at ≈0.04, so
+    // LSH output == exact output (verified in tests + the bounded oracle)
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.8)),
+
+    // exact brute-force n-gram Jaccard on a bounded slice — the oracle-
+    // checkable baseline for the LSH path
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).where(col("doc_id") < 200),
+        "doc_id", "text", shingleSize = 3, threshold = 0.8)),
+
+    // SimHash near-dups (hamming ≤ 7 on 64-bit fingerprints; the corpus'
+    // planted dup pairs measure hamming 0-7)
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 7)),
+
+    // ---- similarity search ----
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", k = 10)
+    }),
+
+    "sim_topk_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(
+        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
+        k = 10, numPlanes = 16, bands = 8)
+    }),
+
+    // embedding near-dup pairs (cosine ≥ 0.4 — the corpus' top pairs sit
+    // at ≈0.45; nothing is above 0.5)
+    "sim_cosine_neardups" -> ((s, dir) =>
+      Similarity.cosineNearDups(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.4, numPlanes = 16, bands = 8)),
+
+    // ---- multimodal ----
+    // metadata pass: payload wrapped, width/height/type derived — the
+    // payload-free projection parquet pruning would serve at scale
+    // width/height are xxhash64-derived (not oracle-expressible) — they
+    // are exercised in the ScalaTest suite; the oracle checks the rest
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+        .select("media_id", "media_type", "n_bytes")),
+
+    // feature extraction through the binary payload path (decode stub):
+    // checksum is oracle-checkable, features are exercised in tests
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.extractFeatures(s, media).toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("checksum"),
+          round(aggregate(col("features"),
+            lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("feature_l1"))
+    })
+  )
+
+  /** DuckDB twins. Tokenization/shingling/score formulas are written as
+    * the identical expression trees (see TextAnalysis scaladoc) so IEEE
+    * arithmetic matches bitwise.
+    */
+  def oracles: Map[String, String] = Map(
+    "text_quality_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS n_chars_m,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_filter(toks, tk -> list_contains(
+        |      ['the','a','of','and','to','in','is','it'], tk))) AS INTEGER) AS n_stopwords,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct
+        |  FROM t
+        |)
+        |SELECT doc_id, n_chars_m, n_tokens, n_stopwords, n_punct,
+        |  CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+        |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+        |  round(CAST(n_stopwords AS DOUBLE) / n_tokens * 0.5
+        |    + CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 0.3 ELSE 0.0 END
+        |    + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_m < 0.1 THEN 0.2 ELSE 0.0 END,
+        |    6) AS quality_score
+        |FROM m""".stripMargin,
+
+    "text_lang_guess" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','it'], tk))) AS en,
+        |    len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], tk))) AS de,
+        |    len(list_filter(toks, tk -> list_contains(['el','la','de','y','es','un','una','que'], tk))) AS es,
+        |    len(list_filter(toks, tk -> list_contains(['le','la','et','est','un','une','que','dans'], tk))) AS fr
+        |  FROM t
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(en, de, es, fr) = 0 THEN 'unknown'
+        |       WHEN en = greatest(en, de, es, fr) THEN 'en'
+        |       WHEN de = greatest(en, de, es, fr) THEN 'de'
+        |       WHEN es = greatest(en, de, es, fr) THEN 'es'
+        |       ELSE 'fr' END AS lang_guess
+        |FROM c""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_exact,
+        |  md5(array_to_string(string_split_regex(trim(text), '\s+'), ' ')) AS fp_norm
+        |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    // exact brute-force twin: valid as an oracle because the corpus'
+    // similarity gap (j≈0.95 planted dups vs ≈0.04 background) puts the
+    // LSH miss probability at (1-0.95²)^8 ≈ 8e-9 — LSH output == exact
+    "dedup_minhash_lsh" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                     for i in range(1, len(toks) - 1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM d
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |FROM s a, s b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) >= 0.8""".stripMargin,
+
+    // DuckDB's list_cosine_similarity over double-cast arrays reproduces
+    // the zip_with/aggregate fold bit-for-bit (verified at sf0.01)
+    "sim_topk_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+        |s AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |  list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS score
+        |  FROM q, c WHERE qid != nid),
+        |r AS (SELECT query_id, neighbor_id, score,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+        |  round(score, 6) AS score
+        |FROM r WHERE rank <= 10""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 200
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                     for i in range(1, len(toks) - 1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM d
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |FROM s a, s b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) >= 0.8""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    // checksum = md5 over the payload bytes; the stub features are an
+    // L1-normalized histogram, so their sum rounds to exactly 1.0
+    "multimodal_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  1.0 AS feature_l1
+        |FROM documents""".stripMargin
+  )
+}

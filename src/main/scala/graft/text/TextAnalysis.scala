@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines (north-star
+  * extension — BASELINE.json; not present in the reference, which has no
+  * string processing at all beyond formatting, SURVEY.md §2.8).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions`
+  * higher-order functions (`transform`/`filter`/`aggregate`) — fully
+  * codegen'd Projects over the scan, no UDFs, no shuffles. At 100 TB
+  * these run as an embarrassingly parallel pass; the only care needed is
+  * that `split` on pathological documents can produce huge arrays, which
+  * stay inside one row (no skew amplification).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer — the shared definition every operator (and
+    * every DuckDB oracle twin) uses: trim, then split on runs of
+    * whitespace.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Tiny per-language stopword lists for the heuristic language ID.
+    * Deterministic and small enough to inline as array literals.
+    */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
+  val StopwordsEs: Seq[String] = Seq("el", "la", "de", "y", "es", "un", "una", "que")
+  val StopwordsFr: Seq[String] = Seq("le", "la", "et", "est", "un", "une", "que", "dans")
+
+  private def litArray(ws: Seq[String]): Column = array(ws.map(lit): _*)
+
+  /** Count of tokens present in `stopwords`. */
+  def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => array_contains(litArray(stopwords), t)))
+
+  /** Punctuation characters in the text (ASCII punct class — the same
+    * class DuckDB's `[[:punct:]]` matches).
+    */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "\\p{Punct}", ""))
+
+  /** Quality-score battery per document. The score is a deterministic
+    * arithmetic combination of length/stopword/punctuation signals; the
+    * oracle twin writes the identical expression tree so IEEE evaluation
+    * matches bitwise.
+    */
+  def qualityStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_stopwords", stopwordCount(toks, StopwordsEn))
+      .withColumn("n_punct", punctCount(t))
+      .withColumn("avg_token_len",
+        (length(t) - (size(toks) - lit(1))).cast("double") / size(toks))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        round(col("stopword_ratio") * lit(0.5)
+          + when(col("n_tokens") >= 10 && col("n_tokens") <= 1000, lit(0.3)).otherwise(lit(0.0))
+          + when(col("n_punct").cast("double") / col("n_chars_m") < 0.1, lit(0.2)).otherwise(lit(0.0)),
+          6))
+  }
+
+  /** Heuristic language ID: score = stopword hits per language list,
+    * argmax with a fixed tie-break order (en > de > es > fr > unknown).
+    * Deterministic, SQL-expressible, and honest about its nature — real
+    * language ID would use char-n-gram profiles; the *pipeline shape*
+    * (pure column expressions, no shuffle) is identical.
+    */
+  def langGuess(text: Column): Column = {
+    val toks = tokens(text)
+    val en = stopwordCount(toks, StopwordsEn)
+    val de = stopwordCount(toks, StopwordsDe)
+    val es = stopwordCount(toks, StopwordsEs)
+    val fr = stopwordCount(toks, StopwordsFr)
+    val m = greatest(en, de, es, fr)
+    when(m === 0, lit("unknown"))
+      .when(en === m, lit("en"))
+      .when(de === m, lit("de"))
+      .when(es === m, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Document fingerprint: md5 of the raw text (cheap exact-dup key) +
+    * md5 of the normalized token stream (whitespace-insensitive dup key).
+    */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("fp_exact", md5(t.cast("binary")))
+      .withColumn("fp_norm", md5(concat_ws(" ", tokens(t)).cast("binary")))
+  }
+}

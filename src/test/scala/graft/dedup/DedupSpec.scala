@@ -1,0 +1,77 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Tables
+import graft.text.TextAnalysis
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupExact keeps min-id survivor with copy counts") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t")
+    val out = dedupExactMap(Dedup.dedupExact(df, "t", "id"))
+    assert(out == Map("x" -> (1L, 2L), "y" -> (3L, 1L)))
+  }
+
+  private def dedupExactMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("shingles produce n-grams; short docs collapse to one shingle") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "t")
+    val sh = df.select($"id",
+      Dedup.shingles(TextAnalysis.tokens($"t"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L) == Seq("a b"))
+  }
+
+  test("minhash LSH near-dups == exact brute-force pairs on documents") {
+    val docs = Tables.documents(spark, sf())
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact, s"LSH missed/invented pairs: " +
+      s"missed=${exact -- lsh}, extra=${lsh -- exact}")
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+  }
+
+  test("minhash signature approximates jaccard") {
+    // two docs sharing ~half their shingles: signature agreement ≈ j
+    val df = Seq(
+      (1L, (0 until 40).map(i => s"w$i").mkString(" ")),
+      (2L, (20 until 60).map(i => s"w$i").mkString(" "))
+    ).toDF("id", "t")
+    val sh = df.select($"id", Dedup.shingles(TextAnalysis.tokens($"t"), 3).as("sh"))
+    val sig = sh.select($"id", Dedup.minhashSignature($"sh", 128).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agree = sig(1L).zip(sig(2L)).count { case (a, b) => a == b } / 128.0
+    val trueJ = sh.as[(Long, Seq[String])].collect().toMap match {
+      case m => m(1L).toSet.intersect(m(2L).toSet).size.toDouble /
+        m(1L).toSet.union(m(2L).toSet).size
+    }
+    assert(math.abs(agree - trueJ) < 0.15,
+      s"signature agreement $agree should approximate true jaccard $trueJ")
+  }
+
+  test("simhash: identical docs get identical fingerprints; near-dups within hamming 3") {
+    val docs = Tables.documents(spark, sf())
+    val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sims = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash at hamming≤7 must recover the strongly-planted pairs
+    assert(planted.subsetOf(sims),
+      s"simhash missed planted dups: ${planted -- sims}")
+  }
+
+  test("simhash hamming distance is 0 for identical token streams") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("id", "t")
+    val out = Dedup.simhashNearDups(df, "id", "t", maxHamming = 0).collect()
+    assert(out.length == 1 && out.head.getInt(2) == 0)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.etl.Aggregation._
+
+class AggregationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", 1.0, 10L), ("a", 2.0, 20L), ("b", 3.0, 30L)
+  ).toDF("k", "v", "w")
+
+  test("grouped aggregation with whitelisted functions") {
+    val out = sparkAggregate(df, Seq("k"), Seq(
+      AggSpec("v", "sum"), AggSpec("w", "max"), AggSpec("v", "count")))
+      .orderBy("k").collect()
+    assert(out(0).getString(0) == "a" && out(0).getDouble(1) == 3.0
+      && out(0).getLong(2) == 20L && out(0).getLong(3) == 2L)
+    assert(out(1).getDouble(1) == 3.0 && out(1).getLong(2) == 30L)
+  }
+
+  test("empty groups falls back to global aggregation (spec.py:17-21)") {
+    val out = sparkAggregate(df, Seq.empty, Seq(AggSpec("v", "sum", Some("total"))))
+    assert(out.columns.toSeq == Seq("total"))
+    assert(out.head().getDouble(0) == 6.0)
+  }
+
+  test("unknown names dispatch through expr — SQL aggregates resolve") {
+    val out = sparkAggregate(df, Seq("k"), Seq(AggSpec("v", "median")))
+    assert(out.where($"k" === "a").head().getDouble(1) == 1.5)
+  }
+
+  test("genuinely unknown function fails at analysis, like getattr would") {
+    assertThrows[Exception] {
+      sparkAggregate(df, Seq("k"), Seq(AggSpec("v", "no_such_fn_xyz"))).collect()
+    }
+  }
+
+  test("default output naming is func_column") {
+    val out = sparkAggregate(df, Seq("k"), Seq(AggSpec("v", "avg")))
+    assert(out.columns.contains("avg_v"))
+  }
+}

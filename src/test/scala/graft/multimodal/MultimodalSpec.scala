@@ -1,0 +1,52 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Tables
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asMedia derives schema: binary payload + typed metadata") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sf()), "doc_id", "text")
+    val schema = media.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("media_id").dataType.typeName == "long")
+    val row = media.head()
+    val w = row.getInt(row.fieldIndex("width"))
+    val h = row.getInt(row.fieldIndex("height"))
+    assert(w >= 64 && w < 1344 && h >= 64 && h < 784)
+  }
+
+  test("feature extraction: deterministic histogram, L1 ≈ 1, right dim") {
+    val media = Multimodal.asMedia(
+      Tables.documents(spark, sf()).limit(20), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.features.length == Multimodal.FeatureDim)
+      assert(math.abs(f.features.map(_.toDouble).sum - 1.0) < 1e-4)
+      assert(f.checksum.length == 32)
+    }
+    // determinism: same input → same features
+    val again = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+
+  test("fakeDecodeFeatures matches a hand computation") {
+    val bytes = Array[Byte](0, 1, 16, 17) // buckets 0,1,0,1
+    val f = Multimodal.fakeDecodeFeatures(bytes)
+    assert(f(0) == 0.5f && f(1) == 0.5f && f.drop(2).forall(_ == 0f))
+  }
+
+  test("sampleFrames emits one row per stride offset") {
+    val media = Multimodal.asMedia(
+      Tables.documents(spark, sf()).limit(3), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, stride = 100)
+    val counts = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = media.select($"media_id", $"n_bytes").collect()
+      .map(r => r.getLong(0) -> (1 + (r.getLong(1) - 1) / 100)).toMap
+    assert(counts == expected)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenizer splits on whitespace runs with trim") {
+    val out = Seq("  a  b\tc\nd ").toDF("t")
+      .select(TextAnalysis.tokens($"t")).as[Seq[String]].head()
+    assert(out == Seq("a", "b", "c", "d"))
+  }
+
+  test("quality stats on a crafted document") {
+    val text = "the cat sat of the mat, and it is a test!"
+    val out = TextAnalysis.qualityStats(Seq(text).toDF("text"), "text").head()
+    val get = (n: String) => out.get(out.fieldIndex(n))
+    assert(get("n_tokens") == 11)
+    assert(get("n_stopwords") == 7) // the, of, the, and, it, is, a
+    assert(get("n_punct") == 2)     // comma + bang
+  }
+
+  test("langGuess picks the list with most hits; unknown when none") {
+    val rows = Seq(
+      ("the cat is in the bag", "en"),
+      ("der hund ist nicht da", "de"),
+      ("el gato es un animal", "es"),
+      ("le chat est dans une boite", "fr"),
+      ("xyzzy qwerty plugh", "unknown")
+    ).toDF("text", "expected")
+    val out = rows.select($"expected", TextAnalysis.langGuess($"text").as("got"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("fingerprints: fp_norm is whitespace-insensitive, fp_exact is not") {
+    val df = Seq(("a b c"), ("a  b   c")).toDF("text")
+    val fps = TextAnalysis.fingerprints(df, "text")
+      .select("fp_exact", "fp_norm").collect()
+    assert(fps(0).getString(1) == fps(1).getString(1))
+    assert(fps(0).getString(0) != fps(1).getString(0))
+  }
+}
