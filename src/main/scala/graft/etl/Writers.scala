@@ -1,0 +1,37 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink operators (SURVEY.md §2.1 S5-S8): the reference's partitioned
+  * parquet writes (`stage.py:51-61`, `spec.py:67-77` — glueparquet +
+  * snappy + `partitionKeys=["estado"]`) and the Firehose raw-zone landing
+  * (`historical.py:204-270` — GZIP JSON, newline-delimited, 900s/128MB
+  * buffering).
+  *
+  * Scale notes: `partitionBy` writes Hive-style `col=value/` directories
+  * that downstream scans prune (`PruneFileSourcePartitions`);
+  * `maxRecordsPerFile` bounds file sizes the way Firehose's buffer hints
+  * do. At 100 TB add `sortWithinPartitions(partition cols)` upstream or
+  * enable AQE coalescing so each dynamic partition gets few, large files
+  * rather than one file per task × partition.
+  */
+object Writers {
+
+  /** Partitioned parquet sink (S5/S6/S8 semantics). */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String],
+                         compression: String = "snappy",
+                         maxRecordsPerFile: Long = 0L): Unit =
+    df.write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .option("compression", compression)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
+  /** Raw-zone landing (S7 semantics): newline-delimited JSON, gzip. */
+  def gzipJson(df: DataFrame, path: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("compression", "gzip")
+      .json(path)
+}

@@ -67,7 +67,19 @@ object ReferenceQueries {
 
     // F6 + S10: TTL stamping (30 days past event time)
     "serve_ttl_stamp" -> ((s, dir) =>
-      Serving.withTtl(Tables.events(s, dir), "ts").select("event_id", "ttl"))
+      Serving.withTtl(Tables.events(s, dir), "ts").select("event_id", "ttl")),
+
+    // S11 + F9-F11 + P1-P3 + A3: the reference's own wire→stage→spec
+    // pipeline end-to-end on generated transactions (deterministic seed;
+    // row count scales with the harness dir so bench covers it). No SQL
+    // oracle — the generator's hash-derived draws aren't expressible in
+    // DuckDB; invariants are asserted in TransactionGenSpec.
+    "pipeline_wire_to_spec" -> ((s, dir) => {
+      val n = if (dir.contains("0.1")) 100000L else 10000L
+      graft.gen.TransactionGen.spec(
+        graft.gen.TransactionGen.stage(
+          graft.gen.TransactionGen.transactions(s, n)))
+    })
   )
 
   def oracles: Map[String, String] = Map(

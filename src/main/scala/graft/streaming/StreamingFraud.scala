@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming form of the reference's flagship query
+  * (SURVEY.md §2.9, `flink_app/app.py:70-83`): event-time tumbling
+  * window + watermark + grouped sum + HAVING, in append mode.
+  *
+  * Semantics parity with the Flink original:
+  *  - T1 event time: `ts` column.
+  *  - T2 watermark: bounded out-of-orderness (10 s in the reference).
+  *  - T3 tumbling window: `window(ts, ...)`.
+  *  - T4 late data dropped once the watermark passes the window end
+  *    (no allowed-lateness — Flink default).
+  *  - T5 append output mode: a window emits exactly once, on watermark
+  *    close.
+  *  - T10 incremental batch (Glue bookmarks): `Trigger.AvailableNow` over
+  *    a file source processes exactly the files not yet seen by the
+  *    checkpoint.
+  *
+  * At scale the state store holds one entry per open (key, window); the
+  * watermark bounds state size — exactly Flink's keyed-window state
+  * model, with the shuffle on the grouping key playing the keyed-exchange
+  * role.
+  */
+object StreamingFraud {
+
+  /** Schema for reading `events` as a stream. `ts` lands as long nanos
+    * (the parquet is TIMESTAMP(NANOS), which Spark only reads via the
+    * nanosAsLong legacy conf — see [[graft.model.Tables]]).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The streaming plan over any streaming DataFrame with
+    * (user_id, ts: timestamp, value) — same shape as
+    * [[graft.stream.Fraud.windowSum]] plus the watermark.
+    */
+  def fraudStream(events: DataFrame, windowSec: Int, threshold: Double,
+                  watermark: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), s"$windowSec seconds"))
+      .agg(round(sum("value"), 2).as("total_value"))
+      .where(col("total_value") > lit(threshold))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("window.start")).as("window_start"),
+        unix_timestamp(col("window.end")).as("window_end"),
+        col("total_value"))
+
+  /** File-source streaming run with `Trigger.AvailableNow` (the job-
+    * bookmark analog, T10): processes all currently-available input then
+    * stops; a rerun with the same checkpoint processes only new files.
+    * Results land in an in-memory table `queryName`.
+    */
+  def runFileStreamOnce(spark: SparkSession, sfDir: String, queryName: String,
+                        windowSec: Int, threshold: Double,
+                        checkpoint: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the streaming file source wants a directory; the harness lays the
+    // tables out as single files, so glob-filter the directory down to
+    // the events table
+    val raw = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = fraudStream(raw, windowSec, threshold)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q
+  }
+}
