@@ -174,7 +174,38 @@ object BreadthQueries {
       Tables.orders(s, dir)
         .rollup(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("total_price")))
+          round(sum("o_totalprice"), 2).as("total_price"))),
+
+    // F5: base64 round-trip + JSON parse (consumer/function.py:14-15's
+    // record decode, batch form)
+    "scalar_b64_json_decode" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        base64(col("props").cast("binary")).as("b64"),
+        get_json_object(
+          unbase64(base64(col("props").cast("binary"))).cast("string"), "$.k")
+          .cast("int").as("k_decoded"))),
+
+    // F7: ISO-8601 format → parse round-trip (generator_app/app.py:79 /
+    // flink_app/app.py:63-64 timestamp handling)
+    "scalar_iso8601_roundtrip" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"),
+        unix_timestamp(
+          to_timestamp(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+            "yyyy-MM-dd'T'HH:mm:ss")).as("parsed_epoch"))),
+
+    // approx sketches (HLL count-distinct, quantile summaries) — engine-
+    // specific estimates, so no cross-engine oracle; sanity-tested in
+    // ScalaTest against exact values
+    "agg_approx_sketches" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median_price")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -282,6 +313,21 @@ object BreadthQueries {
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
         |FROM orders
-        |GROUP BY ROLLUP (1, 2)""".stripMargin
+        |GROUP BY ROLLUP (1, 2)""".stripMargin,
+
+    "scalar_b64_json_decode" ->
+      """SELECT event_id,
+        |  to_base64(CAST(props AS BLOB)) AS b64,
+        |  CAST(json_extract_string(
+        |    decode(from_base64(to_base64(CAST(props AS BLOB)))),
+        |    '$.k') AS INTEGER) AS k_decoded
+        |FROM events""".stripMargin,
+
+    "scalar_iso8601_roundtrip" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso,
+        |  CAST(epoch(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+        |    '%Y-%m-%dT%H:%M:%S')) AS BIGINT) AS parsed_epoch
+        |FROM events""".stripMargin
   )
 }

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Tables
+import graft.similarity.Similarity
+
+class VectorExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native float_dot is bit-identical to the HOF fold on real embeddings") {
+    val emb = Tables.embeddings(spark, sf()).limit(100)
+      .select($"vec_id", $"embedding")
+    val both = emb.select(
+      VectorExprs.float_dot($"embedding", $"embedding").as("native"),
+      Similarity.dotHof($"embedding", $"embedding").as("hof"))
+    assert(both.where($"native" =!= $"hof").count() == 0)
+  }
+
+  test("native expressions are SQL-callable via GraftExtensions") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf()).limit(10).createOrReplaceTempView("docs_v")
+    val out = spark.sql(
+      """SELECT doc_id, graft_simhash64(split(trim(text), '\\s+')) AS fp
+        |FROM docs_v""".stripMargin).collect()
+    assert(out.length == 10 && out.forall(!_.isNullAt(1)))
+    val dot = spark.sql(
+      "SELECT graft_float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head().getDouble(0)
+    assert(dot == 11.0)
+  }
+
+  test("approx sketches land near exact values") {
+    val li = Tables.lineitem(spark, sf())
+    val approx = li.groupBy($"l_returnflag").agg(
+      approx_count_distinct($"l_orderkey").as("a"),
+      percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = li.groupBy($"l_returnflag").agg(
+      count_distinct($"l_orderkey").as("e"),
+      expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (e, m)) =>
+      val (a, am) = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: hll $a vs exact $e")
+      assert(math.abs(am - m) / m < 0.1, s"$k: median $am vs exact $m")
+    }
+  }
+}
