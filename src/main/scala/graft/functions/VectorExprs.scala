@@ -108,7 +108,9 @@ object VectorExprs {
         val j = ctx.freshName("j")
         val h = ctx.freshName("h")
         val fp = ctx.freshName("fp")
-        val xxhash = classOf[XxHash64Function.type].getName.stripSuffix("$") + ".MODULE$"
+        // the singleton's static field lives on the `XxHash64Function$`
+        // class — `$` is a legal Java identifier char, so name it directly
+        val xxhash = "org.apache.spark.sql.catalyst.expressions.XxHash64Function$.MODULE$"
         s"""
            |int[] $votes = new int[64];
            |int $n = $toks.numElements();
@@ -176,7 +178,7 @@ object VectorExprs {
         val j = ctx.freshName("j")
         val x = ctx.freshName("x")
         val v = ctx.freshName("v")
-        val xxhash = classOf[XxHash64Function.type].getName.stripSuffix("$") + ".MODULE$"
+        val xxhash = "org.apache.spark.sql.catalyst.expressions.XxHash64Function$.MODULE$"
         s"""
            |long[] $sig = new long[$k];
            |java.util.Arrays.fill($sig, Long.MAX_VALUE);

@@ -205,7 +205,43 @@ object BreadthQueries {
         .agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_median_price")))
+            .as("approx_median_price"))),
+
+    // sliding window (30s window, 10s slide — each event lands in 3
+    // windows); beyond the reference's tumbling-only surface
+    "window_sliding_sum" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), window(col("ts"), "30 seconds", "10 seconds"))
+        .agg(round(sum("value"), 2).as("total_value"))
+        .where(col("total_value") > 150.0)
+        .select(col("user_id"),
+          unix_timestamp(col("window.start")).as("window_start"),
+          unix_timestamp(col("window.end")).as("window_end"),
+          col("total_value"))),
+
+    // session window (5-minute inactivity gap) — gaps-and-islands in the
+    // oracle; microsecond-exact boundary semantics on both sides
+    "window_session_sum" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          unix_timestamp(col("session_window.end")).as("session_end"),
+          col("n_events"), col("total_value"))),
+
+    // custom physical operator (graft.plans.TopKPerKey): top-3 events per
+    // user by value. Plans PartialTopK → Exchange → FinalTopK — bounded
+    // heaps both sides, shuffle carries ≤ k rows per (key, partition)
+    // instead of the full table, and no sort ever runs. Oracle is the
+    // row_number() formulation DuckDB (and stock Spark) would use.
+    "topk_custom_plan" -> ((s, dir) =>
+      graft.plans.TopKPerKey.topKPerKey(
+        Tables.events(s, dir).select("user_id", "event_id", "value"),
+        Seq("user_id"),
+        Seq("value" -> true, "event_id" -> false),
+        3))
   )
 
   def oracles: Map[String, String] = Map(
@@ -328,6 +364,43 @@ object BreadthQueries {
         |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso,
         |  CAST(epoch(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
         |    '%Y-%m-%dT%H:%M:%S')) AS BIGINT) AS parsed_epoch
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "window_sliding_sum" ->
+      """SELECT user_id,
+        |  CAST(floor(epoch(ts)/10)*10 - 10*k AS BIGINT) AS window_start,
+        |  CAST(floor(epoch(ts)/10)*10 - 10*k + 30 AS BIGINT) AS window_end,
+        |  round(sum(value), 2) AS total_value
+        |FROM events CROSS JOIN UNNEST([0, 1, 2]) AS t(k)
+        |GROUP BY 1, 2, 3
+        |HAVING round(sum(value), 2) > 150.0""".stripMargin,
+
+    "window_session_sum" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ep, value FROM events
+        |), o AS (
+        |  SELECT user_id, ep, value,
+        |    CASE WHEN lag(ep) OVER w IS NULL
+        |           OR ep - lag(ep) OVER w >= 300000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep)
+        |), g AS (
+        |  SELECT user_id, ep, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ep
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM o
+        |)
+        |SELECT user_id,
+        |  CAST(min(ep) // 1000000 AS BIGINT) AS session_start,
+        |  CAST((max(ep) + 300000000) // 1000000 AS BIGINT) AS session_end,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, grp""".stripMargin,
+
+    "topk_custom_plan" ->
+      """SELECT user_id, event_id, value, rank FROM (
+        |  SELECT user_id, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id ASC) AS INTEGER) AS rank
+        |  FROM events) WHERE rank <= 3""".stripMargin
   )
 }

@@ -69,6 +69,14 @@ object ReferenceQueries {
     "serve_ttl_stamp" -> ((s, dir) =>
       Serving.withTtl(Tables.events(s, dir), "ts").select("event_id", "ttl")),
 
+    // T10: incremental-batch bookmark analog — a high-watermark predicate
+    // selecting only records newer than the last processed point
+    "incremental_high_watermark" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .where(col("ts") > timestamp_seconds(lit(1705276800L))) // 2024-01-15
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_timestamp(col("ts")).as("ts_epoch"))),
+
     // S11 + F9-F11 + P1-P3 + A3: the reference's own wire→stage→spec
     // pipeline end-to-end on generated transactions (deterministic seed;
     // row count scales with the harness dir so bench covers it). No SQL
@@ -123,6 +131,11 @@ object ReferenceQueries {
       "SELECT event_id, user_id, event_type, value FROM events",
 
     "serve_ttl_stamp" ->
-      s"SELECT event_id, CAST(floor(epoch(ts)) + ${Serving.TtlSeconds} AS BIGINT) AS ttl FROM events"
+      s"SELECT event_id, CAST(floor(epoch(ts)) + ${Serving.TtlSeconds} AS BIGINT) AS ttl FROM events",
+
+    "incremental_high_watermark" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+        |FROM events WHERE ts > to_timestamp(1705276800)""".stripMargin
   )
 }

@@ -1,15 +1,20 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridge into `private[sql]` surface: Column ⇄ Expression conversion for
-  * registering custom Catalyst expressions as Columns. This is the same
-  * mechanism third-party Spark extension libraries use; the underlying
-  * calls are stable across the 4.x classic API.
+/** Bridge into `private[sql]` surface: Column ⇄ Expression conversion and
+  * LogicalPlan → DataFrame construction for custom operators. This is the
+  * same mechanism third-party Spark extension libraries use; the
+  * underlying calls are stable across the 4.x classic API.
   */
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  def analyzedPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 }
