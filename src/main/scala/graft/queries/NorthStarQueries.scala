@@ -36,6 +36,15 @@ object NorthStarQueries {
         Tables.documents(s, dir).select("doc_id", "text"), "text")
         .select("doc_id", "fp_exact", "fp_norm")),
 
+    // token counting two ways: whitespace tokens + BPE-ish pre-tokens
+    // (letter runs / digit runs / single punctuation) — the unit an
+    // LLM-data pipeline budgets by
+    "text_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.dedupExact(Tables.documents(s, dir), "text", "doc_id")
@@ -76,6 +85,15 @@ object NorthStarQueries {
         k = 10, numPlanes = 16, bands = 8)
     }),
 
+    // IVF-bucketed ANN (rows-only here; recall vs brute force asserted
+    // in SimilaritySpec)
+    "sim_topk_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
+        k = 10, numCells = 16, nprobe = 8)
+    }),
+
     // embedding near-dup pairs (cosine ≥ 0.4 — the corpus' top pairs sit
     // at ≈0.45; nothing is above 0.5)
     "sim_cosine_neardups" -> ((s, dir) =>
@@ -108,6 +126,12 @@ object NorthStarQueries {
     * arithmetic matches bitwise.
     */
   def oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
     "text_quality_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks

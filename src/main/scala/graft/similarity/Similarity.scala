@@ -175,4 +175,60 @@ object Similarity {
       .where(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
   }
+
+  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
+    * path next to LSH. A coarse quantizer of `numCells` centroids
+    * partitions the corpus into cells (the "inverted lists"); each query
+    * probes only its `nprobe` nearest cells and exact-reranks the
+    * vectors in those cells.
+    *
+    * Centroids here are a deterministic sample (the `numCells`
+    * lowest-id corpus vectors) — a k-means trainer would slot into the
+    * same plumbing, but sampled centroids keep the operator seed-free
+    * and oracle-reproducible. The centroid table is tiny model state:
+    * collected once on the driver and inlined as literal arrays, so
+    * cell assignment is a map-only Project over the corpus (no join, no
+    * shuffle). At 100 TB the only shuffle is the probe⋈cell equi-join,
+    * whose right side carries ~|corpus|·nprobe/numCells rows per query,
+    * and the final per-query top-k runs on [[graft.plans.TopKPerKey]]
+    * (bounded heaps, no sort).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCells: Int = 16,
+              nprobe: Int = 4): DataFrame = {
+    val centroids: Array[(Seq[Float], Double)] = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(numCells)
+      .collect().map { r =>
+        val v = r.getSeq[Float](1)
+        (v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+      }
+    // per-row array of (similarity-to-centroid, cell-index) structs; the
+    // row's own norm is a positive constant across the comparison so
+    // dot/centroidNorm ranks identically to full cosine
+    def cellSims(vec: Column): Column = array(centroids.zipWithIndex.map {
+      case ((cv, cn), i) =>
+        struct((dot(vec, array(cv.map(lit): _*)) / lit(cn)).as("sim"),
+          lit(i).as("cell"))
+    }: _*)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"),
+      array_max(cellSims(col(vecCol))).getField("cell").as("cell"))
+    val qProbes = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), l2Norm(col(vecCol)).as("__qn"),
+      explode(slice(reverse(array_sort(cellSims(col(vecCol)))), 1, nprobe))
+        .as("probe"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("probe.cell").as("cell"))
+
+    val candidates = broadcast(qProbes).join(c, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosineWithNorms(dot(col("__qv"), col("__cv")),
+        col("__qn"), col("__cn")))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    graft.plans.TopKPerKey.topKPerKey(candidates, Seq("query_id"),
+      Seq("score" -> true, "neighbor_id" -> false), k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
 }

@@ -24,6 +24,16 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish pre-tokenizer (GPT-2-style, ASCII-simplified): letter runs,
+    * digit runs, and single other non-space chars each become one
+    * pre-token. The alternation is engine-portable (identical semantics
+    * in Java regex and RE2, so the DuckDB oracle matches bit-for-bit).
+    */
+  val BpeTokenRegex: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenRegex), lit(0)))
+
   /** Tiny per-language stopword lists for the heuristic language ID.
     * Deterministic and small enough to inline as array literals.
     */

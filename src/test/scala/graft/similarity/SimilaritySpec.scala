@@ -50,6 +50,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, f"recall $recall%.2f too low")
   }
 
+  test("IVF top-k recall vs brute force is usable (> 0.5 with nprobe=8/16)") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 10,
+      numCells = 16, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"IVF recall@10 = $recall%.2f (nprobe 8 of 16 cells)")
+    assert(recall > 0.5, f"recall $recall%.2f too low")
+    val ranks = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 10,
+      numCells = 16, nprobe = 8)
+      .groupBy("query_id").agg(max("rank").as("m"), count(lit(1)).as("n"))
+      .collect()
+    ranks.foreach(r => assert(r.getInt(1) == r.getLong(2).toInt,
+      "ranks must be dense 1..n per query"))
+  }
+
   test("cosineNearDups finds the corpus' top pairs and nothing below threshold") {
     val emb = Tables.embeddings(spark, sf())
     val out = Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.4,
