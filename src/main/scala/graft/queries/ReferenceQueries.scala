@@ -69,6 +69,14 @@ object ReferenceQueries {
     "serve_ttl_stamp" -> ((s, dir) =>
       Serving.withTtl(Tables.events(s, dir), "ts").select("event_id", "ttl")),
 
+    // custom keyed state (flatMapGroupsWithState analog): first upward
+    // crossing of a lifetime-spend threshold per user. This is the batch
+    // twin of StatefulSpend.streamingSpendAlerts; the spec asserts
+    // stream == batch on ordered replay.
+    "stateful_spend_alert" -> ((s, dir) =>
+      graft.streaming.StatefulSpend.batchSpendAlerts(
+        Tables.events(s, dir), threshold = 200.0)),
+
     // T10: incremental-batch bookmark analog — a high-watermark predicate
     // selecting only records newer than the last processed point
     "incremental_high_watermark" -> ((s, dir) =>
@@ -136,6 +144,17 @@ object ReferenceQueries {
     "incremental_high_watermark" ->
       """SELECT event_id, user_id, value,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
-        |FROM events WHERE ts > to_timestamp(1705276800)""".stripMargin
+        |FROM events WHERE ts > to_timestamp(1705276800)""".stripMargin,
+
+    "stateful_spend_alert" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, value,
+        |    sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS alert_epoch,
+        |  round(running, 2) AS total_at_alert
+        |FROM r WHERE running >= 200.0 AND running - value < 200.0""".stripMargin
   )
 }
