@@ -17,10 +17,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    the Verify/Bench mains, which receive an already-built session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // whole-operator extension: plans TopKPerKeyNode as partial+final
+    // bounded heaps (see graft.plans.TopKPerKey)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKStrategy)
+  }
 }
 
 object GraftExtensions {

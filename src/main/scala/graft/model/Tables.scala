@@ -32,6 +32,20 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Events filtered to `ts > watermarkEpochSec`, with the predicate on
+    * the RAW nanos long so it pushes into the parquet scan
+    * (`PushedFilters: GreaterThan(ts, ...)` → row-group/page pruning).
+    * Filtering the rebuilt timestamp column instead would wrap the scan
+    * column in `timestamp_micros(div(...))` and push nothing — at
+    * 100 TB the bookmark predicate MUST prune at the scan.
+    */
+  def eventsAfter(spark: SparkSession, sfDir: String, watermarkEpochSec: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .where(col("ts") > watermarkEpochSec * 1000000000L)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")

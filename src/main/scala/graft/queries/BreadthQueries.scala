@@ -231,6 +231,18 @@ object BreadthQueries {
           unix_timestamp(col("session_window.end")).as("session_end"),
           col("n_events"), col("total_value"))),
 
+    // salted fact⋈dim join (explicit hot-key mitigation — see
+    // graft.etl.Skew): row-identical to the plain equi-join the oracle
+    // states, but the fact side shuffles on (key, salt)
+    "join_salted_skew" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+      graft.etl.Skew.saltedEquiJoin(e, c, "user_id", "c_custkey", numSalts = 8)
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(sum("value"), 2).as("total_value"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // custom physical operator (graft.plans.TopKPerKey): top-3 events per
     // user by value. Plans PartialTopK → Exchange → FinalTopK — bounded
     // heaps both sides, shuffle carries ≤ k rows per (key, partition)
@@ -395,6 +407,13 @@ object BreadthQueries {
         |  count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
         |FROM g GROUP BY user_id, grp""".stripMargin,
+
+    "join_salted_skew" ->
+      """SELECT c_custkey, c_name,
+        |  round(sum(value), 2) AS total_value,
+        |  count(*) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "topk_custom_plan" ->
       """SELECT user_id, event_id, value, rank FROM (

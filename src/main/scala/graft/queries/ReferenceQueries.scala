@@ -80,8 +80,7 @@ object ReferenceQueries {
     // T10: incremental-batch bookmark analog — a high-watermark predicate
     // selecting only records newer than the last processed point
     "incremental_high_watermark" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .where(col("ts") > timestamp_seconds(lit(1705276800L))) // 2024-01-15
+      Tables.eventsAfter(s, dir, 1705276800L) // 2024-01-15
         .select(col("event_id"), col("user_id"), col("value"),
           unix_timestamp(col("ts")).as("ts_epoch"))),
 
