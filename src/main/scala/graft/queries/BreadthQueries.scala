@@ -231,6 +231,22 @@ object BreadthQueries {
           unix_timestamp(col("session_window.end")).as("session_end"),
           col("n_events"), col("total_value"))),
 
+    // as-of join (graft.plans.AsOfJoin): latest order at-or-before each
+    // event, per customer — one shuffle + sort over |L|+|R|, no range-
+    // join expansion. Orders pre-deduped per (custkey, date) so the
+    // match is deterministic on both engines; DuckDB states the same
+    // query as a native ASOF JOIN.
+    "join_asof_latest_order" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val o = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      graft.plans.AsOfJoin.asofJoin(e, o, "user_id", "o_custkey",
+        "ts", "o_orderdate", Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"), col("o_orderkey"))
+    }),
+
     // salted fact⋈dim join (explicit hot-key mitigation — see
     // graft.etl.Skew): row-identical to the plain equi-join the oracle
     // states, but the fact side shuffles on (key, salt)
@@ -407,6 +423,16 @@ object BreadthQueries {
         |  count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
         |FROM g GROUP BY user_id, grp""".stripMargin,
+
+    "join_asof_latest_order" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |  CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+        |  o.o_orderkey
+        |FROM events e ASOF JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
 
     "join_salted_skew" ->
       """SELECT c_custkey, c_name,
