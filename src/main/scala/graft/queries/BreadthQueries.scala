@@ -247,6 +247,23 @@ object BreadthQueries {
           unix_timestamp(col("ts")).as("ts_epoch"), col("o_orderkey"))
     }),
 
+    // bucketed range join (graft.plans.RangeJoin): per event, how many
+    // same-user events follow within 10 min — equi-join on (user, bucket)
+    // + residual, never a per-key nested loop
+    "join_range_next_events" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val intervals = e.select(col("event_id"), col("user_id").as("ikey"),
+        col("ts_us").as("start_us"),
+        (col("ts_us") + lit(600000000L)).as("end_us"))
+      val points = e.select(col("user_id").as("pkey"), col("ts_us"))
+      graft.plans.RangeJoin.intervalPointJoin(intervals, points,
+        "ikey", "pkey", "start_us", "end_us", "ts_us", 600000000L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_next_10m"))
+    }),
+
     // salted fact⋈dim join (explicit hot-key mitigation — see
     // graft.etl.Skew): row-identical to the plain equi-join the oracle
     // states, but the fact side shuffles on (key, salt)
@@ -433,6 +450,14 @@ object BreadthQueries {
         |  o.o_orderkey
         |FROM events e ASOF JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "join_range_next_events" ->
+      """SELECT e1.event_id, count(*) AS n_next_10m
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND epoch_us(e2.ts) > epoch_us(e1.ts)
+        | AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 600000000
+        |GROUP BY 1""".stripMargin,
 
     "join_salted_skew" ->
       """SELECT c_custkey, c_name,
