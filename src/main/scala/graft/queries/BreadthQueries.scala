@@ -176,6 +176,21 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("total_price"))),
 
+    // full cube over two dims — all 4 grouping sets in one Expand + agg
+    "agg_cube_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"))),
+
+    // pivot: per-user spend per event_type as columns; explicit value
+    // list so the plan is a single partial+final agg (no distinct scan)
+    "pivot_user_event_type" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum("value"), 2))),
+
     // F5: base64 round-trip + JSON parse (consumer/function.py:14-15's
     // record decode, batch form)
     "scalar_b64_json_decode" -> ((s, dir) =>
@@ -395,6 +410,21 @@ object BreadthQueries {
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
         |FROM orders
         |GROUP BY ROLLUP (1, 2)""".stripMargin,
+
+    "agg_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY CUBE (1, 2)""".stripMargin,
+
+    "pivot_user_event_type" ->
+      """SELECT user_id,
+        |  round(sum(value) FILTER (event_type = 'click'), 2) AS click,
+        |  round(sum(value) FILTER (event_type = 'error'), 2) AS error,
+        |  round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+        |  round(sum(value) FILTER (event_type = 'signup'), 2) AS signup,
+        |  round(sum(value) FILTER (event_type = 'view'), 2) AS view
+        |FROM events GROUP BY 1""".stripMargin,
 
     "scalar_b64_json_decode" ->
       """SELECT event_id,

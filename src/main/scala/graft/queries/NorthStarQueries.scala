@@ -85,6 +85,21 @@ object NorthStarQueries {
         k = 10, numPlanes = 16, bands = 8)
     }),
 
+    // per-label embedding centroid via a typed Aggregator (UDAF
+    // surface): partial buffers merge across the shuffle, the exchange
+    // carries one (dim+1)-double buffer per (label × partition)
+    "agg_vector_centroid" -> ((s, dir) => {
+      val mean = graft.functions.VectorAgg.vecMean(64)
+      Tables.embeddings(s, dir)
+        .groupBy(col("label"))
+        .agg(mean(col("embedding")).as("raw"))
+        // exploded to scalar rows: the harness compare sorts row values,
+        // which array-typed cells would break
+        .select(col("label"), posexplode(col("raw")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("idx"),
+          round(col("col"), 6).as("centroid_val"))
+    }),
+
     // IVF-bucketed ANN (rows-only here; recall vs brute force asserted
     // in SimilaritySpec)
     "sim_topk_ivf" -> ((s, dir) => {
@@ -126,6 +141,16 @@ object NorthStarQueries {
     * arithmetic matches bitwise.
     */
   def oracles: Map[String, String] = Map(
+    "agg_vector_centroid" ->
+      """WITH x AS (
+        |  SELECT label, unnest(embedding) AS e,
+        |    generate_subscripts(embedding, 1) AS idx
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(idx AS BIGINT) AS idx,
+        |  round(avg(CAST(e AS DOUBLE)), 6) AS centroid_val
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
