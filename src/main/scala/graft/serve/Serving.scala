@@ -32,4 +32,43 @@ object Serving {
   /** Stamp a TTL column: event-time epoch seconds + 30 days. */
   def withTtl(df: DataFrame, tsCol: String): DataFrame =
     df.withColumn("ttl", unix_timestamp(col(tsCol)) + lit(TtlSeconds))
+
+  /** In-memory KV table with (partitionKey, sortKey) upserts —
+    * last-writer-wins per key like DynamoDB `put_item`
+    * (`consumer/function.py:16-25`). The streaming consumer drains each
+    * micro-batch into it via [[upsertBatch]] from a `foreachBatch` sink;
+    * in production the same hook writes to the external store, so the
+    * upsert/idempotency semantics (reprocessed batches overwrite, never
+    * duplicate) are what this models.
+    */
+  class KvStore extends Serializable {
+    private val items =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, String]]()
+
+    def put(pk: String, sk: String, attrs: Map[String, String]): Unit =
+      items.put((pk, sk), attrs)
+
+    /** DynamoDB `query`: all items for a partition key, sort-key order. */
+    def query(pk: String): Seq[(String, Map[String, String])] = {
+      import scala.jdk.CollectionConverters._
+      items.asScala.toSeq.collect { case ((p, s), v) if p == pk => (s, v) }
+        .sortBy(_._1)
+    }
+
+    def size: Int = items.size
+  }
+
+  /** foreachBatch body: upsert a micro-batch into `store`. The collect
+    * is the driver-side handoff to the external store client (the Lambda
+    * consumer's role); batch sizes are micro-batch-bounded.
+    */
+  def upsertBatch(store: KvStore, pkCol: String, skCol: String)
+                 (batch: DataFrame, batchId: Long): Unit = {
+    val cols = batch.columns
+    batch.collect().foreach { row =>
+      val attrs = cols.zipWithIndex
+        .map { case (c, i) => c -> String.valueOf(row.get(i)) }.toMap
+      store.put(attrs(pkCol), attrs(skCol), attrs)
+    }
+  }
 }
