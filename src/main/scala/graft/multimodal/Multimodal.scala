@@ -99,4 +99,33 @@ object Multimodal {
       posexplode(sequence(lit(0), greatest(col("n_bytes") - 1, lit(0)), lit(stride))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "byte_offset")
+
+  /** Frame extraction: split the payload into fixed-size frames and emit
+    * every `stride`-th frame as its own row (`posexplode` — the
+    * Generator/UDTF surface; one input row → many frame rows). Works on
+    * binary or string payload columns (`substring` handles both).
+    */
+  def extractFrames(media: DataFrame, idCol: String, payloadCol: String,
+                    frameSize: Int, stride: Int): DataFrame =
+    media.select(col(idCol),
+      posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(floor((length($payloadCol) - 1) / $frameSize) as int)),
+           |  i -> substring($payloadCol, i * $frameSize + 1, $frameSize))""".stripMargin)))
+      .where(pmod(col("pos"), lit(stride)) === 0)
+      .select(col(idCol), col("pos").as("frame_idx"), col("col").as("frame"))
+
+  /** STUB resize: deterministic byte decimation standing in for a codec
+    * resize — payload truncated proportionally to the pixel-count ratio,
+    * dimensions and byte-count metadata updated. Swapping in a real
+    * codec replaces only the payload expression.
+    */
+  def fakeResize(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    media
+      .withColumn("payload", expr(
+        s"""substring(payload, 1, greatest(1,
+           |  cast(n_bytes * $targetW * $targetH / (width * height) as int)))""".stripMargin))
+      .withColumn("width", lit(targetW))
+      .withColumn("height", lit(targetH))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
 }

@@ -126,6 +126,15 @@ object NorthStarQueries {
 
     // feature extraction through the binary payload path (decode stub):
     // checksum is oracle-checkable, features are exercised in tests
+    // frame sampling as a query: 256-char frames, every 2nd frame kept;
+    // md5 + length per frame so the oracle can compare scalars
+    "multimodal_frame_sample" -> ((s, dir) =>
+      Multimodal.extractFrames(
+        Tables.documents(s, dir), "doc_id", "text", frameSize = 256, stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame").cast("binary")).as("frame_md5"),
+          length(col("frame")).as("frame_len"))),
+
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
       Multimodal.extractFeatures(s, media).toDF()
@@ -141,6 +150,17 @@ object NorthStarQueries {
     * arithmetic matches bitwise.
     */
   def oracles: Map[String, String] = Map(
+    "multimodal_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |    substring(text, CAST(i * 256 + 1 AS INTEGER), 256) AS frame
+        |  FROM documents,
+        |    UNNEST(range(0, CAST(floor((length(text) - 1) / 256) AS BIGINT) + 1)) AS t(i)
+        |)
+        |SELECT doc_id, frame_idx, md5(frame) AS frame_md5,
+        |  CAST(length(frame) AS INTEGER) AS frame_len
+        |FROM f WHERE frame_idx % 2 = 0""".stripMargin,
+
     "agg_vector_centroid" ->
       """WITH x AS (
         |  SELECT label, unnest(embedding) AS e,

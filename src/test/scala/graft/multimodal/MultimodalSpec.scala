@@ -49,4 +49,25 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (1 + (r.getLong(1) - 1) / 100)).toMap
     assert(counts == expected)
   }
+
+  test("extractFrames: fixed-size frames, stride filter, full coverage") {
+    import spark.implicits._
+    val df = Seq((1L, "a" * 600)).toDF("doc_id", "text")
+    val frames = Multimodal.extractFrames(df, "doc_id", "text", 256, 1).collect()
+    // 600 chars -> frames of 256, 256, 88
+    assert(frames.map(_.getString(2).length).toSeq === Seq(256, 256, 88))
+    val strided = Multimodal.extractFrames(df, "doc_id", "text", 256, 2).collect()
+    assert(strided.map(_.getInt(1)).toSeq === Seq(0, 2))
+  }
+
+  test("fakeResize shrinks payload proportionally and updates metadata") {
+    import spark.implicits._
+    val media = Seq((1L, ("x" * 1000).getBytes, "image", 100, 100, 1000L))
+      .toDF("media_id", "payload", "media_type", "width", "height", "n_bytes")
+    val out = Multimodal.fakeResize(media, 50, 50).collect().head
+    // pixel ratio (50*50)/(100*100) = 1/4 -> 250 bytes
+    assert(out.getAs[Array[Byte]]("payload").length === 250)
+    assert(out.getAs[Int]("width") === 50)
+    assert(out.getAs[Long]("n_bytes") === 250L)
+  }
 }
