@@ -36,6 +36,30 @@ object NorthStarQueries {
         Tables.documents(s, dir).select("doc_id", "text"), "text")
         .select("doc_id", "fp_exact", "fp_norm")),
 
+    // PII masking (the redaction sibling of P3's column drop): digit-run
+    // scrubbing + keep-last-4 masking, identical regex/concat trees on
+    // both engines
+    "text_pii_mask" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        regexp_replace(col("o_orderpriority"), "[0-9]+", "#").as("prio_masked"),
+        concat(lit("************"),
+          substring(lpad(col("o_orderkey").cast("string"), 16, "0"), 13, 4))
+          .as("card_masked"))),
+
+    // the quality gate a training-data pipeline actually runs: language
+    // + quality score + token-count bounds in one filter
+    "text_quality_gate" -> ((s, dir) => {
+      val stats = TextAnalysis.qualityStats(
+        Tables.documents(s, dir).select("doc_id", "text"), "text")
+      stats
+        .withColumn("lang_guess", TextAnalysis.langGuess(col("text")))
+        .where(col("lang_guess") === "en" &&
+          col("quality_score") >= 0.4 &&
+          col("n_tokens").between(10, 2000))
+        .select("doc_id", "n_tokens", "quality_score")
+    }),
+
     // token counting two ways: whitespace tokens + BPE-ish pre-tokens
     // (letter runs / digit runs / single punctuation) — the unit an
     // LLM-data pipeline budgets by
@@ -198,6 +222,40 @@ object NorthStarQueries {
         |    + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_m < 0.1 THEN 0.2 ELSE 0.0 END,
         |    6) AS quality_score
         |FROM m""".stripMargin,
+
+    "text_pii_mask" ->
+      """SELECT o_orderkey,
+        |  regexp_replace(o_orderpriority, '[0-9]+', '#', 'g') AS prio_masked,
+        |  '************' || substring(lpad(CAST(o_orderkey AS VARCHAR), 16, '0'), 13, 4) AS card_masked
+        |FROM orders""".stripMargin,
+
+    "text_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS n_chars_m,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_filter(toks, tk -> list_contains(
+        |      ['the','a','of','and','to','in','is','it'], tk))) AS INTEGER) AS en,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
+        |    len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], tk))) AS de,
+        |    len(list_filter(toks, tk -> list_contains(['el','la','de','y','es','un','una','que'], tk))) AS es,
+        |    len(list_filter(toks, tk -> list_contains(['le','la','et','est','un','une','que','dans'], tk))) AS fr
+        |  FROM t
+        |), q AS (
+        |  SELECT doc_id, n_tokens, en, de, es, fr,
+        |    round(CAST(en AS DOUBLE) / n_tokens * 0.5
+        |      + CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 0.3 ELSE 0.0 END
+        |      + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_m < 0.1 THEN 0.2 ELSE 0.0 END,
+        |      6) AS quality_score
+        |  FROM m
+        |)
+        |SELECT doc_id, n_tokens, quality_score FROM q
+        |WHERE quality_score >= 0.4 AND n_tokens BETWEEN 10 AND 2000
+        |  AND greatest(en, de, es, fr) > 0
+        |  AND en = greatest(en, de, es, fr)""".stripMargin,
 
     "text_lang_guess" ->
       """WITH t AS (
