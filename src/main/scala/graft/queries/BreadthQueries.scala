@@ -359,7 +359,7 @@ object BreadthQueries {
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rank_in_user
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS rank_in_user
         |FROM events""".stripMargin,
 
     "scalar_battery" ->
