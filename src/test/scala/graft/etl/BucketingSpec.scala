@@ -1,0 +1,40 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Tables
+
+/** Bucketing — the pre-shuffle co-location strategy for repeated joins
+  * on the same key (the 100 TB answer to "this fact-fact join runs
+  * every hour"): both sides written with `bucketBy(n, key)` hash-place
+  * rows so the join needs NO exchange at read time, amortizing one
+  * write-time shuffle over every subsequent join.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("join of two tables bucketed on the join key plans without exchanges") {
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    spark.sql("DROP TABLE IF EXISTS cust_bucketed")
+    Tables.events(spark, sf()).select("event_id", "user_id", "value")
+      .write.bucketBy(8, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable("ev_bucketed")
+    Tables.customer(spark, sf()).select("c_custkey", "c_name")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("cust_bucketed")
+
+    val joined = spark.table("ev_bucketed")
+      .join(spark.table("cust_bucketed"),
+        col("user_id") === col("c_custkey"))
+    // disable broadcast so the planner must choose a co-located join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      val expected = Tables.events(spark, sf())
+        .join(Tables.customer(spark, sf()), col("user_id") === col("c_custkey"))
+        .count()
+      assert(joined.count() === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
