@@ -246,6 +246,17 @@ object BreadthQueries {
           unix_timestamp(col("session_window.end")).as("session_end"),
           col("n_events"), col("total_value"))),
 
+    // the SQL entry point (the reference's programs are SQL-driven —
+    // flink_app/app.py DDL + Table API): temp view + spark.sql, same
+    // Catalyst plan as the DataFrame form
+    "sql_interface_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  round(sum(l_quantity), 2) AS sum_qty,
+              |  count(*) AS n_lines
+              |FROM lineitem_v GROUP BY 1, 2""".stripMargin)
+    }),
+
     // as-of join (graft.plans.AsOfJoin): latest order at-or-before each
     // event, per customer — one shuffle + sort over |L|+|R|, no range-
     // join expansion. Orders pre-deduped per (custkey, date) so the
@@ -470,6 +481,12 @@ object BreadthQueries {
         |  count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
         |FROM g GROUP BY user_id, grp""".stripMargin,
+
+    "sql_interface_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "join_asof_latest_order" ->
       """WITH o AS (
