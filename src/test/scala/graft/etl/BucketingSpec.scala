@@ -15,6 +15,15 @@ class BucketingSpec extends SparkSpec {
   test("join of two tables bucketed on the join key plans without exchanges") {
     spark.sql("DROP TABLE IF EXISTS ev_bucketed")
     spark.sql("DROP TABLE IF EXISTS cust_bucketed")
+    // a fresh JVM has an empty in-memory catalog but the warehouse dirs
+    // survive on disk — clear them or saveAsTable hits LOCATION_ALREADY_EXISTS
+    Seq("ev_bucketed", "cust_bucketed").foreach { t =>
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
     Tables.events(spark, sf()).select("event_id", "user_id", "value")
       .write.bucketBy(8, "user_id").sortBy("user_id")
       .mode("overwrite").saveAsTable("ev_bucketed")
