@@ -59,14 +59,33 @@ object TransactionGen {
     * hashes, not task-local PRNG streams).
     */
   def transactions(spark: SparkSession, n: Long, seed: Long = 42L,
-                   startEpoch: Long = 1704067200L /* 2024-01-01 */): DataFrame = {
+                   startEpoch: Long = 1704067200L /* 2024-01-01 */): DataFrame =
+    wireFromIds(spark.range(n).toDF(), seed, startEpoch)
+
+  /** Streaming form of the generator (S11 as a stream): the rate source
+    * plays the reference's Fargate producer (1 rec/s —
+    * `generator_app/app.py:89-91`, `generator_stack.py:12`); every wire
+    * column derives from the same id-hash expressions as the batch
+    * form, so batch and stream emit identical records for equal ids.
+    */
+  def streamingTransactions(spark: SparkSession, rowsPerSecond: Int = 1,
+                            seed: Long = 42L,
+                            startEpoch: Long = 1704067200L): DataFrame =
+    wireFromIds(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond).load()
+        .select(col("value").as("id")),
+      seed, startEpoch)
+
+  /** Wire-schema columns over any frame with an `id` long column. */
+  def wireFromIds(ids: DataFrame, seed: Long, startEpoch: Long): DataFrame = {
     // per-column deterministic uniform [0,1) from xxhash64(id, salt):
     // rand(seed) is partition-dependent; hashing the row id is not.
     def u(salt: Int): Column =
       (pmod(xxhash64(col("id"), lit(seed), lit(salt)), lit(1000000007L))
         .cast("double") / lit(1000000007.0))
 
-    spark.range(n).select(
+    ids.select(
       col("id"),
       concat(lit("cliente_"), col("id").cast("string")).as("nome"),
       cpfColumn(floor(u(1) * 1e9)).as("cpf"),

@@ -118,6 +118,21 @@ object BreadthQueries {
         .withColumn("rank_in_user", row_number().over(w))
     }),
 
+    // ranking-function battery: every rank flavor in one Window pass
+    // (single shuffle + sort serves all six functions)
+    "window_rank_battery" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prnk", round(percent_rank().over(w), 6))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("best_value", first(col("value")).over(w))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+    }),
+
     // scalar-function battery (F4-F9 analogs): dates, strings, math,
     // conditionals — one Project, fully codegen'd
     "scalar_battery" -> ((s, dir) =>
@@ -481,6 +496,17 @@ object BreadthQueries {
         |  count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
         |FROM g GROUP BY user_id, grp""".stripMargin,
+
+    "window_rank_battery" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  first_value(value) OVER w AS best_value,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)""".stripMargin,
 
     "sql_interface_agg" ->
       """SELECT l_returnflag, l_linestatus,

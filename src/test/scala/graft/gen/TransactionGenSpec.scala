@@ -66,4 +66,18 @@ class TransactionGenSpec extends SparkSpec {
     val expected = st.agg(round(sum("valor"), 2)).head().getDouble(0)
     assert(math.abs(total - expected) < 0.01)
   }
+
+  test("streamingTransactions emits the wire schema from the rate source") {
+    val q = TransactionGen.streamingTransactions(spark, rowsPerSecond = 200)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gen_stream").start()
+    try {
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      val got = spark.table("gen_stream")
+      assert(got.columns.toSeq === TransactionGen.transactions(spark, 1).columns.toSeq)
+      val rows = got.count()
+      assert(rows > 0, "rate source should have produced rows")
+    } finally q.stop()
+  }
 }
