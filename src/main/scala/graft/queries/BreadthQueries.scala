@@ -198,6 +198,32 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("total_price"))),
 
+    // explicit GROUPING SETS (the general form rollup/cube sugar over)
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  count(*) AS n_orders,
+              |  round(sum(o_totalprice), 2) AS total_price
+              |FROM orders_v
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+        .stripMargin)
+    }),
+
+    // argmin/argmax aggregates. Tie-break folded into one exact bigint
+    // (value is 2dp, so cents*1e7 + event_id is integral and
+    // collision-free) — DuckDB's arg_max only compares scalars
+    "agg_minmax_by" -> ((s, dir) => {
+      val ordKey = (round(col("value") * 100).cast("long") * 10000000L +
+        col("event_id")).as("__ord")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"), ordKey)
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("event_type"), col("__ord")).as("top_event_type"),
+          min_by(col("event_type"), col("__ord")).as("bottom_event_type"),
+          round(max(col("value")), 2).as("max_value"))
+    }),
+
     // pivot: per-user spend per event_type as columns; explicit value
     // list so the plan is a single partial+final agg (no distinct scan)
     "pivot_user_event_type" -> ((s, dir) =>
@@ -442,6 +468,20 @@ object BreadthQueries {
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
         |FROM orders
         |GROUP BY CUBE (1, 2)""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "agg_minmax_by" ->
+      """SELECT user_id,
+        |  arg_max(event_type, CAST(round(value * 100) AS BIGINT) * 10000000 + event_id) AS top_event_type,
+        |  arg_min(event_type, CAST(round(value * 100) AS BIGINT) * 10000000 + event_id) AS bottom_event_type,
+        |  round(max(value), 2) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "pivot_user_event_type" ->
       """SELECT user_id,
