@@ -11,6 +11,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
+    graft.plans.TopKPerKey.ensureRegistered(spark)
     // warm the session (JVM/codegen/file-index) so per-query numbers
     // measure the query, not first-action startup
     spark.range(1000000L).selectExpr("sum(id)").collect()

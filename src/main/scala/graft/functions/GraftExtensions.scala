@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: plans TopKPerKeyNode as partial+final
     // bounded heaps (see graft.plans.TopKPerKey)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKStrategy)
+    // optimizer rule: rewrite Filter(row_number <= k, Window(...)) into
+    // TopKPerKeyNode so idiomatic top-k queries get the heap operator
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }
 

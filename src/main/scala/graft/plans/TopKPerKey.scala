@@ -140,11 +140,17 @@ object TopKPerKey {
     }
   }
 
-  /** Idempotently register the strategy on a live session. */
+  /** Idempotently register the strategy + rewrite rule on a live
+    * session (the `SparkSessionExtensions` path is
+    * [[graft.functions.GraftExtensions]]).
+    */
   def ensureRegistered(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.exists(_.isInstanceOf[TopKStrategy.type]))
       spark.experimental.extraStrategies = cur :+ TopKStrategy
+    val curOpt = spark.experimental.extraOptimizations
+    if (!curOpt.contains(TopKRewrite))
+      spark.experimental.extraOptimizations = curOpt :+ TopKRewrite
   }
 
   /** DataFrame API: top `k` rows per `keyCols` group, ordered by
