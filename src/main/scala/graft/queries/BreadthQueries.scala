@@ -287,6 +287,26 @@ object BreadthQueries {
           unix_timestamp(col("session_window.end")).as("session_end"),
           col("n_events"), col("total_value"))),
 
+    // batch MERGE/upsert: orders-derived changeset into customer —
+    // updates (matched keys take source values) + inserts (shifted
+    // keys), one full-outer join + coalesce Project
+    "etl_merge_upsert" -> ((s, dir) => {
+      val target = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum("o_totalprice") / 1000.0, 2).as("c_acctbal"))
+      val updates = spend
+        .select(col("o_custkey").as("c_custkey"),
+          concat(lit("upd_"), col("o_custkey").cast("string")).as("c_name"),
+          col("c_acctbal"))
+      val inserts = updates
+        .select((col("c_custkey") + 100000L).as("c_custkey"),
+          concat(lit("new_"), col("c_custkey").cast("string")).as("c_name"),
+          col("c_acctbal"))
+      graft.etl.Upsert.merge(target, updates.unionByName(inserts), "c_custkey")
+    }),
+
     // the SQL entry point (the reference's programs are SQL-driven —
     // flink_app/app.py DDL + Table API): temp view + spark.sql, same
     // Catalyst plan as the DataFrame form
@@ -547,6 +567,27 @@ object BreadthQueries {
         |  round(cume_dist() OVER w, 6) AS cume
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)""".stripMargin,
+
+    "etl_merge_upsert" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, round(sum(o_totalprice) / 1000.0, 2) AS c_acctbal
+        |  FROM orders GROUP BY 1
+        |), src AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    'upd_' || CAST(o_custkey AS VARCHAR) AS c_name, c_acctbal
+        |  FROM spend
+        |  UNION ALL
+        |  SELECT o_custkey + 100000,
+        |    'new_' || CAST(o_custkey AS VARCHAR), c_acctbal
+        |  FROM spend
+        |), tgt AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |)
+        |SELECT
+        |  COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal
+        |FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey""".stripMargin,
 
     "sql_interface_agg" ->
       """SELECT l_returnflag, l_linestatus,
