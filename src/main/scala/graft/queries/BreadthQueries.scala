@@ -198,6 +198,26 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("total_price"))),
 
+    // exact interpolated percentiles (sort-based agg; the exact
+    // counterpart of the approx sketch query)
+    "agg_exact_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))),
+
+    // statistical-moment battery: stddev/variance/corr/covar per group
+    "agg_stats_battery" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"))),
+
     // explicit GROUPING SETS (the general form rollup/cube sugar over)
     "agg_grouping_sets" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders_v")
@@ -488,6 +508,21 @@ object BreadthQueries {
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
         |FROM orders
         |GROUP BY CUBE (1, 2)""".stripMargin,
+
+    "agg_exact_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "agg_stats_battery" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
