@@ -75,6 +75,12 @@ object NorthStarQueries {
         .select(md5(col("text").cast("binary")).as("text_hash"),
           col("doc_id"), col("n_copies"))),
 
+    // the dedup OUTPUT: surviving corpus after exact dedup (first doc
+    // per distinct text wins)
+    "dedup_keep_first" -> ((s, dir) =>
+      Dedup.dedupExactRows(Tables.documents(s, dir), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")),
+
     // MinHash LSH near-dups: banding tuned for j≥0.8; planted dup pairs
     // in the corpus sit at j≈0.95 with the next pair down at ≈0.04, so
     // LSH output == exact output (verified in tests + the bounded oracle)
@@ -174,6 +180,11 @@ object NorthStarQueries {
     * arithmetic matches bitwise.
     */
   def oracles: Map[String, String] = Map(
+    "dedup_keep_first" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+
     "multimodal_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
