@@ -34,4 +34,16 @@ object Writers {
       .mode("overwrite")
       .option("compression", "gzip")
       .json(path)
+
+  /** CSV sink (beyond the reference — interchange-format table stakes):
+    * header + explicit timestamp format so a read-back with the same
+    * options round-trips losslessly.
+    */
+  def csv(df: DataFrame, path: String, delimiter: String = ","): Unit =
+    df.write
+      .mode("overwrite")
+      .option("header", "true")
+      .option("delimiter", delimiter)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(path)
 }

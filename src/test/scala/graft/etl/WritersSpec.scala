@@ -34,4 +34,18 @@ class WritersSpec extends SparkSpec {
     val back = spark.read.json(out)
     assert(back.count() == events.count())
   }
+
+  test("csv round-trips with schema (header + explicit timestamp format)") {
+    val out = Files.createTempDirectory("graft_csv").toString
+    val events = Tables.events(spark, sf())
+      .select("event_id", "ts", "event_type", "value")
+    Writers.csv(events, out)
+    val back = spark.read
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .schema(events.schema)
+      .csv(out)
+    assert(back.count() == events.count())
+    assert(back.exceptAll(events).count() == 0, "values must round-trip exactly")
+  }
 }
