@@ -82,5 +82,35 @@ class StreamingFraudSpec extends SparkSpec {
     // batch minus the tail.
     assert(streamed.subsetOf(batch))
     assert(streamed.size >= batch.size - 2, s"${streamed.size} vs ${batch.size}")
+
+  }
+
+  test("AvailableNow rerun on the same checkpoint processes nothing (bookmark, T10)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    val counter = new java.util.concurrent.atomic.AtomicLong
+    def runOnce(): Unit = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.readStream
+        .schema(StreamingFraud.eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf())
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val q = StreamingFraud.fraudStream(raw, 10, 150.0)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          { counter.addAndGet(b.count()); () })
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val afterFirst = counter.get()
+    assert(afterFirst > 0, "first run must emit rows")
+    runOnce()
+    assert(counter.get() === afterFirst,
+      "second AvailableNow run with the same checkpoint must process nothing")
   }
 }
