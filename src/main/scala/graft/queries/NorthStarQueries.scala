@@ -36,6 +36,45 @@ object NorthStarQueries {
         Tables.documents(s, dir).select("doc_id", "text"), "text")
         .select("doc_id", "fp_exact", "fp_norm")),
 
+    // corpus bigram frequencies: shingle -> explode -> count -> top-20
+    // (deterministic count desc, bigram asc ordering)
+    "text_top_bigrams" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(TextAnalysis.tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+        // every occurrence counts (unlike Dedup.shingles, which
+        // dedupes within a doc for Jaccard)
+        .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)),
+
+    // TF-IDF top-3 terms per document — tf * ln(N/df), scores rounded
+    // BEFORE ranking so ulp-level ln() differences can't flip the
+    // cutoff; final per-doc top-k runs on the TopKPerKey heap operator
+    "text_tfidf_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.count().toDouble
+      val terms = docs
+        .select(col("doc_id"), explode(array_distinct(
+          TextAnalysis.tokens(col("text")))).as("term"))
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(
+          TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(df, "term")
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(lit(nDocs) / col("df")), 6).as("tfidf"))
+      graft.plans.TopKPerKey.topKPerKey(scored, Seq("doc_id"),
+        Seq("tfidf" -> true, "term" -> false), 3)
+    }),
+
     // PII masking (the redaction sibling of P3's column drop): digit-run
     // scrubbing + keep-last-4 masking, identical regex/concat trees on
     // both engines
@@ -233,6 +272,37 @@ object NorthStarQueries {
         |    + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_m < 0.1 THEN 0.2 ELSE 0.0 END,
         |    6) AS quality_score
         |FROM m""".stripMargin,
+
+    "text_top_bigrams" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), bg AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM toks WHERE len(t) >= 2
+        |)
+        |SELECT bigram, count(*) AS n FROM bg
+        |GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "text_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, term, tfidf, rank FROM (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
 
     "text_pii_mask" ->
       """SELECT o_orderkey,
