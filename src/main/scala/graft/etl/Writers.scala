@@ -35,6 +35,37 @@ object Writers {
       .option("compression", "gzip")
       .json(path)
 
+  /** Small-file compaction (lake maintenance): rewrite a parquet
+    * directory into ~`targetFileBytes` files. The streaming raw zone
+    * lands one file per micro-batch × partition (the Firehose
+    * buffering analog, S7) — compaction keeps scan planning from
+    * drowning in file metadata at 100 TB. Row-count-preserving; sorts
+    * within partitions by `sortCols` when given so min/max row-group
+    * stats stay selective (data-skipping friendly).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(path)
+    val bytes = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val repart = df.repartition(nFiles)
+    val sorted =
+      if (sortCols.nonEmpty)
+        repart.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else repart
+    val tmp = path + "__compacting"
+    sorted.write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap (same filesystem)
+    val dst = new java.io.File(path)
+    val bak = new java.io.File(path + "__old")
+    dst.renameTo(bak)
+    new java.io.File(tmp).renameTo(dst)
+    import scala.reflect.io.Directory
+    new Directory(bak).deleteRecursively()
+  }
+
   /** CSV sink (beyond the reference — interchange-format table stakes):
     * header + explicit timestamp format so a read-back with the same
     * options round-trips losslessly.

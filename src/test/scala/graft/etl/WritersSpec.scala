@@ -48,4 +48,18 @@ class WritersSpec extends SparkSpec {
     assert(back.count() == events.count())
     assert(back.exceptAll(events).count() == 0, "values must round-trip exactly")
   }
+
+  test("compact rewrites many small files into few, preserving rows") {
+    val out = Files.createTempDirectory("graft_compact").toString + "/t"
+    val events = Tables.events(spark, sf()).select("event_id", "user_id", "value")
+    events.repartition(32).write.mode("overwrite").parquet(out)
+    def nFiles = new java.io.File(out).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = nFiles
+    assert(before >= 32)
+    Writers.compact(spark, out, targetFileBytes = 1L << 30,
+      sortCols = Seq("user_id"))
+    assert(nFiles === 1, s"expected 1 file after compaction, got $nFiles")
+    assert(spark.read.parquet(out).count() === events.count())
+  }
 }
