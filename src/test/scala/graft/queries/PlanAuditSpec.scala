@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+import graft.plans.TopKPerKey
+
+/** Physical-plan invariants for representative queries — the properties
+  * that make them viable at 100 TB. A regression here (a filter that
+  * stops reaching the scan, a dim join that stops broadcasting) would
+  * still pass the value-level oracle at test scale, so it's guarded
+  * structurally.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    TopKPerKey.ensureRegistered(spark)
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+  }
+
+  test("serve_point_lookup pushes the key filter into the parquet scan") {
+    val p = plan("serve_point_lookup")
+    assert(p.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id"), p)
+  }
+
+  test("incremental_high_watermark pushes the range predicate (raw nanos)") {
+    val p = plan("incremental_high_watermark")
+    assert(p.contains("GreaterThan(ts,"), p)
+  }
+
+  test("join_broadcast_dims broadcasts both dimension tables") {
+    val p = plan("join_broadcast_dims")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("topk queries use the heap operator, never a sort+window") {
+    for (q <- Seq("topk_custom_plan", "window_top_order_per_customer")) {
+      val p = plan(q)
+      assert(p.contains("FinalTopK"), s"$q:\n$p")
+      assert(!p.contains("WindowExec"), s"$q:\n$p")
+    }
+  }
+
+  test("tpch_q1 aggregates partially before the exchange") {
+    val p = plan("tpch_q1_pricing_summary")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial + final aggregation expected\n" + p)
+  }
+
+  test("etl_stage_mapping reads only the projected columns") {
+    val p = plan("etl_stage_mapping")
+    // the stage mapping never touches `props`-unrelated payload like
+    // lineitem columns; its scan must not read more than the events schema
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.toLowerCase.contains("l_orderkey"), p)
+  }
+}
