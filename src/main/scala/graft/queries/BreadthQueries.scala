@@ -307,6 +307,21 @@ object BreadthQueries {
           unix_timestamp(col("session_window.end")).as("session_end"),
           col("n_events"), col("total_value"))),
 
+    // SCD Type-2 history: each order as a balance snapshot with
+    // [valid_from, valid_to) and an is_current flag — one window pass
+    "etl_scd2_history" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .withColumn("valid_from", unix_timestamp(col("o_orderdate")))
+        .withColumn("valid_to",
+          unix_timestamp(lead(col("o_orderdate"), 1).over(w)))
+        .withColumn("is_current", col("valid_to").isNull)
+        .drop("o_orderdate")
+    }),
+
     // batch MERGE/upsert: orders-derived changeset into customer —
     // updates (matched keys take source values) + inserts (shifted
     // keys), one full-outer join + coalesce Project
@@ -602,6 +617,14 @@ object BreadthQueries {
         |  round(cume_dist() OVER w, 6) AS cume
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)""".stripMargin,
+
+    "etl_scd2_history" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS valid_from,
+        |  CAST(floor(epoch(lead(o_orderdate, 1) OVER w)) AS BIGINT) AS valid_to,
+        |  lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     "etl_merge_upsert" ->
       """WITH spend AS (
