@@ -307,6 +307,21 @@ object BreadthQueries {
           unix_timestamp(col("session_window.end")).as("session_end"),
           col("n_events"), col("total_value"))),
 
+    // bloom-pruned join: probe side pre-filtered by a broadcast Bloom
+    // sketch of the (selective) build side before the exact join —
+    // row-identical to the plain join, shuffle ∝ selectivity
+    "join_bloom_pruned" -> ((s, dir) => {
+      val highValue = Tables.customer(s, dir)
+        .where(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_name"))
+      graft.etl.BloomPrune.prunedJoin(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value")),
+        highValue, "user_id", "c_custkey")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+    }),
+
     // SCD Type-2 history: each order as a balance snapshot with
     // [valid_from, valid_to) and an is_current flag — one window pass
     "etl_scd2_history" -> ((s, dir) => {
@@ -617,6 +632,13 @@ object BreadthQueries {
         |  round(cume_dist() OVER w, 6) AS cume
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)""".stripMargin,
+
+    "join_bloom_pruned" ->
+      """SELECT c_custkey, c_name, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE c_acctbal > 9000
+        |GROUP BY 1, 2""".stripMargin,
 
     "etl_scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
