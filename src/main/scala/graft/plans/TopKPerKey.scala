@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.IntegerType
@@ -77,8 +77,13 @@ object TopKPerKey {
                            k: Int, rankAttr: Attribute, child: SparkPlan)
       extends UnaryExecNode {
     override def output: Seq[Attribute] = child.output :+ rankAttr
+    // No keys = global top-k: every partial heap must merge in ONE task
+    // (AllTuples ⇒ single-partition exchange, same as WindowExec with an
+    // empty partitionSpec). The exchange input is already bounded to
+    // k rows per upstream partition by PartialTopKExec, so this is the
+    // cheap tree-reduce shape, not a full-data collapse.
     override def requiredChildDistribution: Seq[Distribution] =
-      if (keys.isEmpty) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
+      if (keys.isEmpty) Seq(AllTuples) else Seq(ClusteredDistribution(keys))
     override def outputPartitioning: Partitioning = child.outputPartitioning
     override protected def doExecute(): RDD[InternalRow] = {
       val (ks, ord, kk, in, out) = (keys, order, k, child.output, output)

@@ -26,6 +26,31 @@ object BreadthQueries {
 
   private def dec(c: String) = col(c).cast(DecimalType(18, 2))
 
+  /** One SQL text for agg_stats_battery, parameterized only by table
+    * name, run verbatim on BOTH Spark and DuckDB: exact DECIMAL(38,0)
+    * cents-scaled moment sums, then the closed-form stddev/var/corr/
+    * covar arithmetic in one fixed order of IEEE double ops.
+    */
+  def statsBatterySql(table: String): String =
+    s"""WITH m AS (
+       |  SELECT l_returnflag,
+       |    CAST(count(*) AS DECIMAL(38,0)) AS n,
+       |    sum(CAST(round(l_extendedprice*100) AS DECIMAL(38,0))) AS sp,
+       |    sum(CAST(round(l_extendedprice*100) AS DECIMAL(38,0)) * CAST(round(l_extendedprice*100) AS DECIMAL(38,0))) AS spp,
+       |    sum(CAST(round(l_quantity*100) AS DECIMAL(38,0))) AS sq,
+       |    sum(CAST(round(l_quantity*100) AS DECIMAL(38,0)) * CAST(round(l_quantity*100) AS DECIMAL(38,0))) AS sqq,
+       |    sum(CAST(round(l_quantity*100) AS DECIMAL(38,0)) * CAST(round(l_extendedprice*100) AS DECIMAL(38,0))) AS sqp,
+       |    sum(CAST(round(l_discount*100) AS DECIMAL(38,0))) AS sd,
+       |    sum(CAST(round(l_tax*100) AS DECIMAL(38,0))) AS st,
+       |    sum(CAST(round(l_discount*100) AS DECIMAL(38,0)) * CAST(round(l_tax*100) AS DECIMAL(38,0))) AS sdt
+       |  FROM $table GROUP BY 1)
+       |SELECT l_returnflag,
+       |  round(sqrt(CAST(n*spp - sp*sp AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) / 100, 4) + 0.0 AS sd_price,
+       |  round(CAST(n*sqq - sq*sq AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000, 4) + 0.0 AS var_qty,
+       |  round(CAST(n*sqp - sq*sp AS DOUBLE) / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*spp - sp*sp AS DOUBLE))), 6) + 0.0 AS corr_qty_price,
+       |  round(CAST(n*sdt - sd*st AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000, 6) + 0.0 AS covar_disc_tax
+       |FROM m""".stripMargin
+
   def defs: Map[String, Q] = Map(
     // broadcast join chain: fact(customer) ⋈ dim(nation) ⋈ dim(region)
     "join_broadcast_dims" -> ((s, dir) => {
@@ -208,15 +233,19 @@ object BreadthQueries {
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))),
 
-    // statistical-moment battery: stddev/variance/corr/covar per group
-    "agg_stats_battery" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
-          round(var_samp(col("l_quantity")), 4).as("var_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"))),
+    // statistical-moment battery: stddev/variance/corr/covar per group.
+    // Built from EXACT integer moment sums (2dp columns → cents as
+    // DECIMAL(38,0)) and closed-form arithmetic, textually identical to
+    // the DuckDB oracle, so both engines run the same IEEE-754 double
+    // ops in the same order → bit-identical results (Spark's and
+    // DuckDB's native streaming-moment formulas differ in last ulps and
+    // don't converge under rounding). `+ 0.0` normalizes -0.0.
+    // Map-side partial sums of integers — same shuffle shape as any
+    // hash agg; exactness costs nothing at scale.
+    "agg_stats_battery" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_stats_v")
+      s.sql(statsBatterySql("lineitem_stats_v"))
+    }),
 
     // explicit GROUPING SETS (the general form rollup/cube sugar over)
     "agg_grouping_sets" -> ((s, dir) => {
@@ -546,13 +575,7 @@ object BreadthQueries {
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |FROM lineitem GROUP BY 1""".stripMargin,
 
-    "agg_stats_battery" ->
-      """SELECT l_returnflag,
-        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
-        |  round(var_samp(l_quantity), 4) AS var_qty,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-        |  round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax
-        |FROM lineitem GROUP BY 1""".stripMargin,
+    "agg_stats_battery" -> statsBatterySql("lineitem"),
 
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

@@ -38,6 +38,25 @@ class TopKRewriteSpec extends SparkSpec {
     assert(rewritten === expected)
   }
 
+  test("GLOBAL top-k (empty partitionSpec) is correct over multi-partition input") {
+    TopKPerKey.ensureRegistered(spark)
+    import spark.implicits._
+    // 4 partitions, values interleaved so each partition's local top-3
+    // differs from the global top-3 — a per-partition bug would emit 12 rows
+    val df = (1 to 1000).map(i => (i.toLong, (i * 37 % 1000).toDouble))
+      .toDF("id", "score").repartition(4)
+    val w = Window.orderBy(col("score").desc, col("id").asc)
+    val got = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+    val physical = got.queryExecution.executedPlan.toString
+    assert(physical.contains("FinalTopK"), physical)
+    val rows = got.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(rows.length === 3, rows.mkString(","))
+    val ref = (1 to 1000).map(i => (i.toLong, (i * 37 % 1000).toDouble))
+    val expected = ref.sortBy { case (id, s) => (-s, id) }.take(3)
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+    assert(rows.sortBy(_._3).toSeq === expected.toSeq)
+  }
+
   test("rank/dense_rank and unbounded filters are NOT rewritten") {
     TopKPerKey.ensureRegistered(spark)
     val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
