@@ -49,6 +49,52 @@ object ScaleCheck {
     time("stateful_spend_batch") {
       graft.streaming.StatefulSpend.batchSpendAlerts(ev, 200.0).count()
     }
+    // SRP-LSH scale probe: embeddings ×32 with per-replica deterministic
+    // sign flips (norm-preserving, decorrelates replicas so buckets stay
+    // uniform and near-dup pairs stay ~within-replica). Times 1× vs 32×
+    // in-run: wide-band LSH should grow ~linearly, a narrow band key
+    // (2-bit) would grow ~quadratically (×1000).
+    locally {
+      val emb0 = graft.model.Tables.embeddings(spark, sf)
+      val embBig = emb0.crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * when(pmod(xxhash64(col("rep"), i), lit(2)) === 0, lit(1.0f))
+              .otherwise(lit(-1.0f))).as("embedding"),
+          col("label"))
+      // 32 files: a 64 k-row parquet is one input split, which would
+      // serialize the whole signature+join pipeline into a single task —
+      // the probe must measure the algorithm, not an input-parallelism
+      // artifact (at real scale the splits come for free)
+      embBig.repartition(32).write.mode("overwrite")
+        .parquet("/tmp/embeddings_x32.parquet")
+      val embX = spark.read.parquet("/tmp/embeddings_x32.parquet")
+      println(s"emb rows=${embX.count()}")
+      // size banding per-corpus via srpPlan (the 100 TB operating rule);
+      // s0=0.8 = the realistic near-dup regime. Expected growth ≈
+      // n^(1+ρ) with small ρ — materially subquadratic; fixed narrow
+      // keys would be ×1000 at ×32.
+      def planFor(n: Long) = {
+        val (bits, bands) = graft.similarity.Similarity.srpPlan(n, 0.8, 0.9,
+          targetBucket = 8)
+        println(s"srpPlan(n=$n): bits=$bits bands=$bands")
+        (bits * bands, bands)
+      }
+      val (p1, b1) = planFor(emb0.count())
+      time("lsh_neardups_x1") {
+        graft.similarity.Similarity.cosineNearDups(emb0, "vec_id",
+          "embedding", 0.8, numPlanes = p1, bands = b1).count()
+      }
+      val (p32, b32) = planFor(embX.count())
+      time("lsh_neardups_x32") {
+        graft.similarity.Similarity.cosineNearDups(embX, "vec_id",
+          "embedding", 0.8, numPlanes = p32, bands = b32).count()
+      }
+      time("lsh_topk_x32") {
+        graft.similarity.Similarity.lshTopK(
+          embX.where(col("vec_id") < 8), embX, "vec_id", "embedding", 10).count()
+      }
+    }
     time("range_join_10m") {
       val base = ev.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
       val iv = base.select(col("event_id"), col("user_id").as("ikey"),

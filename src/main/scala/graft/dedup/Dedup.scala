@@ -156,9 +156,20 @@ object Dedup {
     * `bit_count(xor) <= maxHamming`. Tradeoff: larger h → narrower
     * chunks → bigger buckets (the within-bucket pass is quadratic), so
     * keep h modest (≤ 7 ⇒ 8-bit chunks minimum).
+    *
+    * Hot-bucket guard: common chunk values (all-zero bytes from empty /
+    * templated docs) can concentrate a skewed corpus into one bucket and
+    * go quadratic. Buckets over `maxBucketRows` are dropped from
+    * candidate generation, bounding the join to n·maxBucketRows rows per
+    * chunk — linear in n. A true near-dup pair is lost only if ALL h+1
+    * of its shared-chunk buckets overflow; identical docs (the usual
+    * cause of hot buckets) are exact-dup territory ([[dedupExact]]),
+    * not SimHash's. Default 65536 is inert below ~16M docs per chunk
+    * value; size it ≈ corpus/1000 at larger scales.
     */
   def simhashCandidatePairs(df: DataFrame, idCol: String, simCol: String,
-                            maxHamming: Int = 7): DataFrame = {
+                            maxHamming: Int = 7,
+                            maxBucketRows: Long = 65536L): DataFrame = {
     val numChunks = maxHamming + 1
     // chunk ci covers bits [lo, hi): boundaries spread evenly over 64
     val chunks = array((0 until numChunks).map { ci =>
@@ -170,9 +181,18 @@ object Dedup {
     }: _*)
     val exploded = df.select(col(idCol), col(simCol), explode(chunks).as("c"))
       .select(col(idCol), col(simCol), col("c.chunk_id"), col("c.chunk"))
-    val l = exploded.select(col("chunk_id"), col("chunk"),
+    // bucket-size guard: a window count over the join key (shares the
+    // join's hash partitioning) filters overflowing buckets before any
+    // pair is generated
+    val bounded = exploded
+      .withColumn("__bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("chunk_id"), col("chunk"))))
+      .where(col("__bucket_n") <= maxBucketRows)
+      .drop("__bucket_n")
+    val l = bounded.select(col("chunk_id"), col("chunk"),
       col(idCol).as("id_a"), col(simCol).as("__sim_a"))
-    val r = exploded.select(col("chunk_id"), col("chunk"),
+    val r = bounded.select(col("chunk_id"), col("chunk"),
       col(idCol).as("id_b"), col(simCol).as("__sim_b"))
     l.join(r, Seq("chunk_id", "chunk"))
       .where(col("id_a") < col("id_b"))
@@ -184,10 +204,11 @@ object Dedup {
 
   /** SimHash near-dup pipeline over a text column. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 7): DataFrame = {
+                      maxHamming: Int = 7,
+                      maxBucketRows: Long = 65536L): DataFrame = {
     val signed = df.select(col(idCol),
       simhash64(TextAnalysis.tokens(col(textCol))).as("__sim"))
-    simhashCandidatePairs(signed, idCol, "__sim", maxHamming)
+    simhashCandidatePairs(signed, idCol, "__sim", maxHamming, maxBucketRows)
   }
 
   /** Brute-force exact n-gram Jaccard over all pairs of `df` — O(n²),

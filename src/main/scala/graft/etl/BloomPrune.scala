@@ -41,6 +41,9 @@ object BloomPrune {
       else probe.where(bridge.column(BloomFilterMightContain(
         Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
         bridge.expression(xxhash64(col(probeKey))))))
-    pruned.join(build, col(probeKey) === col(buildKey))
+    // alias both sides: with equal key names an unqualified
+    // col(probeKey) === col(buildKey) is AMBIGUOUS_REFERENCE
+    pruned.alias("__probe").join(build.alias("__build"),
+      col(s"__probe.$probeKey") === col(s"__build.$buildKey"))
   }
 }

@@ -42,28 +42,55 @@ object Writers {
     * drowning in file metadata at 100 TB. Row-count-preserving; sorts
     * within partitions by `sortCols` when given so min/max row-group
     * stats stay selective (data-skipping friendly).
+    *
+    * Works through the Hadoop `FileSystem` API (any supported store,
+    * not just local disk): sizes the tree recursively, detects a
+    * Hive-partitioned layout (partition columns = dataframe columns
+    * absent from the physical files) and re-applies `partitionBy` on
+    * rewrite. The swap is two renames with a crash window; a crashed
+    * run leaves `<path>__old` + no `<path>`, which the next call
+    * recovers by renaming `__old` back before compacting.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L << 20,
               sortCols: Seq[String] = Nil): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val dst = new HPath(path)
+    val fs: FileSystem = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    val bak = new HPath(path + "__old")
+    // crash recovery: a previous run died between the two renames
+    if (!fs.exists(dst) && fs.exists(bak)) fs.rename(bak, dst)
     val df = spark.read.parquet(path)
-    val bytes = new java.io.File(path).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    val bytes = fs.getContentSummary(dst).getLength
+    // partition cols don't exist in the physical files — diff against
+    // one leaf file's footer schema
+    val leaves = fs.listFiles(dst, true)
+    var leaf: Option[HPath] = None
+    while (leaves.hasNext && leaf.isEmpty) {
+      val f = leaves.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        leaf = Some(f.getPath)
+    }
+    val fileCols = leaf.map(p => spark.read.parquet(p.toString).columns.toSet)
+      .getOrElse(df.columns.toSet)
+    val partCols = df.columns.filterNot(fileCols).toSeq
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val repart = df.repartition(nFiles)
+    import org.apache.spark.sql.functions.col
+    val repart =
+      if (partCols.nonEmpty) df.repartition(nFiles, partCols.map(col): _*)
+      else df.repartition(nFiles)
     val sorted =
-      if (sortCols.nonEmpty)
-        repart.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols.map(col): _*)
       else repart
-    val tmp = path + "__compacting"
-    sorted.write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap (same filesystem)
-    val dst = new java.io.File(path)
-    val bak = new java.io.File(path + "__old")
-    dst.renameTo(bak)
-    new java.io.File(tmp).renameTo(dst)
-    import scala.reflect.io.Directory
-    new Directory(bak).deleteRecursively()
+    val tmp = new HPath(path + "__compacting")
+    val writer = sorted.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(tmp.toString)
+    // two-rename swap (same filesystem); crash window recovered above
+    fs.delete(bak, true)
+    fs.rename(dst, bak)
+    fs.rename(tmp, dst)
+    fs.delete(bak, true)
   }
 
   /** CSV sink (beyond the reference — interchange-format table stakes):

@@ -25,35 +25,43 @@ object AsOfJoin {
     * @param rightPayload right columns to carry onto matched left rows
     * Output: all left columns + rightPayload; left rows with no earlier
     * right row are dropped (inner as-of semantics, like DuckDB).
+    *
+    * The payload travels as ONE struct column carried by a single
+    * `last(ignoreNulls)`: all payload fields always come from the same
+    * right row (carrying columns independently could mix rows when
+    * payload values are null), and the match test is the struct's own
+    * nullness — null-safe even when every payload field of the matched
+    * row is null.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
                rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(right.schema.fieldIndex(c))))
     val l = left
       .withColumn("__k", col(leftKey))
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select(Seq(col("__k"), col("__ts"), col("__side")) ++
-        leftCols.map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.map(col) :+
+        lit(null).cast(payloadType).as("__rp"): _*)
     val r = right
       .withColumn("__k", col(rightKey))
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select(Seq(col("__k"), col("__ts"), col("__side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(col): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(col): _*).as("__rp"): _*)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = l.unionByName(r)
-      .select(col("*") +: rightPayload.map(c =>
-        last(col(c), ignoreNulls = true).over(w).as(s"__r_$c")): _*)
+      .select(col("*"), last(col("__rp"), ignoreNulls = true).over(w).as("__rpc"))
     carried
-      .where(col("__side") === 1 && col(s"__r_${rightPayload.head}").isNotNull)
+      .where(col("__side") === 1 && col("__rpc").isNotNull)
       .select(leftCols.map(col) ++
-        rightPayload.map(c => col(s"__r_$c").as(c)): _*)
+        rightPayload.map(c => col("__rpc").getField(c).as(c)): _*)
   }
 }

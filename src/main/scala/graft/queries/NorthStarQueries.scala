@@ -135,10 +135,18 @@ object NorthStarQueries {
         "doc_id", "text", shingleSize = 3, threshold = 0.8)),
 
     // SimHash near-dups (hamming ≤ 7 on 64-bit fingerprints; the corpus'
-    // planted dup pairs measure hamming 0-7)
-    "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 7)),
+    // planted dup pairs measure hamming 0-7). The fingerprints are
+    // materialized to parquet so DuckDB can verify the PAIR step exactly
+    // (bit_count(xor) over all pairs) — the fingerprint expression
+    // itself is covered by DedupSpec
+    "dedup_simhash" -> ((s, dir) => {
+      val fpPath = "/tmp/graft_oracle_aux/simhash_fp"
+      Tables.documents(s, dir).select(col("doc_id"),
+        Dedup.simhash64(graft.text.TextAnalysis.tokens(col("text"))).as("fp"))
+        .write.mode("overwrite").parquet(fpPath)
+      Dedup.simhashCandidatePairs(s.read.parquet(fpPath), "doc_id", "fp",
+        maxHamming = 7)
+    }),
 
     // ---- similarity search ----
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -147,11 +155,13 @@ object NorthStarQueries {
         emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", k = 10)
     }),
 
+    // 128 planes = 16 bands × 8 bits + query-side multi-probe: band-key
+    // space 256 keeps buckets ~n/256 (subquadratic candidates); see
+    // Similarity.srpPlan for the sizing rule at other corpus scales
     "sim_topk_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(
-        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
-        k = 10, numPlanes = 16, bands = 8)
+        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", k = 10)
     }),
 
     // per-label embedding centroid via a typed Aggregator (UDAF
@@ -179,10 +189,11 @@ object NorthStarQueries {
     }),
 
     // embedding near-dup pairs (cosine ≥ 0.4 — the corpus' top pairs sit
-    // at ≈0.45; nothing is above 0.5)
+    // at ≈0.45; nothing is above 0.5). Wide bands + one-side multi-probe,
+    // same scale shape as sim_topk_lsh
     "sim_cosine_neardups" -> ((s, dir) =>
       Similarity.cosineNearDups(Tables.embeddings(s, dir), "vec_id",
-        "embedding", threshold = 0.4, numPlanes = 16, bands = 8)),
+        "embedding", threshold = 0.4)),
 
     // ---- multimodal ----
     // metadata pass: payload wrapped, width/height/type derived — the
@@ -219,6 +230,16 @@ object NorthStarQueries {
     * arithmetic matches bitwise.
     */
   def oracles: Map[String, String] = Map(
+    // pair step over the materialized fingerprints (written by the query
+    // itself immediately before the check reads it)
+    "dedup_simhash" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM read_parquet('/tmp/graft_oracle_aux/simhash_fp/*.parquet') a
+        |JOIN read_parquet('/tmp/graft_oracle_aux/simhash_fp/*.parquet') b
+        |  ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 7""".stripMargin,
+
     "dedup_keep_first" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

@@ -86,14 +86,37 @@ object ReferenceQueries {
 
     // S11 + F9-F11 + P1-P3 + A3: the reference's own wire→stage→spec
     // pipeline end-to-end on generated transactions (deterministic seed;
-    // row count scales with the harness dir so bench covers it). No SQL
-    // oracle — the generator's hash-derived draws aren't expressible in
-    // DuckDB; invariants are asserted in TransactionGenSpec.
+    // row count scales with the harness dir so bench covers it). The
+    // WIRE table is materialized to parquet (the raw-zone landing it
+    // models anyway), so the stage+spec half is fully DuckDB-checkable —
+    // the generator draws themselves are covered by TransactionGenSpec.
     "pipeline_wire_to_spec" -> ((s, dir) => {
       val n = if (dir.contains("0.1")) 100000L else 10000L
+      val wirePath = "/tmp/graft_oracle_aux/wire"
+      graft.gen.TransactionGen.transactions(s, n)
+        .write.mode("overwrite").parquet(wirePath)
       graft.gen.TransactionGen.spec(
-        graft.gen.TransactionGen.stage(
-          graft.gen.TransactionGen.transactions(s, n)))
+        graft.gen.TransactionGen.stage(s.read.parquet(wirePath)))
+        .withColumn("sum_valor", round(col("sum_valor"), 2))
+    }),
+
+    // S3/crawler analog (historical.py:216,323-337 + stage.py:20-22):
+    // raw-zone gzip NDJSON landed by the firehose writer, read BACK with
+    // schema inference (no user-supplied schema — the crawler's job),
+    // then stage-mapped: casts, partition-column derivation, date
+    // derivation. ts travels as epoch micros so neither engine's
+    // timestamp inference is in play.
+    "raw_json_to_stage" -> ((s, dir) => {
+      val rawPath = "/tmp/graft_oracle_aux/raw_events_json"
+      graft.etl.Writers.gzipJson(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us")),
+        rawPath)
+      val inferred = s.read.json(rawPath) // schema inference = crawler
+      inferred.select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value_2dp"),
+        (col("user_id") % 16).cast("integer").as("k_bucket"),
+        to_date(timestamp_micros(col("ts_us"))).as("event_date"))
     })
   )
 
@@ -144,6 +167,27 @@ object ReferenceQueries {
       """SELECT event_id, user_id, value,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
         |FROM events WHERE ts > to_timestamp(1705276800)""".stripMargin,
+
+    // stage+spec over the materialized wire table (struct unnest, string
+    // →double casts, PII-free 10-dim rollup) — written by the query
+    // immediately before the check reads it
+    "pipeline_wire_to_spec" ->
+      """SELECT w.bandeira, w.numero_cartao, w.exp, w.tipo_cartao,
+        |  w.cor_cartao, w.tipo_transacao,
+        |  w.localizacao.cidade AS cidade,
+        |  CAST(w.localizacao.lat AS DOUBLE) AS latitude,
+        |  CAST(w.localizacao.lng AS DOUBLE) AS longitude,
+        |  w.localizacao.estado AS estado,
+        |  round(sum(CAST(w.valor AS DOUBLE)), 2) AS sum_valor
+        |FROM read_parquet('/tmp/graft_oracle_aux/wire/*.parquet') w
+        |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10""".stripMargin,
+
+    "raw_json_to_stage" ->
+      """SELECT event_id, user_id, event_type,
+        |  round(value, 2) AS value_2dp,
+        |  CAST(user_id % 16 AS INTEGER) AS k_bucket,
+        |  CAST(make_timestamp(ts_us) AS DATE) AS event_date
+        |FROM read_json_auto('/tmp/graft_oracle_aux/raw_events_json/*.json.gz')""".stripMargin,
 
     "stateful_spend_alert" ->
       """WITH r AS (

@@ -85,22 +85,79 @@ object Similarity {
   def srpSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
     VectorExprs.srp_signature(vec, planes)
 
-  /** Split an SRP signature into bands for bucketing. */
-  private def bandCols(sig: Column, bands: Int, bitsPerBand: Int): Column =
+  /** Per-band SRP keys: band `bi` is its own `bitsPerBand`-bit signature
+    * over a disjoint plane slice (no packing into one long, so any
+    * bands × bits combination works). One struct per band; all bands
+    * codegen in a single Project.
+    */
+  private def bandCols(vec: Column, planes: Seq[Seq[Double]], bands: Int,
+                       bitsPerBand: Int): Column =
     array((0 until bands).map { bi =>
       struct(lit(bi).as("band_id"),
-        shiftright(sig, bi * bitsPerBand)
-          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("band_key"))
+        srpSignature(vec,
+          planes.slice(bi * bitsPerBand, (bi + 1) * bitsPerBand)).as("band_key"))
     }: _*)
+
+  /** Multi-probe: a band key plus its `bits` Hamming-1 neighbors. Probing
+    * adjacent buckets on ONE join side trades a (1+bits)× fan-out of that
+    * side for a large recall boost — the standard way to keep band keys
+    * wide (big key space ⇒ small buckets ⇒ subquadratic candidates) while
+    * still catching low-similarity neighbors that flip one bit.
+    */
+  private def probeKeys(key: Column, bits: Int): Column =
+    array(key +: (0 until bits).map(j => key.bitwiseXOR(lit(1L << j))): _*)
+
+  /** Parameter rule for SRP banding at a given corpus size (the knob that
+    * keeps candidate generation subquadratic at 100 TB):
+    *  - `bits` so the expected bucket COLLISIONS stay ~`targetBucket`
+    *    per row. Crucial subtlety: random pairs in a real corpus are not
+    *    orthogonal — at background similarity `bgSim` a random pair
+    *    agrees on a bit with probability pBg = 1 − acos(bgSim)/π > ½,
+    *    so collisions per row per band are n·pBg^bits, NOT n/2^bits.
+    *    Sizing against ½ underestimates candidate volume exponentially.
+    *    bits = ln(n/targetBucket) / ln(1/pBg), floor 8;
+    *  - `bands` from the Charikar S-curve so a pair at design similarity
+    *    `s0` is caught with ≥`recall` probability:
+    *    pBand = p^bits (+ bits·p^(bits-1)·(1-p) with Hamming-1
+    *    multi-probe), p = 1 − acos(s0)/π,
+    *    bands = ln(1−recall)/ln(1−pBand).
+    *
+    * Total candidate work scales as n^(1+ρ), ρ = ln(1/p)/ln(1/pBg) —
+    * the standard LSH exponent. ρ → 0 (near-linear) when dups are much
+    * more similar than background; ρ → 1 (quadratic) as s0 approaches
+    * bgSim, where no hashing family can help.
+    *
+    * Multi-probe pays only when ONE join side is small (top-k queries):
+    * probing fans that side out ×(1+bits) but divides `bands` by ~5. On
+    * a SELF-join both sides are the corpus, so the fan-out hits the full
+    * candidate volume and extra bands are strictly cheaper — measured
+    * ×3 on the ScaleCheck ×32 probe.
+    */
+  def srpPlan(n: Long, s0: Double, recall: Double,
+              targetBucket: Int = 64, multiProbe: Boolean = false,
+              bgSim: Double = 0.3): (Int, Int) = {
+    val pBg = 1.0 - math.acos(bgSim) / math.Pi
+    val bits = math.min(63, math.max(8,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(1.0 / pBg)).toInt))
+    val p = 1.0 - math.acos(s0) / math.Pi
+    val pBand = math.pow(p, bits) +
+      (if (multiProbe) bits * math.pow(p, bits - 1) * (1.0 - p) else 0.0)
+    val bands = math.max(1,
+      math.ceil(math.log(1.0 - recall) / math.log(1.0 - pBand)).toInt)
+    (bits, bands)
+  }
 
   /** LSH-bucketed approximate top-k: queries and corpus are signed with
     * the same hyperplanes; candidates = corpus vectors sharing ≥1 band
-    * with the query; exact cosine re-rank within candidates. Recall
-    * depends on bands×bits vs target similarity; measured against
+    * with the query (queries multi-probe Hamming-1 buckets); exact cosine
+    * re-rank within candidates. Defaults 128 planes = 16 bands × 8 bits:
+    * band-key space 256, so each band join touches ~n/256-row buckets —
+    * candidate volume Θ(n·bands·(1+bits)/2^bits), never Θ(n²). Size via
+    * [[srpPlan]] for other corpus scales. Recall measured against
     * [[bruteForceTopK]] in the test suite.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, numPlanes: Int = 16, bands: Int = 4,
+              vecCol: String, k: Int, numPlanes: Int = 128, bands: Int = 16,
               seed: Long = 42L): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     val bitsPerBand = numPlanes / bands
@@ -113,18 +170,18 @@ object Similarity {
     def signed(df: DataFrame, id: String, vecAs: String, normAs: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vecAs),
         l2Norm(col(vecCol)).as(normAs),
-        srpSignature(col(vecCol), planes).as("__sig"))
+        bandCols(col(vecCol), planes, bands, bitsPerBand).as("__bands"))
 
     // candidate generation carries ONLY ids through the band join and the
     // distinct — the vector payload re-joins after dedup, so the shuffle
-    // moves (long, long) pairs, not 64-float arrays
+    // moves (long, long) pairs, not 64-float arrays. Multi-probe fans out
+    // the QUERY side only (|Q| ≪ |corpus|).
     val q = signed(queries, "query_id", "__qv", "__qn")
     val c = signed(corpus, "neighbor_id", "__cv", "__cn")
-    val qBands = q.select(col("query_id"),
-      explode(bandCols(col("__sig"), bands, bitsPerBand)).as("b"))
-      .select(col("query_id"), col("b.band_id"), col("b.band_key"))
-    val cBands = c.select(col("neighbor_id"),
-      explode(bandCols(col("__sig"), bands, bitsPerBand)).as("b"))
+    val qBands = q.select(col("query_id"), explode(col("__bands")).as("b"))
+      .select(col("query_id"), col("b.band_id"),
+        explode(probeKeys(col("b.band_key"), bitsPerBand)).as("band_key"))
+    val cBands = c.select(col("neighbor_id"), explode(col("__bands")).as("b"))
       .select(col("neighbor_id"), col("b.band_id"), col("b.band_key"))
 
     val candidatePairs = qBands.join(cBands, Seq("band_id", "band_key"))
@@ -146,20 +203,40 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: corpus self-match with cosine ≥
-    * threshold, via SRP banding (no quadratic pass).
+    * threshold, via SRP banding (no quadratic pass). Wide 8-bit band
+    * keys keep buckets ~n·pBg^bits; NO multi-probe here — on a
+    * self-join the probe fan-out multiplies the whole candidate volume,
+    * so recall comes from more bands instead (64 bands ⇒ S-curve recall
+    * ≈0.87 at s=0.45, ≈0.80 at s=0.4). Size via [[srpPlan]]
+    * (multiProbe=false) for other corpus scales / thresholds.
+    *
+    * Verification is two-stage so candidate pairs never shuffle full
+    * vectors twice: candidates first join a 126-bit SRP SKETCH (two
+    * longs, 16 B — vs 512 B of raw floats), and only pairs whose
+    * sketch-estimated angle could clear `threshold` (mismatch ≤ mean +
+    * 3σ of a true pair's Binomial) reach the exact cosine re-rank. At a
+    * high threshold the sketch rejects ≈99% of background candidates;
+    * at thresholds near the background similarity it passes ~everything
+    * and costs only the 16 B joins.
     */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, numPlanes: Int = 16, bands: Int = 8,
+                     threshold: Double, numPlanes: Int = 512, bands: Int = 64,
                      seed: Long = 42L): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     val bitsPerBand = numPlanes / bands
     val dim = 64
     val planes = hyperplanes(numPlanes, dim, seed)
+    // sketch planes drawn independently of the banding planes so the
+    // mismatch count is an unbiased angle estimator on candidate pairs
+    val sketchPlanes = hyperplanes(126, dim, seed + 1)
     val signed = corpus.select(col(idCol), col(vecCol).as("__v"),
-      l2Norm(col(vecCol)).as("__n"), srpSignature(col(vecCol), planes).as("__sig"))
+      l2Norm(col(vecCol)).as("__n"),
+      srpSignature(col(vecCol), sketchPlanes.slice(0, 63)).as("__sk0"),
+      srpSignature(col(vecCol), sketchPlanes.slice(63, 126)).as("__sk1"),
+      bandCols(col(vecCol), planes, bands, bitsPerBand).as("__bands"))
     // id-only band join + distinct, then re-join the vectors (see lshTopK)
     val exploded = signed
-      .select(col(idCol), explode(bandCols(col("__sig"), bands, bitsPerBand)).as("b"))
+      .select(col(idCol), explode(col("__bands")).as("b"))
       .select(col(idCol), col("b.band_id"), col("b.band_key"))
     val l = exploded.select(col("band_id"), col("band_key"), col(idCol).as("id_a"))
     val r = exploded.select(col("band_id"), col("band_key"), col(idCol).as("id_b"))
@@ -167,7 +244,22 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    pairs
+    // stage 1: sketch filter. A true pair at `threshold` mismatches a
+    // sketch bit w.p. f = acos(threshold)/π; admit up to mean + 3σ
+    val f = math.acos(threshold) / math.Pi
+    val maxMismatch = math.min(126, math.ceil(
+      126 * f + 3.0 * math.sqrt(126 * f * (1 - f))).toInt)
+    val sk = signed.select(col(idCol), col("__sk0"), col("__sk1"))
+    val sketched = pairs
+      .join(sk.select(col(idCol).as("id_a"), col("__sk0").as("__a0"),
+        col("__sk1").as("__a1")), "id_a")
+      .join(sk.select(col(idCol).as("id_b"), col("__sk0").as("__b0"),
+        col("__sk1").as("__b1")), "id_b")
+      .where((bit_count(col("__a0").bitwiseXOR(col("__b0"))) +
+        bit_count(col("__a1").bitwiseXOR(col("__b1")))) <= maxMismatch)
+      .select("id_a", "id_b")
+    // stage 2: exact cosine on the sketch survivors only
+    sketched
       .join(signed.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na")), "id_a")
       .join(signed.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")), "id_b")
       .withColumn("score", cosineWithNorms(dot(col("__va"), col("__vb")),
@@ -182,34 +274,54 @@ object Similarity {
     * probes only its `nprobe` nearest cells and exact-reranks the
     * vectors in those cells.
     *
-    * Centroids here are a deterministic sample (the `numCells`
-    * lowest-id corpus vectors) — a k-means trainer would slot into the
-    * same plumbing, but sampled centroids keep the operator seed-free
-    * and oracle-reproducible. The centroid table is tiny model state:
-    * collected once on the driver and inlined as literal arrays, so
+    * Centroid training is deterministic and seed-free: a hash-stratified
+    * init (one pseudo-random row per `xxhash64(id) mod numCells` stratum
+    * — spread across the corpus, unlike a lowest-id prefix which can be
+    * arbitrarily clustered) followed by ONE Lloyd refinement (cell means
+    * via [[graft.functions.VectorAgg]], rounded to 6 dp so partial-sum
+    * order can't leak into the model). The centroid table is tiny model
+    * state: collected on the driver and inlined as literal arrays, so
     * cell assignment is a map-only Project over the corpus (no join, no
-    * shuffle). At 100 TB the only shuffle is the probe⋈cell equi-join,
-    * whose right side carries ~|corpus|·nprobe/numCells rows per query,
-    * and the final per-query top-k runs on [[graft.plans.TopKPerKey]]
-    * (bounded heaps, no sort).
+    * shuffle). Training cost = 2 extra corpus passes, both map-side
+    * partial-aggregated. At 100 TB the only shuffle is the probe⋈cell
+    * equi-join, whose right side carries ~|corpus|·nprobe/numCells rows
+    * per query, and the final per-query top-k runs on
+    * [[graft.plans.TopKPerKey]] (bounded heaps, no sort).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16,
               nprobe: Int = 4): DataFrame = {
+    def withNorm(v: Seq[Float]): (Seq[Float], Double) =
+      (v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+    // init: hash-stratified deterministic sample, one row per stratum
+    val pickW = Window.partitionBy(col("__stratum"))
+      .orderBy(col("__pick"), col(idCol))
+    val init: Array[(Seq[Float], Double)] = corpus
+      .select(col(idCol), col(vecCol),
+        pmod(xxhash64(col(idCol)), lit(numCells)).as("__stratum"),
+        xxhash64(col(idCol), lit(7)).as("__pick"))
+      .withColumn("__rn", row_number().over(pickW))
+      .where(col("__rn") === 1)
+      .select(col(vecCol)).collect().map(r => withNorm(r.getSeq[Float](0)))
+    // one Lloyd round: assign to nearest init centroid, per-cell mean
+    def simsFor(cents: Array[(Seq[Float], Double)])(vec: Column): Column =
+      array(cents.zipWithIndex.map { case ((cv, cn), i) =>
+        struct((dot(vec, array(cv.map(lit): _*)) / lit(cn)).as("sim"),
+          lit(i).as("cell"))
+      }: _*)
+    val mean = graft.functions.VectorAgg.vecMean(init.headOption
+      .map(_._1.length).getOrElse(64))
     val centroids: Array[(Seq[Float], Double)] = corpus
-      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(numCells)
-      .collect().map { r =>
-        val v = r.getSeq[Float](1)
-        (v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
-      }
+      .select(col(vecCol).as("__v"),
+        array_max(simsFor(init)(col(vecCol))).getField("cell").as("cell"))
+      .groupBy(col("cell")).agg(mean(col("__v")).as("m"))
+      .collect()
+      .map(r => withNorm(r.getSeq[Double](1)
+        .map(x => math.rint(x * 1e6).toFloat / 1e6f)))
     // per-row array of (similarity-to-centroid, cell-index) structs; the
     // row's own norm is a positive constant across the comparison so
     // dot/centroidNorm ranks identically to full cosine
-    def cellSims(vec: Column): Column = array(centroids.zipWithIndex.map {
-      case ((cv, cn), i) =>
-        struct((dot(vec, array(cv.map(lit): _*)) / lit(cn)).as("sim"),
-          lit(i).as("cell"))
-    }: _*)
+    def cellSims(vec: Column): Column = simsFor(centroids)(vec)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       l2Norm(col(vecCol)).as("__cn"),

@@ -74,4 +74,28 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.simhashNearDups(df, "id", "t", maxHamming = 0).collect()
     assert(out.length == 1 && out.head.getInt(2) == 0)
   }
+
+  test("simhash hot-bucket guard bounds a skewed corpus (many identical docs)") {
+    // 2000 identical docs → one fingerprint → every (chunk_id, chunk)
+    // bucket holds all 2000 rows → ungated candidates would be
+    // 2000²/2 ≈ 2M pairs (quadratic). The guard drops overflowing
+    // buckets; two distinct near-dup docs in their own buckets survive.
+    val skewed = (1L to 2000L).map(i => (i, "the same short template text"))
+      .toDF("id", "t")
+      .union(Seq((9001L, "zebra quartz jumble vortex nimbus krypton"),
+        (9002L, "zebra quartz jumble vortex nimbus krypton")).toDF("id", "t"))
+    val gated = Dedup.simhashNearDups(skewed, "id", "t", maxHamming = 7,
+      maxBucketRows = 100)
+    val rows = gated.collect()
+    // the hot bucket is gone: no pair of the 2000 identical docs remains
+    assert(!rows.exists(r => r.getLong(0) <= 2000L && r.getLong(1) <= 2000L),
+      s"hot-bucket pairs leaked: ${rows.length}")
+    // the isolated near-dup pair survives the guard
+    assert(rows.exists(r => r.getLong(0) == 9001L && r.getLong(1) == 9002L),
+      "guard must not drop small buckets")
+    // inert default: same corpus, default cap → identical-doc pairs found
+    val ungated = Dedup.simhashNearDups(skewed.where($"id" <= 50), "id", "t",
+      maxHamming = 7)
+    assert(ungated.where($"id_a" <= 50 && $"id_b" <= 50).count() == 50L * 49 / 2)
+  }
 }

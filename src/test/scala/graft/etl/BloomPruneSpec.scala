@@ -19,6 +19,16 @@ class BloomPruneSpec extends SparkSpec {
     assert(plain.exceptAll(pruned).count() === 0)
   }
 
+  test("prunedJoin works when probe and build key columns share a name") {
+    import spark.implicits._
+    val probe = Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("k", "pv")
+    val build = Seq((2L, "b2"), (3L, "b3"), (4L, "b4")).toDF("k", "bv")
+    val out = BloomPrune.prunedJoin(probe, build, "k", "k")
+    assert(out.select("pv", "bv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("p2", "b2"), ("p3", "b3")))
+  }
+
   test("the bloom filter actually prunes most non-matching probe rows") {
     import spark.implicits._
     val probe = (1L to 10000L).map(i => (i, i)).toDF("pid", "k")

@@ -29,4 +29,24 @@ class UpsertSpec extends SparkSpec {
     assert(rows(1L) === (("a2", Some("X"), 7L)))
     assert(rows(2L) === (("b", None, 8L)))
   }
+
+  test("merge: duplicate source keys fail (SQL MERGE multiple-match semantics)") {
+    val target = Seq((1L, "a")).toDF("k", "name")
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("k", "name")
+    val e = intercept[Exception] {
+      Upsert.merge(target, dup, "k").collect()
+    }
+    assert(e.getMessage.contains("duplicate source key") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate source key")),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("merge: latestBy keeps the max-version source row per key") {
+    val target = Seq((1L, "a", 0L)).toDF("k", "name", "ver")
+    val src = Seq((1L, "v1", 1L), (1L, "v3", 3L), (1L, "v2", 2L),
+      (2L, "new", 9L)).toDF("k", "name", "ver")
+    val out = Upsert.merge(target, src, "k", latestBy = Some("ver")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out === Map(1L -> (("v3", 3L)), 2L -> (("new", 9L))))
+  }
 }

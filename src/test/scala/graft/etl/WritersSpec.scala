@@ -62,4 +62,26 @@ class WritersSpec extends SparkSpec {
     assert(nFiles === 1, s"expected 1 file after compaction, got $nFiles")
     assert(spark.read.parquet(out).count() === events.count())
   }
+
+  test("compact preserves a Hive-partitioned layout (sizes recursively, re-partitions)") {
+    val out = Files.createTempDirectory("graft_compact_part").toString + "/t"
+    val events = Tables.events(spark, sf())
+      .select("event_id", "user_id", "value", "event_type")
+    events.repartition(8).write.mode("overwrite")
+      .partitionBy("event_type").parquet(out)
+    def partDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+    def leafFiles(d: java.io.File) =
+      d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val dirsBefore = partDirs.map(_.getName).toSet
+    assert(dirsBefore.nonEmpty)
+    assert(partDirs.map(leafFiles).sum > dirsBefore.size, "needs many small files")
+    Writers.compact(spark, out, targetFileBytes = 1L << 30)
+    // layout survives: same partition dirs, fewer files, same rows+schema
+    assert(partDirs.map(_.getName).toSet === dirsBefore)
+    partDirs.foreach(d => assert(leafFiles(d) === 1, s"${d.getName}: ${leafFiles(d)}"))
+    val back = spark.read.parquet(out)
+    assert(back.count() === events.count())
+    assert(back.columns.toSet === events.columns.toSet)
+  }
 }

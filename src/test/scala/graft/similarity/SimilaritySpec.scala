@@ -41,16 +41,47 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.lshTopK(q, emb, "vec_id", "embedding", 10,
-      numPlanes = 16, bands = 8)
+    val approx = Similarity.lshTopK(q, emb, "vec_id", "embedding", 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    info(f"LSH recall@10 = $recall%.2f (candidates from 8 bands × 2 bits)")
+    info(f"LSH recall@10 = $recall%.2f (16 bands × 8 bits, Hamming-1 multi-probe)")
     assert(recall > 0.5, f"recall $recall%.2f too low")
   }
 
-  test("IVF top-k recall vs brute force is usable (> 0.5 with nprobe=8/16)") {
+  test("SRP band buckets are small: max bucket ≪ corpus (the subquadratic guard)") {
+    // reproduce the banding exactly as cosineNearDups/lshTopK build it
+    // (16 bands × 8-bit keys over the fixed-seed hyperplanes) and assert
+    // no bucket concentrates the corpus — a 2-bit key space would put
+    // ~n/4 rows in every bucket and candidate generation would be Θ(n²)
+    val emb = Tables.embeddings(spark, sf())
+    val n = emb.count()
+    val planes = Similarity.hyperplanes(128, 64)
+    val keyed = emb.select($"vec_id", array((0 until 16).map { bi =>
+      struct(lit(bi).as("band_id"),
+        Similarity.srpSignature($"embedding",
+          planes.slice(bi * 8, (bi + 1) * 8)).as("band_key"))
+    }: _*).as("bands"))
+      .select(explode($"bands").as("b"))
+      .groupBy($"b.band_id", $"b.band_key").count()
+    val maxBucket = keyed.agg(max("count")).as[Long].head()
+    info(s"corpus=$n maxBucket=$maxBucket")
+    assert(maxBucket <= math.max(8L, n / 8),
+      s"hot bucket: $maxBucket of $n rows share one (band, key)")
+  }
+
+  test("srpPlan sizes bands/bits: key space grows with n, bands bounded") {
+    val (bits1k, bands1k) = Similarity.srpPlan(1000, 0.45, 0.9)
+    assert(bits1k == 8) // floor: key space 256 even for small corpora
+    val (bitsB, _) = Similarity.srpPlan(1000000000L, 0.45, 0.9)
+    assert(bitsB >= 23, s"1e9 rows need ~2^24 key space, got 2^$bitsB")
+    assert(bands1k >= 4 && bands1k <= 128, s"bands1k=$bands1k")
+    // multi-probe divides bands ~5× (used by lshTopK on the query side)
+    val (_, bandsMp) = Similarity.srpPlan(1000, 0.45, 0.9, multiProbe = true)
+    assert(bandsMp < bands1k / 3, s"mp=$bandsMp vs $bands1k")
+  }
+
+  test("IVF top-k recall vs brute force is usable (>= 0.7 with nprobe=8/16)") {
     val emb = Tables.embeddings(spark, sf())
     val q = emb.where($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
@@ -62,7 +93,10 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     info(f"IVF recall@10 = $recall%.2f (nprobe 8 of 16 cells)")
-    assert(recall > 0.5, f"recall $recall%.2f too low")
+    // trained (stratified-init + 1 Lloyd round) centroids give BALANCED
+    // cells: honest pruning (each probe sees ~n·nprobe/numCells rows)
+    // with recall still comfortably above the 0.7 floor
+    assert(recall >= 0.7, f"recall $recall%.2f too low")
     val ranks = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 10,
       numCells = 16, nprobe = 8)
       .groupBy("query_id").agg(max("rank").as("m"), count(lit(1)).as("n"))
@@ -73,10 +107,22 @@ class SimilaritySpec extends SparkSpec {
 
   test("cosineNearDups finds the corpus' top pairs and nothing below threshold") {
     val emb = Tables.embeddings(spark, sf())
-    val out = Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.4,
-      numPlanes = 16, bands = 8).collect()
+    val out = Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.4).collect()
     assert(out.forall(_.getDouble(2) >= 0.4))
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    // recall vs the exact pair set (bounded 500-row corpus → crossJoin ok
+    // in-test). S-curve predicts ≈0.8 at s=0.4 for 64 bands × 8 bits
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val exact = a.crossJoin(b).where($"id_a" < $"id_b")
+      .where(Similarity.cosine($"va", $"vb") >= 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSet = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect gotSet).size.toDouble / math.max(1, exact.size)
+    info(f"near-dup recall = $recall%.2f (${gotSet.size}/${exact.size} pairs)")
+    assert(recall >= 0.7, f"near-dup recall $recall%.2f below floor")
+    assert((gotSet diff exact).isEmpty, "LSH must not emit sub-threshold pairs")
   }
 
   test("deterministic across runs: same seed → same LSH output") {
