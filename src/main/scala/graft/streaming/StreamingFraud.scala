@@ -84,4 +84,64 @@ object StreamingFraud {
       .start()
     q
   }
+
+  /** T9 processing-time buffering: the Firehose 900 s / 128 MB buffer
+    * maps to `Trigger.ProcessingTime(interval)` (time axis) +
+    * `maxFilesPerTrigger` (size axis) — micro-batches are paced by wall
+    * clock and bounded per trigger, instead of the run-to-completion
+    * `AvailableNow`. The query keeps running until stopped (use
+    * `processAllAvailable()` + `stop()` in tests).
+    */
+  def runFileStreamMicroBatch(spark: SparkSession, dir: String,
+                              queryName: String, windowSec: Int,
+                              threshold: Double, checkpoint: String,
+                              intervalMs: Long = 500L,
+                              maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    fraudStream(raw, windowSec, threshold)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+  }
+
+  /** T6 start-position toggle, the Kinesis LATEST / TRIM_HORIZON analog
+    * for a file-replay source. TRIM_HORIZON is the default behavior
+    * (a fresh checkpoint replays the whole backlog). LATEST = call this
+    * first: an `AvailableNow` pass of the SAME stateful plan (checkpoint
+    * state must be plan-compatible) consumes every currently-visible
+    * file and DISCARDS its output, so a query started afterward on the
+    * same checkpoint emits only results from data that arrives later.
+    * One nuance vs a true skip: a window still open at the position
+    * (not yet passed by the watermark) emits on the first
+    * post-position watermark advance — append-mode semantics.
+    */
+  def primeCheckpointAtLatest(spark: SparkSession, dir: String,
+                              checkpoint: String, windowSec: Int,
+                              threshold: Double): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = fraudStream(raw, windowSec, threshold)
+      .writeStream.outputMode("append")
+      // discard backlog output; count() forces every partition so the
+      // state store commits (a true no-op would fail commit validation)
+      .foreachBatch((b: DataFrame, _: Long) => { b.count(); () })
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -85,6 +85,85 @@ class StreamingFraudSpec extends SparkSpec {
 
   }
 
+  // two disjoint event files for the T6/T9 tests: users 1-3 in fileA,
+  // users 11-13 in fileB (raw schema: ts as long NANOS, like the harness)
+  private def writeEventsFile(dir: String, name: String, users: Seq[Long]): Unit = {
+    // windows 1000 s apart per user so the final watermark (max ts − 10 s)
+    // passes every window but the newest user's — append mode then emits
+    // all the rest
+    val rows = users.flatMap(u => Seq(
+      (u * 100 + 1, 1704067200000000000L + u * 1000L * 1000000000L, u, "purchase", 180.0, "{}"),
+      (u * 100 + 2, 1704067201000000000L + u * 1000L * 1000000000L, u, "purchase", 60.0, "{}")))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(s"$dir/__stage_$name")
+    // move the part file in as a stable name so arrival order is explicit
+    val src = new java.io.File(s"$dir/__stage_$name").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    src.renameTo(new java.io.File(s"$dir/$name.parquet"))
+    new scala.reflect.io.Directory(new java.io.File(s"$dir/__stage_$name"))
+      .deleteRecursively()
+  }
+
+  test("ProcessingTime trigger paces bounded micro-batches (T9 Firehose buffering)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_t9").toString
+    writeEventsFile(dir, "a", Seq(1L, 2L, 3L))
+    writeEventsFile(dir, "b", Seq(11L, 12L, 13L))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t9_ckpt").toString
+    val q = StreamingFraud.runFileStreamMicroBatch(spark, dir, "fraud_t9",
+      10, 150.0, ckpt, intervalMs = 100L, maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    // maxFilesPerTrigger=1 over 2 files ⇒ at least 2 non-empty batches
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected ≥2 paced micro-batches, got $batches")
+    // each (user, window) sums 240 > 150 ⇒ one row per user, all 6 users
+    // except tail windows unreached by the final watermark; require ≥4
+    val users = spark.table("fraud_t9").select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(users.size >= 4, s"got $users")
+  }
+
+  test("start position: LATEST skips the backlog, TRIM_HORIZON replays it (T6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_t6").toString
+    writeEventsFile(dir, "backlog", Seq(1L, 2L, 3L))
+    // LATEST: prime the checkpoint while only the backlog exists
+    val ckptLatest = java.nio.file.Files.createTempDirectory("graft_t6_latest").toString
+    StreamingFraud.primeCheckpointAtLatest(spark, dir, ckptLatest, 10, 150.0)
+    // new data arrives after the LATEST position was taken
+    writeEventsFile(dir, "fresh", Seq(11L, 12L, 13L))
+    // memory sink can't recover a checkpoint — collect via foreachBatch
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(StreamingFraud.eventsRawSchema)
+      .option("pathGlobFilter", "*.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q1 = StreamingFraud.fraudStream(raw, 10, 150.0)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckptLatest)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        b.select("user_id").collect().foreach(r => seen.add(r.getLong(0))); ()
+      })
+      .start()
+    try q1.processAllAvailable() finally q1.stop()
+    import scala.jdk.CollectionConverters._
+    val latestUsers = seen.asScala.toSet
+    // users 1,2's windows closed (emitted + discarded) during priming;
+    // user 3's window was still open at the position, so it may emit on
+    // the first post-position watermark advance — never users 1,2
+    assert(latestUsers.intersect(Set(1L, 2L)).isEmpty,
+      s"LATEST must not re-emit pre-position results, got $latestUsers")
+    assert(Set(11L, 12L).subsetOf(latestUsers),
+      s"LATEST must emit post-position results, got $latestUsers")
+    // TRIM_HORIZON: fresh checkpoint replays everything
+    val ckptTrim = java.nio.file.Files.createTempDirectory("graft_t6_trim").toString
+    val q2 = StreamingFraud.runFileStreamMicroBatch(spark, dir, "fraud_t6_trim",
+      10, 150.0, ckptTrim, intervalMs = 100L, maxFilesPerTrigger = 10)
+    try q2.processAllAvailable() finally q2.stop()
+    val trimUsers = spark.table("fraud_t6_trim").select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(trimUsers.exists(_ <= 3L) && trimUsers.exists(_ >= 11L),
+      s"TRIM_HORIZON must replay backlog + fresh, got $trimUsers")
+  }
+
   test("AvailableNow rerun on the same checkpoint processes nothing (bookmark, T10)") {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
