@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // median-of-N timing: one cold pass then repeats over a warm cache;
+    // the median filters page-cache/JIT/GC noise a single pass can't
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,15 +19,44 @@ object Bench {
     // warm the session (JVM/codegen/file-index) so per-query numbers
     // measure the query, not first-action startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = collection.mutable.Map.empty[String, List[Double]]
+    // a broken query must be VISIBLE in the bench json, not a fast -1
+    val errors = collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to runs; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\n\\r\\t]", " ").take(200)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+    // regression canary for the optimizer rule the window top-k queries
+    // depend on: without the rewrite they plan a full sort+window
+    val topkFires = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
+      graft.model.Tables.events(spark, sfDir)
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .queryExecution.executedPlan.toString.contains("FinalTopK")
+    }
+    val med = names.filter(times.contains).map(n => n -> median(times(n)))
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = med.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -87,16 +87,15 @@ object Similarity {
 
   /** Per-band SRP keys: band `bi` is its own `bitsPerBand`-bit signature
     * over a disjoint plane slice (no packing into one long, so any
-    * bands × bits combination works). One struct per band; all bands
-    * codegen in a single Project.
+    * bands × bits combination works). ONE native expression for all
+    * bands ([[VectorExprs.SrpBandKeys]]) — with 64+ per-band
+    * expressions, whole-stage codegen's janino compile becomes a ~10 s
+    * fixed cost per stage; the array form is a single tight loop.
+    * Explode with `posexplode` → (band_id, band_key) rows.
     */
   private def bandCols(vec: Column, planes: Seq[Seq[Double]], bands: Int,
                        bitsPerBand: Int): Column =
-    array((0 until bands).map { bi =>
-      struct(lit(bi).as("band_id"),
-        srpSignature(vec,
-          planes.slice(bi * bitsPerBand, (bi + 1) * bitsPerBand)).as("band_key"))
-    }: _*)
+    VectorExprs.srp_band_keys(vec, planes, bands, bitsPerBand)
 
   /** Multi-probe: a band key plus its `bits` Hamming-1 neighbors. Probing
     * adjacent buckets on ONE join side trades a (1+bits)× fan-out of that
@@ -178,11 +177,12 @@ object Similarity {
     // the QUERY side only (|Q| ≪ |corpus|).
     val q = signed(queries, "query_id", "__qv", "__qn")
     val c = signed(corpus, "neighbor_id", "__cv", "__cn")
-    val qBands = q.select(col("query_id"), explode(col("__bands")).as("b"))
-      .select(col("query_id"), col("b.band_id"),
-        explode(probeKeys(col("b.band_key"), bitsPerBand)).as("band_key"))
-    val cBands = c.select(col("neighbor_id"), explode(col("__bands")).as("b"))
-      .select(col("neighbor_id"), col("b.band_id"), col("b.band_key"))
+    val qBands = q.select(col("query_id"),
+        posexplode(col("__bands")).as(Seq("band_id", "band_key")))
+      .select(col("query_id"), col("band_id"),
+        explode(probeKeys(col("band_key"), bitsPerBand)).as("band_key"))
+    val cBands = c.select(col("neighbor_id"),
+      posexplode(col("__bands")).as(Seq("band_id", "band_key")))
 
     val candidatePairs = qBands.join(cBands, Seq("band_id", "band_key"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -236,8 +236,7 @@ object Similarity {
       bandCols(col(vecCol), planes, bands, bitsPerBand).as("__bands"))
     // id-only band join + distinct, then re-join the vectors (see lshTopK)
     val exploded = signed
-      .select(col(idCol), explode(col("__bands")).as("b"))
-      .select(col(idCol), col("b.band_id"), col("b.band_key"))
+      .select(col(idCol), posexplode(col("__bands")).as(Seq("band_id", "band_key")))
     val l = exploded.select(col("band_id"), col("band_key"), col(idCol).as("id_a"))
     val r = exploded.select(col("band_id"), col("band_key"), col(idCol).as("id_b"))
     val pairs = l.join(r, Seq("band_id", "band_key"))
@@ -245,12 +244,16 @@ object Similarity {
       .select("id_a", "id_b")
       .distinct()
     // stage 1: sketch filter. A true pair at `threshold` mismatches a
-    // sketch bit w.p. f = acos(threshold)/π; admit up to mean + 3σ
+    // sketch bit w.p. f = acos(threshold)/π; admit up to mean + 3σ.
+    // Only worth its two 16 B joins when the cutoff sits BELOW the
+    // background pair's expected mismatch (~0.40·126 at cosine ≈0.3) —
+    // at thresholds near background it passes everything, so skip it
     val f = math.acos(threshold) / math.Pi
     val maxMismatch = math.min(126, math.ceil(
       126 * f + 3.0 * math.sqrt(126 * f * (1 - f))).toInt)
+    val sketchSelective = maxMismatch < (126 * 0.40).toInt
     val sk = signed.select(col(idCol), col("__sk0"), col("__sk1"))
-    val sketched = pairs
+    val sketched = if (!sketchSelective) pairs else pairs
       .join(sk.select(col(idCol).as("id_a"), col("__sk0").as("__a0"),
         col("__sk1").as("__a1")), "id_a")
       .join(sk.select(col(idCol).as("id_b"), col("__sk0").as("__b0"),

@@ -30,6 +30,22 @@ class VectorExprsSpec extends SparkSpec {
     assert(dot == 11.0)
   }
 
+  test("SrpBandKeys equals per-slice SrpSignature (the form it batches)") {
+    val emb = Tables.embeddings(spark, sf()).limit(50)
+    val planes = graft.similarity.Similarity.hyperplanes(48, 64)
+    val batched = emb.select($"vec_id",
+      VectorExprs.srp_band_keys($"embedding", planes, bands = 6, bitsPerBand = 8)
+        .as("keys"))
+    val perSlice = emb.select($"vec_id" +: (0 until 6).map(bi =>
+      VectorExprs.srp_signature($"embedding",
+        planes.slice(bi * 8, (bi + 1) * 8)).as(s"k$bi")): _*)
+    val a = batched.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = perSlice.collect().map(r =>
+      r.getLong(0) -> (1 to 6).map(i => r.getLong(i))).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, keys) => assert(keys == b(id), s"vec $id") }
+  }
+
   test("approx sketches land near exact values") {
     val li = Tables.lineitem(spark, sf())
     val approx = li.groupBy($"l_returnflag").agg(
