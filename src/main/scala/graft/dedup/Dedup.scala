@@ -211,6 +211,55 @@ object Dedup {
     simhashCandidatePairs(signed, idCol, "__sim", maxHamming, maxBucketRows)
   }
 
+  /** Connected components over a near-duplicate pair graph by iterated
+    * min-label propagation: every node's label becomes the minimum of
+    * its own and its neighbors' labels until fixpoint. The cluster step
+    * of corpus dedup — a near-dup PAIR list (from MinHash/SimHash/
+    * embedding LSH) becomes disjoint clusters, and one canonical doc
+    * (min id) is kept per cluster.
+    *
+    * Scale shape: each iteration is one shuffle join (edges ⋈ labels on
+    * dst) + one groupBy(src) min — map-side combined — and converges in
+    * `diameter(graph)` rounds; near-dup clusters are shallow (pairs of
+    * a common template), so 3-5 rounds is typical. `localCheckpoint`
+    * truncates the growing lineage each round (iterative DataFrame
+    * loops otherwise replan from the source every iteration). The
+    * driver sees only the per-round change COUNT, never node data. For
+    * graphs with long chains swap in pointer-doubling (large-star/
+    * small-star) — same loop skeleton, O(log d) rounds.
+    *
+    * Output: (id, label) — `label` = min node id reachable from `id`,
+    * i.e. the cluster id. Only nodes that appear in `edges` are listed
+    * (isolated docs are their own trivial cluster).
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .union(edges.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.as("l")
+        .join(nbrMin, col("l.id") === nbrMin("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nbr_label"), col("l.label")))
+            .as("label"),
+          col("l.label").as("__old"))
+        .localCheckpoint()
+      changed = updated.where(col("label") < col("__old")).count()
+      labels = updated.select("id", "label")
+      iters += 1
+    }
+    labels
+  }
+
   /** Brute-force exact n-gram Jaccard over all pairs of `df` — O(n²),
     * for bounded slices and as the LSH recall baseline. Caller bounds n.
     */

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.dedup.Dedup
@@ -127,6 +128,26 @@ object NorthStarQueries {
       Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.8)),
 
+    // cluster-level dedup: near-dup pairs → connected components → one
+    // canonical (min-id) doc per cluster. The pair list is materialized
+    // so DuckDB can verify the component step via a recursive
+    // transitive-closure CTE; the iterative Spark loop is
+    // Dedup.connectedComponents (min-label propagation, localCheckpoint
+    // per round)
+    "dedup_cluster_canonical" -> ((s, dir) => {
+      val pairPath = "/tmp/graft_oracle_aux/neardup_pairs"
+      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.8)
+        .select("id_a", "id_b")
+        .write.mode("overwrite").parquet(pairPath)
+      val comp = Dedup.connectedComponents(
+        s.read.parquet(pairPath), "id_a", "id_b")
+      val w = Window.partitionBy(col("cluster_id"))
+      comp.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+    }),
+
     // exact brute-force n-gram Jaccard on a bounded slice — the oracle-
     // checkable baseline for the LSH path
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -177,6 +198,27 @@ object NorthStarQueries {
         .select(col("label"), posexplode(col("raw")))
         .select(col("label"), (col("pos") + 1).cast("long").as("idx"),
           round(col("col"), 6).as("centroid_val"))
+    }),
+
+    // k-means model training (Lloyd, 3 rounds, deterministic stratified
+    // init) + cell profile. The trained model is materialized so DuckDB
+    // verifies the ASSIGNMENT step exactly (argmax of list_dot_product
+    // over the centroid table); the iterative trainer itself is covered
+    // by SimilaritySpec (objective improvement + determinism)
+    "agg_kmeans_cells" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        numCells = 8, iters = 3)
+      cents.zipWithIndex
+        .map { case ((v, n), i) => (i, v.map(_.toDouble), n) }.toSeq
+        .toDF("cell", "centroid", "norm")
+        .coalesce(1).write.mode("overwrite")
+        .parquet("/tmp/graft_oracle_aux/kmeans_centroids")
+      emb.select(col("vec_id"),
+          Similarity.cellFor(cents)(col("embedding")).as("cell"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec_id"))
     }),
 
     // IVF-bucketed ANN (rows-only here; recall vs brute force asserted
@@ -239,6 +281,49 @@ object NorthStarQueries {
         |JOIN read_parquet('/tmp/graft_oracle_aux/simhash_fp/*.parquet') b
         |  ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= 7""".stripMargin,
+
+    // nearest-centroid assignment against the materialized k-means
+    // model; struct-max in Spark = (sim DESC, cell DESC) in SQL
+    "agg_kmeans_cells" ->
+      """WITH c AS (
+        |  SELECT cell, centroid, norm
+        |  FROM read_parquet('/tmp/graft_oracle_aux/kmeans_centroids/*.parquet')
+        |),
+        |a AS (
+        |  SELECT e.vec_id,
+        |    (SELECT c.cell FROM c
+        |     ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+        |       / c.norm DESC, c.cell DESC
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e)
+        |SELECT cell, count(*) AS n, min(vec_id) AS min_vec_id
+        |FROM a GROUP BY 1""".stripMargin,
+
+    // transitive closure over the materialized pair list, then
+    // cluster id = min reachable node — exact twin of min-label
+    // propagation's fixpoint
+    "dedup_cluster_canonical" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT id_a AS a, id_b AS b
+        |  FROM read_parquet('/tmp/graft_oracle_aux/neardup_pairs/*.parquet')
+        |  UNION
+        |  SELECT id_b AS a, id_a AS b
+        |  FROM read_parquet('/tmp/graft_oracle_aux/neardup_pairs/*.parquet')
+        |),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        |    WHERE e2.b <> r.a
+        |),
+        |comp AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a
+        |)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  doc_id = cluster_id AS keep
+        |FROM comp""".stripMargin,
 
     "dedup_keep_first" ->
       """SELECT doc_id, lang, source, n_chars FROM (

@@ -291,12 +291,39 @@ object Similarity {
     * per query, and the final per-query top-k runs on
     * [[graft.plans.TopKPerKey]] (bounded heaps, no sort).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, numCells: Int = 16,
-              nprobe: Int = 4): DataFrame = {
-    def withNorm(v: Seq[Float]): (Seq[Float], Double) =
-      (v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
-    // init: hash-stratified deterministic sample, one row per stratum
+  private def withNorm(v: Seq[Float]): (Seq[Float], Double) =
+    (v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+
+  /** Per-row array of (cosine-to-centroid, cell-index) structs; the
+    * row's own norm is a positive constant across the comparison so
+    * dot/centroidNorm ranks identically to full cosine.
+    */
+  private def simsFor(cents: Array[(Seq[Float], Double)])(vec: Column): Column =
+    array(cents.zipWithIndex.map { case ((cv, cn), i) =>
+      struct((dot(vec, array(cv.map(lit): _*)) / lit(cn)).as("sim"),
+        lit(i).as("cell"))
+    }: _*)
+
+  /** Nearest-centroid cell index for a vector column. */
+  def cellFor(cents: Array[(Seq[Float], Double)])(vec: Column): Column =
+    array_max(simsFor(cents)(vec)).getField("cell")
+
+  /** Lloyd's k-means on the cosine geometry, deterministic and
+    * seed-free: hash-stratified init (one pseudo-random row per
+    * `xxhash64(id) mod k` stratum), then `iters` rounds of
+    * assign-to-nearest + per-cell elementwise mean
+    * ([[graft.functions.VectorAgg]]), means rounded to 6 dp so
+    * partial-sum order can't leak into the model.
+    *
+    * Scale shape per round: assignment is a map-only Project against k
+    * broadcast centroid literals (no join, no shuffle of vectors); the
+    * re-estimation groupBy carries one (dim+1)-double buffer per
+    * (cell × partition) through the exchange. Driver state is k×dim
+    * floats — model, not data. Empty cells drop out (k shrinks), the
+    * standard Lloyd degeneracy.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     numCells: Int, iters: Int = 1): Array[(Seq[Float], Double)] = {
     val pickW = Window.partitionBy(col("__stratum"))
       .orderBy(col("__pick"), col(idCol))
     val init: Array[(Seq[Float], Double)] = corpus
@@ -306,21 +333,25 @@ object Similarity {
       .withColumn("__rn", row_number().over(pickW))
       .where(col("__rn") === 1)
       .select(col(vecCol)).collect().map(r => withNorm(r.getSeq[Float](0)))
-    // one Lloyd round: assign to nearest init centroid, per-cell mean
-    def simsFor(cents: Array[(Seq[Float], Double)])(vec: Column): Column =
-      array(cents.zipWithIndex.map { case ((cv, cn), i) =>
-        struct((dot(vec, array(cv.map(lit): _*)) / lit(cn)).as("sim"),
-          lit(i).as("cell"))
-      }: _*)
     val mean = graft.functions.VectorAgg.vecMean(init.headOption
       .map(_._1.length).getOrElse(64))
-    val centroids: Array[(Seq[Float], Double)] = corpus
-      .select(col(vecCol).as("__v"),
-        array_max(simsFor(init)(col(vecCol))).getField("cell").as("cell"))
-      .groupBy(col("cell")).agg(mean(col("__v")).as("m"))
-      .collect()
-      .map(r => withNorm(r.getSeq[Double](1)
-        .map(x => math.rint(x * 1e6).toFloat / 1e6f)))
+    var cents = init
+    for (_ <- 1 to iters) {
+      cents = corpus
+        .select(col(vecCol).as("__v"), cellFor(cents)(col(vecCol)).as("cell"))
+        .groupBy(col("cell")).agg(mean(col("__v")).as("m"))
+        .orderBy(col("cell")) // stable cell numbering across runs
+        .collect()
+        .map(r => withNorm(r.getSeq[Double](1)
+          .map(x => math.rint(x * 1e6).toFloat / 1e6f)))
+    }
+    cents
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCells: Int = 16,
+              nprobe: Int = 4): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, numCells, iters = 1)
     // per-row array of (similarity-to-centroid, cell-index) structs; the
     // row's own norm is a positive constant across the comparison so
     // dot/centroidNorm ranks identically to full cosine

@@ -75,6 +75,19 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getInt(2) == 0)
   }
 
+  test("connectedComponents: chains, disjoint clusters, multi-round convergence") {
+    // chain 1-2-3-4-5 (diameter 4 forces >1 propagation round),
+    // triangle 10-11-12, isolated edge 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges, "id_a", "id_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) == 1L), comp.toString)
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    assert(comp.size == 10)
+  }
+
   test("simhash hot-bucket guard bounds a skewed corpus (many identical docs)") {
     // 2000 identical docs → one fingerprint → every (chunk_id, chunk)
     // bucket holds all 2000 rows → ungated candidates would be

@@ -125,6 +125,25 @@ class SimilaritySpec extends SparkSpec {
     assert((gotSet diff exact).isEmpty, "LSH must not emit sub-threshold pairs")
   }
 
+  test("kmeans: Lloyd rounds improve the clustering objective, deterministically") {
+    val emb = Tables.embeddings(spark, sf())
+    def objective(cents: Array[(Seq[Float], Double)]): Double =
+      emb.select(array_max(array(cents.zipWithIndex.map { case ((cv, cn), i) =>
+          Similarity.dot($"embedding", array(cv.map(lit): _*)) /
+            (lit(cn) * Similarity.l2Norm($"embedding"))
+        }: _*)).as("best"))
+        .agg(sum("best")).as[Double].head()
+    val c0 = Similarity.trainCentroids(emb, "vec_id", "embedding", 8, iters = 0)
+    val c3 = Similarity.trainCentroids(emb, "vec_id", "embedding", 8, iters = 3)
+    val (o0, o3) = (objective(c0), objective(c3))
+    info(f"objective (mean best-cosine × n): init=$o0%.2f after3=$o3%.2f")
+    assert(o3 > o0, s"Lloyd rounds must improve the objective: $o0 -> $o3")
+    // deterministic: same data → identical model
+    val c3b = Similarity.trainCentroids(emb, "vec_id", "embedding", 8, iters = 3)
+    assert(c3.map(_._1) sameElements c3b.map(_._1))
+    assert(c3.length >= 6, s"expected ~8 non-empty cells, got ${c3.length}")
+  }
+
   test("deterministic across runs: same seed → same LSH output") {
     val emb = Tables.embeddings(spark, sf())
     def run() = Similarity.lshTopK(emb.where($"vec_id" < 3), emb,
