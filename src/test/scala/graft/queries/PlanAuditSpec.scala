@@ -57,4 +57,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReadSchema"), p)
     assert(!p.toLowerCase.contains("l_orderkey"), p)
   }
+
+  test("sim_cosine_neardups: batched band keys, no cartesian product") {
+    val p = plan("sim_cosine_neardups")
+    // ALL band keys must come from the single SrpBandKeys expression —
+    // per-band expressions regress whole-stage codegen into a ~10 s
+    // janino compile (the round-2 sim_cosine_neardups 10.9 s cliff)
+    assert(p.toLowerCase.contains("srpbandkeys"), p)
+    assert(!p.toLowerCase.contains("srpsignature(") ||
+      "srpsignature\\(".r.findAllIn(p.toLowerCase).size <= 2, // sketch only
+      "band keys must be batched, not per-band signatures\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("agg_kmeans_cells: assignment is map-only (single aggregation exchange)") {
+    val p = plan("agg_kmeans_cells")
+    // nearest-centroid assignment must be a Project against centroid
+    // literals — a join against a centroid table would add an exchange
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected the one groupBy exchange, got $exchanges\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial + final aggregation expected\n" + p)
+  }
+
+  test("sim_topk_ivf: probe join carries ids+cells, final top-k uses heaps") {
+    val p = plan("sim_topk_ivf")
+    assert(p.contains("FinalTopK"), p)
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
