@@ -178,11 +178,16 @@ object NorthStarQueries {
 
     // 128 planes = 16 bands × 8 bits + query-side multi-probe: band-key
     // space 256 keeps buckets ~n/256 (subquadratic candidates); see
-    // Similarity.srpPlan for the sizing rule at other corpus scales
+    // Similarity.srpPlan for the sizing rule at other corpus scales.
+    // Candidates are materialized so DuckDB verifies the exact re-rank
+    // (the hash-dependent candidate stage is covered by the recall spec)
     "sim_topk_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(
-        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", k = 10)
+      val q = emb.where(col("vec_id") < 8)
+      Similarity.lshCandidates(q, emb, "vec_id", "embedding")
+        .write.mode("overwrite").parquet("/tmp/graft_oracle_aux/lsh_cands")
+      Similarity.rerankTopK(s.read.parquet("/tmp/graft_oracle_aux/lsh_cands"),
+        q, emb, "vec_id", "embedding", k = 10)
     }),
 
     // per-label embedding centroid via a typed Aggregator (UDAF
@@ -221,21 +226,30 @@ object NorthStarQueries {
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec_id"))
     }),
 
-    // IVF-bucketed ANN (rows-only here; recall vs brute force asserted
-    // in SimilaritySpec)
+    // IVF-bucketed ANN; probe-join candidates materialized, re-rank
+    // DuckDB-verified (recall vs brute force asserted in SimilaritySpec)
     "sim_topk_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(
-        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
-        k = 10, numCells = 16, nprobe = 8)
+      val q = emb.where(col("vec_id") < 8)
+      Similarity.ivfCandidates(q, emb, "vec_id", "embedding",
+        numCells = 16, nprobe = 8)
+        .write.mode("overwrite").parquet("/tmp/graft_oracle_aux/ivf_cands")
+      Similarity.rerankTopK(s.read.parquet("/tmp/graft_oracle_aux/ivf_cands"),
+        q, emb, "vec_id", "embedding", k = 10)
     }),
 
     // embedding near-dup pairs (cosine ≥ 0.4 — the corpus' top pairs sit
-    // at ≈0.45; nothing is above 0.5). Wide bands + one-side multi-probe,
-    // same scale shape as sim_topk_lsh
-    "sim_cosine_neardups" -> ((s, dir) =>
-      Similarity.cosineNearDups(Tables.embeddings(s, dir), "vec_id",
-        "embedding", threshold = 0.4)),
+    // at ≈0.45; nothing is above 0.5). Wide bands, sketch pre-filter;
+    // candidates materialized, exact stage DuckDB-verified
+    "sim_cosine_neardups" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineNearDupCandidates(emb, "vec_id", "embedding",
+        threshold = 0.4)
+        .write.mode("overwrite").parquet("/tmp/graft_oracle_aux/cosine_cands")
+      Similarity.cosineNearDupsFromCandidates(
+        s.read.parquet("/tmp/graft_oracle_aux/cosine_cands"),
+        emb, "vec_id", "embedding", threshold = 0.4)
+    }),
 
     // ---- multimodal ----
     // metadata pass: payload wrapped, width/height/type derived — the
@@ -281,6 +295,50 @@ object NorthStarQueries {
         |JOIN read_parquet('/tmp/graft_oracle_aux/simhash_fp/*.parquet') b
         |  ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= 7""".stripMargin,
+
+    // exact re-rank over the materialized LSH candidate pairs — same
+    // cosine/rank formulation as the (hash-green) brute-force oracle
+    "sim_topk_lsh" ->
+      """WITH p AS (SELECT query_id, neighbor_id
+        |  FROM read_parquet('/tmp/graft_oracle_aux/lsh_cands/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT p.query_id, p.neighbor_id,
+        |  list_cosine_similarity(qe.v, ne.v) AS score
+        |  FROM p JOIN e qe ON p.query_id = qe.vec_id
+        |         JOIN e ne ON p.neighbor_id = ne.vec_id),
+        |r AS (SELECT query_id, neighbor_id, score,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+        |  round(score, 6) AS score
+        |FROM r WHERE rank <= 10""".stripMargin,
+
+    "sim_topk_ivf" ->
+      """WITH p AS (SELECT query_id, neighbor_id
+        |  FROM read_parquet('/tmp/graft_oracle_aux/ivf_cands/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT p.query_id, p.neighbor_id,
+        |  list_cosine_similarity(qe.v, ne.v) AS score
+        |  FROM p JOIN e qe ON p.query_id = qe.vec_id
+        |         JOIN e ne ON p.neighbor_id = ne.vec_id),
+        |r AS (SELECT query_id, neighbor_id, score,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+        |  round(score, 6) AS score
+        |FROM r WHERE rank <= 10""".stripMargin,
+
+    // exact threshold stage over the materialized near-dup candidates
+    "sim_cosine_neardups" ->
+      """WITH p AS (SELECT id_a, id_b
+        |  FROM read_parquet('/tmp/graft_oracle_aux/cosine_cands/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT p.id_a, p.id_b,
+        |  list_cosine_similarity(ae.v, be.v) AS score
+        |  FROM p JOIN e ae ON p.id_a = ae.vec_id
+        |         JOIN e be ON p.id_b = be.vec_id)
+        |SELECT id_a, id_b, round(score, 6) AS score
+        |FROM s WHERE score >= 0.4""".stripMargin,
 
     // nearest-centroid assignment against the materialized k-means
     // model; struct-max in Spark = (sim DESC, cell DESC) in SQL

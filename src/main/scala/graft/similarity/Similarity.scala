@@ -155,9 +155,16 @@ object Similarity {
     * [[srpPlan]] for other corpus scales. Recall measured against
     * [[bruteForceTopK]] in the test suite.
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, numPlanes: Int = 128, bands: Int = 16,
-              seed: Long = 42L): DataFrame = {
+  /** Candidate stage of [[lshTopK]]: (query_id, neighbor_id) pairs
+    * sharing ≥1 band bucket (queries multi-probe Hamming-1). Only ids
+    * travel through the band join and the distinct — the shuffle moves
+    * (long, long) pairs, not 64-float arrays. Exposed separately so the
+    * pair list can be materialized and the exact re-rank verified
+    * externally ([[rerankTopK]]).
+    */
+  def lshCandidates(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, numPlanes: Int = 128, bands: Int = 16,
+                    seed: Long = 42L): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     val bitsPerBand = numPlanes / bands
     // dim read lazily from the first corpus row is an action; instead the
@@ -166,41 +173,55 @@ object Similarity {
     val dim = 64
     val planes = hyperplanes(numPlanes, dim, seed)
 
-    def signed(df: DataFrame, id: String, vecAs: String, normAs: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vecAs),
-        l2Norm(col(vecCol)).as(normAs),
+    def keyed(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
         bandCols(col(vecCol), planes, bands, bitsPerBand).as("__bands"))
 
-    // candidate generation carries ONLY ids through the band join and the
-    // distinct — the vector payload re-joins after dedup, so the shuffle
-    // moves (long, long) pairs, not 64-float arrays. Multi-probe fans out
-    // the QUERY side only (|Q| ≪ |corpus|).
-    val q = signed(queries, "query_id", "__qv", "__qn")
-    val c = signed(corpus, "neighbor_id", "__cv", "__cn")
-    val qBands = q.select(col("query_id"),
+    // multi-probe fans out the QUERY side only (|Q| ≪ |corpus|)
+    val qBands = keyed(queries, "query_id")
+      .select(col("query_id"),
         posexplode(col("__bands")).as(Seq("band_id", "band_key")))
       .select(col("query_id"), col("band_id"),
         explode(probeKeys(col("band_key"), bitsPerBand)).as("band_key"))
-    val cBands = c.select(col("neighbor_id"),
-      posexplode(col("__bands")).as(Seq("band_id", "band_key")))
+    val cBands = keyed(corpus, "neighbor_id")
+      .select(col("neighbor_id"),
+        posexplode(col("__bands")).as(Seq("band_id", "band_key")))
 
-    val candidatePairs = qBands.join(cBands, Seq("band_id", "band_key"))
+    qBands.join(cBands, Seq("band_id", "band_key"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
+  }
 
-    val candidates = candidatePairs
-      .join(q.select(col("query_id"), col("__qv"), col("__qn")), "query_id")
-      .join(c.select(col("neighbor_id"), col("__cv"), col("__cn")), "neighbor_id")
+  /** Exact cosine re-rank — stage 2 of every ANN path (LSH, IVF, or any
+    * external candidate generator): join the vectors back onto the
+    * (query_id, neighbor_id) pair list, score, keep the top `k` per
+    * query by (score desc, neighbor_id asc).
+    */
+  def rerankTopK(pairs: DataFrame, queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
+    val scored = pairs.select("query_id", "neighbor_id")
+      .join(q, "query_id").join(c, "neighbor_id")
       .withColumn("score", cosineWithNorms(dot(col("__qv"), col("__cv")),
         col("__qn"), col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    candidates.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("score"), 6).as("score"))
   }
+
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, numPlanes: Int = 128, bands: Int = 16,
+              seed: Long = 42L): DataFrame =
+    rerankTopK(
+      lshCandidates(queries, corpus, idCol, vecCol, numPlanes, bands, seed),
+      queries, corpus, idCol, vecCol, k)
 
   /** Embedding near-duplicate pairs: corpus self-match with cosine ≥
     * threshold, via SRP banding (no quadratic pass). Wide 8-bit band
@@ -221,7 +242,20 @@ object Similarity {
     */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, numPlanes: Int = 512, bands: Int = 64,
-                     seed: Long = 42L): DataFrame = {
+                     seed: Long = 42L): DataFrame =
+    cosineNearDupsFromCandidates(
+      cosineNearDupCandidates(corpus, idCol, vecCol, threshold, numPlanes,
+        bands, seed),
+      corpus, idCol, vecCol, threshold)
+
+  /** Candidate stage of [[cosineNearDups]]: band-bucket pairs filtered by
+    * the 126-bit sketch. Exposed so the pair list can be materialized
+    * and the exact stage verified externally.
+    */
+  def cosineNearDupCandidates(corpus: DataFrame, idCol: String,
+                              vecCol: String, threshold: Double,
+                              numPlanes: Int = 512, bands: Int = 64,
+                              seed: Long = 42L): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     val bitsPerBand = numPlanes / bands
     val dim = 64
@@ -261,10 +295,20 @@ object Similarity {
       .where((bit_count(col("__a0").bitwiseXOR(col("__b0"))) +
         bit_count(col("__a1").bitwiseXOR(col("__b1")))) <= maxMismatch)
       .select("id_a", "id_b")
-    // stage 2: exact cosine on the sketch survivors only
     sketched
-      .join(signed.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na")), "id_a")
-      .join(signed.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")), "id_b")
+  }
+
+  /** Exact stage of [[cosineNearDups]]: cosine over a candidate pair
+    * list, keeping pairs ≥ `threshold`.
+    */
+  def cosineNearDupsFromCandidates(cands: DataFrame, corpus: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   threshold: Double): DataFrame = {
+    val v = corpus.select(col(idCol), col(vecCol).as("__v"),
+      l2Norm(col(vecCol)).as("__n"))
+    cands.select("id_a", "id_b")
+      .join(v.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")), "id_b")
       .withColumn("score", cosineWithNorms(dot(col("__va"), col("__vb")),
         col("__na"), col("__nb")))
       .where(col("score") >= threshold)
@@ -348,33 +392,30 @@ object Similarity {
     cents
   }
 
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, numCells: Int = 16,
-              nprobe: Int = 4): DataFrame = {
+  /** Candidate stage of [[ivfTopK]]: (query_id, neighbor_id) pairs from
+    * probing each query's `nprobe` nearest cells. Exposed so the pair
+    * list can be materialized and the exact re-rank verified externally.
+    */
+  def ivfCandidates(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, numCells: Int = 16,
+                    nprobe: Int = 4): DataFrame = {
     val centroids = trainCentroids(corpus, idCol, vecCol, numCells, iters = 1)
-    // per-row array of (similarity-to-centroid, cell-index) structs; the
-    // row's own norm is a positive constant across the comparison so
-    // dot/centroidNorm ranks identically to full cosine
     def cellSims(vec: Column): Column = simsFor(centroids)(vec)
-
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      l2Norm(col(vecCol)).as("__cn"),
+    val c = corpus.select(col(idCol).as("neighbor_id"),
       array_max(cellSims(col(vecCol))).getField("cell").as("cell"))
     val qProbes = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), l2Norm(col(vecCol)).as("__qn"),
       explode(slice(reverse(array_sort(cellSims(col(vecCol)))), 1, nprobe))
         .as("probe"))
-      .select(col("query_id"), col("__qv"), col("__qn"),
-        col("probe.cell").as("cell"))
-
-    val candidates = broadcast(qProbes).join(c, Seq("cell"))
+      .select(col("query_id"), col("probe.cell").as("cell"))
+    broadcast(qProbes).join(c, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosineWithNorms(dot(col("__qv"), col("__cv")),
-        col("__qn"), col("__cn")))
-      .select(col("query_id"), col("neighbor_id"), col("score"))
-    graft.plans.TopKPerKey.topKPerKey(candidates, Seq("query_id"),
-      Seq("score" -> true, "neighbor_id" -> false), k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("score"), 6).as("score"))
+      .select("query_id", "neighbor_id")
   }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCells: Int = 16,
+              nprobe: Int = 4): DataFrame =
+    rerankTopK(
+      ivfCandidates(queries, corpus, idCol, vecCol, numCells, nprobe),
+      queries, corpus, idCol, vecCol, k)
 }

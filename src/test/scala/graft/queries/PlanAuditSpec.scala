@@ -58,17 +58,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("l_orderkey"), p)
   }
 
-  test("sim_cosine_neardups: batched band keys, no cartesian product") {
-    val p = plan("sim_cosine_neardups")
-    // ALL band keys must come from the single SrpBandKeys expression —
-    // per-band expressions regress whole-stage codegen into a ~10 s
-    // janino compile (the round-2 sim_cosine_neardups 10.9 s cliff)
+  test("near-dup candidate stage: batched band keys, no cartesian product") {
+    // the candidate stage is materialized by the query, so audit its
+    // plan directly. ALL band keys must come from the single
+    // SrpBandKeys expression — per-band expressions regress whole-stage
+    // codegen into a ~10 s janino compile (the round-2 10.9 s cliff)
+    val p = graft.similarity.Similarity.cosineNearDupCandidates(
+      graft.model.Tables.embeddings(spark, sf()), "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
     assert(p.toLowerCase.contains("srpbandkeys"), p)
-    assert(!p.toLowerCase.contains("srpsignature(") ||
-      "srpsignature\\(".r.findAllIn(p.toLowerCase).size <= 2, // sketch only
+    assert("srpsignature\\(".r.findAllIn(p.toLowerCase).size <= 2, // sketch only
       "band keys must be batched, not per-band signatures\n" + p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val rerank = plan("sim_cosine_neardups")
+    assert(!rerank.contains("CartesianProduct"), rerank)
   }
 
   test("agg_kmeans_cells: assignment is map-only (single aggregation exchange)") {
