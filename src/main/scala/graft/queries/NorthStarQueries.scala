@@ -251,6 +251,28 @@ object NorthStarQueries {
         emb, "vec_id", "embedding", threshold = 0.4)
     }),
 
+    // int8 symmetric quantization of embeddings (the 4× storage
+    // compression a 100 TB vector corpus ships with): per-vector scale
+    // = max|x|/127, q_i = round(x_i/scale). Emits the scale, the exact
+    // integer checksum of the codes, and the max reconstruction error —
+    // all order-insensitive folds, so the DuckDB twin (list lambdas)
+    // matches bitwise
+    "scalar_embedding_quantize" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val scale = greatest(
+        aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))),
+        lit(1e-12)) / lit(127.0)
+      emb.select(col("vec_id"), scale.as("__s"), v.as("__v"))
+        .select(col("vec_id"),
+          round(col("__s"), 9).as("scale"),
+          aggregate(col("__v"), lit(0.0),
+            (a, x) => a + round(x / col("__s"), 0)).cast("long").as("q_sum"),
+          round(aggregate(col("__v"), lit(0.0),
+            (a, x) => greatest(a, abs(x - round(x / col("__s"), 0) * col("__s")))),
+            9).as("max_err"))
+    }),
+
     // ---- multimodal ----
     // metadata pass: payload wrapped, width/height/type derived — the
     // payload-free projection parquet pruning would serve at scale
@@ -295,6 +317,17 @@ object NorthStarQueries {
         |JOIN read_parquet('/tmp/graft_oracle_aux/simhash_fp/*.parquet') b
         |  ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= 7""".stripMargin,
+
+    "scalar_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)/127.0 AS sc
+        |  FROM e)
+        |SELECT vec_id, round(sc, 9) AS scale,
+        |  CAST(list_sum(list_transform(v, x -> round(x/sc, 0))) AS BIGINT) AS q_sum,
+        |  round(list_max(list_transform(v,
+        |    x -> abs(x - round(x/sc, 0)*sc))), 9) AS max_err
+        |FROM s""".stripMargin,
 
     // exact re-rank over the materialized LSH candidate pairs — same
     // cosine/rank formulation as the (hash-green) brute-force oracle
