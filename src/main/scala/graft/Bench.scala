@@ -49,13 +49,16 @@ object Bench {
         .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
         .queryExecution.executedPlan.toString.contains("FinalTopK")
     }
+    // millisecond precision: full-double repr overflowed the harness'
+    // stdout tail-capture window last round (15 entries truncated)
+    def ms(v: Double): Double = math.round(v * 1000) / 1000.0
     val med = names.filter(times.contains).map(n => n -> median(times(n)))
-    val qs = med.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = med.map(_._2).sum
+    val total = ms(med.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"sf":"$sfDir"}""")
     spark.stop()
   }

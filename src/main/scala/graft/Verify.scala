@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // oracle SQL references aux parquet namespaced by sfDir — render it
+    // against the same sfDir the queries below run with
+    graft.queries.OracleAux.sqlSfDir = sfDir
     // optional 3rd arg: comma-separated name substrings — dev-loop filter
     val only: String => Boolean = if (args.length > 2) {
       val pats = args(2).split(',').toSeq

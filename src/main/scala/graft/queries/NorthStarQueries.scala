@@ -135,7 +135,7 @@ object NorthStarQueries {
     // Dedup.connectedComponents (min-label propagation, localCheckpoint
     // per round)
     "dedup_cluster_canonical" -> ((s, dir) => {
-      val pairPath = "/tmp/graft_oracle_aux/neardup_pairs"
+      val pairPath = OracleAux.dir(dir, "neardup_pairs")
       Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.8)
         .select("id_a", "id_b")
@@ -161,7 +161,7 @@ object NorthStarQueries {
     // (bit_count(xor) over all pairs) — the fingerprint expression
     // itself is covered by DedupSpec
     "dedup_simhash" -> ((s, dir) => {
-      val fpPath = "/tmp/graft_oracle_aux/simhash_fp"
+      val fpPath = OracleAux.dir(dir, "simhash_fp")
       Tables.documents(s, dir).select(col("doc_id"),
         Dedup.simhash64(graft.text.TextAnalysis.tokens(col("text"))).as("fp"))
         .write.mode("overwrite").parquet(fpPath)
@@ -185,8 +185,8 @@ object NorthStarQueries {
       val emb = Tables.embeddings(s, dir)
       val q = emb.where(col("vec_id") < 8)
       Similarity.lshCandidates(q, emb, "vec_id", "embedding")
-        .write.mode("overwrite").parquet("/tmp/graft_oracle_aux/lsh_cands")
-      Similarity.rerankTopK(s.read.parquet("/tmp/graft_oracle_aux/lsh_cands"),
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "lsh_cands"))
+      Similarity.rerankTopK(s.read.parquet(OracleAux.dir(dir, "lsh_cands")),
         q, emb, "vec_id", "embedding", k = 10)
     }),
 
@@ -219,7 +219,7 @@ object NorthStarQueries {
         .map { case ((v, n), i) => (i, v.map(_.toDouble), n) }.toSeq
         .toDF("cell", "centroid", "norm")
         .coalesce(1).write.mode("overwrite")
-        .parquet("/tmp/graft_oracle_aux/kmeans_centroids")
+        .parquet(OracleAux.dir(dir, "kmeans_centroids"))
       emb.select(col("vec_id"),
           Similarity.cellFor(cents)(col("embedding")).as("cell"))
         .groupBy(col("cell"))
@@ -233,8 +233,8 @@ object NorthStarQueries {
       val q = emb.where(col("vec_id") < 8)
       Similarity.ivfCandidates(q, emb, "vec_id", "embedding",
         numCells = 16, nprobe = 8)
-        .write.mode("overwrite").parquet("/tmp/graft_oracle_aux/ivf_cands")
-      Similarity.rerankTopK(s.read.parquet("/tmp/graft_oracle_aux/ivf_cands"),
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "ivf_cands"))
+      Similarity.rerankTopK(s.read.parquet(OracleAux.dir(dir, "ivf_cands")),
         q, emb, "vec_id", "embedding", k = 10)
     }),
 
@@ -245,9 +245,9 @@ object NorthStarQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.cosineNearDupCandidates(emb, "vec_id", "embedding",
         threshold = 0.4)
-        .write.mode("overwrite").parquet("/tmp/graft_oracle_aux/cosine_cands")
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "cosine_cands"))
       Similarity.cosineNearDupsFromCandidates(
-        s.read.parquet("/tmp/graft_oracle_aux/cosine_cands"),
+        s.read.parquet(OracleAux.dir(dir, "cosine_cands")),
         emb, "vec_id", "embedding", threshold = 0.4)
     }),
 
@@ -311,10 +311,10 @@ object NorthStarQueries {
     // pair step over the materialized fingerprints (written by the query
     // itself immediately before the check reads it)
     "dedup_simhash" ->
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
-        |FROM read_parquet('/tmp/graft_oracle_aux/simhash_fp/*.parquet') a
-        |JOIN read_parquet('/tmp/graft_oracle_aux/simhash_fp/*.parquet') b
+        |FROM read_parquet('${OracleAux.sqlDir("simhash_fp")}/*.parquet') a
+        |JOIN read_parquet('${OracleAux.sqlDir("simhash_fp")}/*.parquet') b
         |  ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= 7""".stripMargin,
 
@@ -332,8 +332,8 @@ object NorthStarQueries {
     // exact re-rank over the materialized LSH candidate pairs — same
     // cosine/rank formulation as the (hash-green) brute-force oracle
     "sim_topk_lsh" ->
-      """WITH p AS (SELECT query_id, neighbor_id
-        |  FROM read_parquet('/tmp/graft_oracle_aux/lsh_cands/*.parquet')),
+      s"""WITH p AS (SELECT query_id, neighbor_id
+        |  FROM read_parquet('${OracleAux.sqlDir("lsh_cands")}/*.parquet')),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT p.query_id, p.neighbor_id,
         |  list_cosine_similarity(qe.v, ne.v) AS score
@@ -347,8 +347,8 @@ object NorthStarQueries {
         |FROM r WHERE rank <= 10""".stripMargin,
 
     "sim_topk_ivf" ->
-      """WITH p AS (SELECT query_id, neighbor_id
-        |  FROM read_parquet('/tmp/graft_oracle_aux/ivf_cands/*.parquet')),
+      s"""WITH p AS (SELECT query_id, neighbor_id
+        |  FROM read_parquet('${OracleAux.sqlDir("ivf_cands")}/*.parquet')),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT p.query_id, p.neighbor_id,
         |  list_cosine_similarity(qe.v, ne.v) AS score
@@ -363,8 +363,8 @@ object NorthStarQueries {
 
     // exact threshold stage over the materialized near-dup candidates
     "sim_cosine_neardups" ->
-      """WITH p AS (SELECT id_a, id_b
-        |  FROM read_parquet('/tmp/graft_oracle_aux/cosine_cands/*.parquet')),
+      s"""WITH p AS (SELECT id_a, id_b
+        |  FROM read_parquet('${OracleAux.sqlDir("cosine_cands")}/*.parquet')),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT p.id_a, p.id_b,
         |  list_cosine_similarity(ae.v, be.v) AS score
@@ -376,9 +376,9 @@ object NorthStarQueries {
     // nearest-centroid assignment against the materialized k-means
     // model; struct-max in Spark = (sim DESC, cell DESC) in SQL
     "agg_kmeans_cells" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT cell, centroid, norm
-        |  FROM read_parquet('/tmp/graft_oracle_aux/kmeans_centroids/*.parquet')
+        |  FROM read_parquet('${OracleAux.sqlDir("kmeans_centroids")}/*.parquet')
         |),
         |a AS (
         |  SELECT e.vec_id,
@@ -394,12 +394,12 @@ object NorthStarQueries {
     // cluster id = min reachable node — exact twin of min-label
     // propagation's fixpoint
     "dedup_cluster_canonical" ->
-      """WITH RECURSIVE e AS (
+      s"""WITH RECURSIVE e AS (
         |  SELECT id_a AS a, id_b AS b
-        |  FROM read_parquet('/tmp/graft_oracle_aux/neardup_pairs/*.parquet')
+        |  FROM read_parquet('${OracleAux.sqlDir("neardup_pairs")}/*.parquet')
         |  UNION
         |  SELECT id_b AS a, id_a AS b
-        |  FROM read_parquet('/tmp/graft_oracle_aux/neardup_pairs/*.parquet')
+        |  FROM read_parquet('${OracleAux.sqlDir("neardup_pairs")}/*.parquet')
         |),
         |reach(a, b) AS (
         |  SELECT a, b FROM e

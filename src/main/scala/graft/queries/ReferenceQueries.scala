@@ -92,7 +92,7 @@ object ReferenceQueries {
     // the generator draws themselves are covered by TransactionGenSpec.
     "pipeline_wire_to_spec" -> ((s, dir) => {
       val n = if (dir.contains("0.1")) 100000L else 10000L
-      val wirePath = "/tmp/graft_oracle_aux/wire"
+      val wirePath = OracleAux.dir(dir, "wire")
       graft.gen.TransactionGen.transactions(s, n)
         .write.mode("overwrite").parquet(wirePath)
       graft.gen.TransactionGen.spec(
@@ -107,7 +107,7 @@ object ReferenceQueries {
     // derivation. ts travels as epoch micros so neither engine's
     // timestamp inference is in play.
     "raw_json_to_stage" -> ((s, dir) => {
-      val rawPath = "/tmp/graft_oracle_aux/raw_events_json"
+      val rawPath = OracleAux.dir(dir, "raw_events_json")
       graft.etl.Writers.gzipJson(
         Tables.events(s, dir).select(col("event_id"), col("user_id"),
           col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us")),
@@ -172,22 +172,22 @@ object ReferenceQueries {
     // →double casts, PII-free 10-dim rollup) — written by the query
     // immediately before the check reads it
     "pipeline_wire_to_spec" ->
-      """SELECT w.bandeira, w.numero_cartao, w.exp, w.tipo_cartao,
+      s"""SELECT w.bandeira, w.numero_cartao, w.exp, w.tipo_cartao,
         |  w.cor_cartao, w.tipo_transacao,
         |  w.localizacao.cidade AS cidade,
         |  CAST(w.localizacao.lat AS DOUBLE) AS latitude,
         |  CAST(w.localizacao.lng AS DOUBLE) AS longitude,
         |  w.localizacao.estado AS estado,
         |  round(sum(CAST(w.valor AS DOUBLE)), 2) AS sum_valor
-        |FROM read_parquet('/tmp/graft_oracle_aux/wire/*.parquet') w
+        |FROM read_parquet('${OracleAux.sqlDir("wire")}/*.parquet') w
         |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10""".stripMargin,
 
     "raw_json_to_stage" ->
-      """SELECT event_id, user_id, event_type,
+      s"""SELECT event_id, user_id, event_type,
         |  round(value, 2) AS value_2dp,
         |  CAST(user_id % 16 AS INTEGER) AS k_bucket,
         |  CAST(make_timestamp(ts_us) AS DATE) AS event_date
-        |FROM read_json_auto('/tmp/graft_oracle_aux/raw_events_json/*.json.gz')""".stripMargin,
+        |FROM read_json_auto('${OracleAux.sqlDir("raw_events_json")}/*.json.gz')""".stripMargin,
 
     "stateful_spend_alert" ->
       """WITH r AS (
