@@ -301,16 +301,45 @@ object BreadthQueries {
           to_timestamp(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
             "yyyy-MM-dd'T'HH:mm:ss")).as("parsed_epoch"))),
 
-    // approx sketches (HLL count-distinct, quantile summaries) — engine-
-    // specific estimates, so no cross-engine oracle; sanity-tested in
-    // ScalaTest against exact values
-    "agg_approx_sketches" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
+    // approx sketches (HLL count-distinct, quantile summaries). The
+    // estimates are engine-specific, so the aux-oracle pattern makes
+    // them checkable: the Spark sketch outputs are materialized to
+    // parquet, then BOTH engines read those same values back, recompute
+    // the exact answers independently, and evaluate the documented error
+    // bounds — every output column is deterministic, so the row hashes
+    // must match. Bounds: HLL++ default rsd=0.05 → 3σ=15% count bound;
+    // percentile_approx(accuracy=1000) → ±n/1000 rank error, checked as
+    // |rank(approx)/n − 0.5| ≤ 0.002 (2× for data-point snap slop).
+    "agg_approx_sketches" -> ((s, dir) => {
+      val auxPath = OracleAux.dir(dir, "sketch_approx")
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_median_price"))),
+            .as("approx_median_price"))
+        .coalesce(1).write.mode("overwrite").parquet(auxPath)
+      val approx = s.read.parquet(auxPath)
+      val exact = li.groupBy(col("l_returnflag")).agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        count(lit(1)).as("n_rows"))
+      val ranked = li
+        .join(approx.select(col("l_returnflag"), col("approx_median_price")),
+          Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("l_extendedprice") <= col("approx_median_price"), 1L)
+          .otherwise(0L)).as("le_approx"))
+      approx.join(exact, Seq("l_returnflag")).join(ranked, Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"),
+          col("approx_orders"),
+          col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")) <=
+            col("exact_orders").cast("double") * 0.15).as("orders_within_bound"),
+          col("approx_median_price"),
+          (abs(col("le_approx").cast("double") / col("n_rows").cast("double")
+            - 0.5) <= 0.002).as("median_within_bound"))
+    }),
 
     // sliding window (30s window, 10s slide — each event lands in 3
     // windows); beyond the reference's tumbling-only surface
@@ -456,6 +485,38 @@ object BreadthQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // reads the Spark-materialized sketch values, recomputes exact
+    // counts/ranks independently, and evaluates the same documented
+    // bounds — every column deterministic, so hashes must match
+    "agg_approx_sketches" ->
+      s"""WITH a AS (
+        |  SELECT l_returnflag, approx_orders, approx_median_price
+        |  FROM read_parquet('${OracleAux.sqlDir("sketch_approx")}/*.parquet')
+        |),
+        |e AS (
+        |  SELECT l_returnflag,
+        |    count(DISTINCT l_orderkey) AS exact_orders,
+        |    count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1
+        |),
+        |r AS (
+        |  SELECT l.l_returnflag,
+        |    sum(CASE WHEN l.l_extendedprice <= a.approx_median_price
+        |             THEN 1 ELSE 0 END) AS le_approx
+        |  FROM lineitem l JOIN a ON l.l_returnflag = a.l_returnflag
+        |  GROUP BY 1
+        |)
+        |SELECT a.l_returnflag, a.approx_orders,
+        |  CAST(e.exact_orders AS BIGINT) AS exact_orders,
+        |  (abs(a.approx_orders - e.exact_orders) <=
+        |     CAST(e.exact_orders AS DOUBLE) * 0.15) AS orders_within_bound,
+        |  a.approx_median_price,
+        |  (abs(CAST(r.le_approx AS DOUBLE) / CAST(e.n_rows AS DOUBLE) - 0.5)
+        |     <= 0.002) AS median_within_bound
+        |FROM a
+        |JOIN e ON a.l_returnflag = e.l_returnflag
+        |JOIN r ON a.l_returnflag = r.l_returnflag""".stripMargin,
+
     "join_broadcast_dims" ->
       """SELECT r_name, n_name, count(c_custkey) AS n_customers,
         |  round(sum(c_acctbal), 2) AS total_acctbal
