@@ -36,7 +36,10 @@ object VectorExprs {
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n)
+        throw new IllegalArgumentException(
+          s"float_dot: dimension mismatch ($n vs ${y.numElements()})")
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -52,7 +55,11 @@ object VectorExprs {
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         s"""
-           |int $n = Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  throw new IllegalArgumentException(
+           |    "float_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
@@ -216,7 +223,10 @@ object VectorExprs {
 
     override protected def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
-      val n = math.min(dim, v.numElements())
+      if (v.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"srp_signature: vector dim ${v.numElements()} != plane dim $dim")
+      val n = dim
       var sig = 0L
       var p = 0
       while (p < numPlanes) {
@@ -244,7 +254,11 @@ object VectorExprs {
         val off = ctx.freshName("off")
         s"""
            |long $sig = 0L;
-           |int $n = Math.min($dim, $v.numElements());
+           |if ($v.numElements() != $dim) {
+           |  throw new IllegalArgumentException(
+           |    "srp_signature: vector dim " + $v.numElements() + " != plane dim " + $dim);
+           |}
+           |int $n = $dim;
            |for (int $p = 0; $p < $numPlanes; $p++) {
            |  double $acc = 0.0;
            |  int $off = $p * $dim;
@@ -283,7 +297,10 @@ object VectorExprs {
 
     override protected def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
-      val n = math.min(dim, v.numElements())
+      if (v.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"srp_band_keys: vector dim ${v.numElements()} != plane dim $dim")
+      val n = dim
       val keys = new Array[Long](bands)
       var p = 0
       while (p < totalPlanes) {
@@ -311,7 +328,11 @@ object VectorExprs {
         val off = ctx.freshName("off")
         s"""
            |long[] $keys = new long[$bands];
-           |int $n = Math.min($dim, $v.numElements());
+           |if ($v.numElements() != $dim) {
+           |  throw new IllegalArgumentException(
+           |    "srp_band_keys: vector dim " + $v.numElements() + " != plane dim " + $dim);
+           |}
+           |int $n = $dim;
            |for (int $p = 0; $p < $totalPlanes; $p++) {
            |  double $acc = 0.0;
            |  int $off = $p * $dim;

@@ -71,6 +71,18 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
+  /** Embedding dimensionality, read from the first row (parquet list
+    * schemas don't record a fixed length). One tiny action — a single
+    * row of a single column from one file split — paid once per plan
+    * build, not per row. Callers that already know the dim pass it
+    * explicitly and skip the action. The SRP expressions themselves
+    * raise on any row whose length disagrees with the planes
+    * ([[graft.functions.VectorExprs.SrpBandKeys]]), so a mixed-dim
+    * corpus fails loudly instead of hashing truncated projections.
+    */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head.getInt(0)
+
   /** Deterministic pseudo-random hyperplanes: `numPlanes` × `dim` doubles
     * from a fixed-seed PRNG, identical across executors and runs.
     */
@@ -164,14 +176,11 @@ object Similarity {
     */
   def lshCandidates(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, numPlanes: Int = 128, bands: Int = 16,
-                    seed: Long = 42L): DataFrame = {
+                    seed: Long = 42L, dim: Int = 0): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     val bitsPerBand = numPlanes / bands
-    // dim read lazily from the first corpus row is an action; instead the
-    // caller's schema fixes dim=64 (FIXTURES.md) — derive from data only
-    // when metadata is absent.
-    val dim = 64
-    val planes = hyperplanes(numPlanes, dim, seed)
+    val d = if (dim > 0) dim else vecDim(corpus, vecCol)
+    val planes = hyperplanes(numPlanes, d, seed)
 
     def keyed(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id),
@@ -255,14 +264,14 @@ object Similarity {
   def cosineNearDupCandidates(corpus: DataFrame, idCol: String,
                               vecCol: String, threshold: Double,
                               numPlanes: Int = 512, bands: Int = 64,
-                              seed: Long = 42L): DataFrame = {
+                              seed: Long = 42L, dim: Int = 0): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     val bitsPerBand = numPlanes / bands
-    val dim = 64
-    val planes = hyperplanes(numPlanes, dim, seed)
+    val d = if (dim > 0) dim else vecDim(corpus, vecCol)
+    val planes = hyperplanes(numPlanes, d, seed)
     // sketch planes drawn independently of the banding planes so the
     // mismatch count is an unbiased angle estimator on candidate pairs
-    val sketchPlanes = hyperplanes(126, dim, seed + 1)
+    val sketchPlanes = hyperplanes(126, d, seed + 1)
     val signed = corpus.select(col(idCol), col(vecCol).as("__v"),
       l2Norm(col(vecCol)).as("__n"),
       srpSignature(col(vecCol), sketchPlanes.slice(0, 63)).as("__sk0"),

@@ -144,6 +144,53 @@ class SimilaritySpec extends SparkSpec {
     assert(c3.length >= 6, s"expected ~8 non-empty cells, got ${c3.length}")
   }
 
+  test("dim is derived from the data: LSH works on a non-64-dim corpus " +
+    "and a mixed-dim corpus fails loudly") {
+    // 16-dim corpus: two tight clusters + noise. With hard-coded 64-dim
+    // planes this would throw (and before the guard, silently hash
+    // truncated projections); with derived dim the cluster twin must be
+    // every point's top-1 neighbor.
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + rnd.nextGaussian().toFloat * 0.01f)
+    val base1 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base2 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 40L).map { i =>
+      val v = if (i < 10) jitter(base1)
+        else if (i < 20) jitter(base2)
+        else Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i, v)
+    }
+    val emb16 = rows.toDF("vec_id", "embedding")
+    assert(Similarity.vecDim(emb16, "embedding") == 16)
+    val out = Similarity.lshTopK(emb16.where($"vec_id" < 5), emb16,
+      "vec_id", "embedding", k = 3).collect()
+    assert(out.nonEmpty)
+    val top1 = out.filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach { q =>
+      assert(top1.contains(q) && top1(q) < 10,
+        s"query $q top-1 should be a cluster-1 twin, got ${top1.get(q)}")
+    }
+    // near-dups on the same 16-dim corpus: cluster pairs only
+    val nd = Similarity.cosineNearDups(emb16, "vec_id", "embedding", 0.9)
+      .collect()
+    assert(nd.nonEmpty)
+    assert(nd.forall(r => (r.getLong(0) < 10) == (r.getLong(1) < 10)))
+    // mixed-dim corpus: the signature expression must raise, not truncate
+    val mixed = emb16.union(Seq((99L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding"))
+    val ex = intercept[Exception] {
+      Similarity.lshCandidates(mixed.where($"vec_id" < 5), mixed,
+        "vec_id", "embedding").count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage match {
+      case null => false
+      case m => m.contains("dim")
+    }), s"expected a dimension-mismatch error, got $ex")
+  }
+
   test("deterministic across runs: same seed → same LSH output") {
     val emb = Tables.embeddings(spark, sf())
     def run() = Similarity.lshTopK(emb.where($"vec_id" < 3), emb,
