@@ -94,6 +94,54 @@ object ScaleCheck {
         graft.similarity.Similarity.lshTopK(
           embX.where(col("vec_id") < 8), embX, "vec_id", "embedding", 10).count()
       }
+      // IVF probe, ivfPlan-sized per corpus, build and query timed
+      // SEPARATELY: build (assign n rows against √(n·nprobe) centroids)
+      // is the one-time n^1.5 index cost amortized over queries; the
+      // per-query path must grow ~√n. Training reads a hash sample
+      // (trainSampleModFor), never the corpus.
+      def ivfProbe(tag: String, emb: org.apache.spark.sql.DataFrame): Unit = {
+        val n = emb.count()
+        val (cells, nprobe) = graft.similarity.Similarity.ivfPlan(n)
+        val mod = graft.similarity.Similarity.trainSampleModFor(n, cells)
+        println(s"ivfPlan(n=$n): cells=$cells nprobe=$nprobe sampleMod=$mod")
+        var built: org.apache.spark.sql.DataFrame = null
+        var model: Array[(Seq[Float], Double)] = null
+        time(s"ivf_build_$tag") {
+          val (m, c) = graft.similarity.Similarity.ivfBuild(
+            emb, "vec_id", "embedding", cells, iters = 1, sampleMod = mod)
+          model = m
+          c.write.mode("overwrite").parquet(s"/tmp/ivf_cells_$tag.parquet")
+          built = spark.read.parquet(s"/tmp/ivf_cells_$tag.parquet")
+          built.count()
+        }
+        time(s"ivf_query_$tag") {
+          graft.similarity.Similarity.rerankTopK(
+            graft.similarity.Similarity.ivfProbe(
+              emb.where(col("vec_id") < 8), "vec_id", "embedding",
+              model, built, nprobe),
+            emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 10).count()
+        }
+      }
+      ivfProbe("x1", emb0)
+      ivfProbe("x32", embX)
+    }
+    // Connected-components long-chain probe: a path graph is the
+    // diameter worst case — min-label propagation needs |V| rounds; the
+    // default alternating large-star/small-star must close a ×32 chain
+    // in O(log n) rounds (~+5 rounds for ×32, never ×32 the rounds).
+    locally {
+      def chain(n: Long) = spark.range(n - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+        .repartition(32)
+      def ccProbe(tag: String, n: Long): Unit = {
+        val t0 = System.nanoTime()
+        val (labels, rounds) = graft.dedup.Dedup.connectedComponentsWithRounds(
+          chain(n), "a", "b")
+        val ok = labels.where(col("label") === 0).count() == n
+        println(f"cc_chain_$tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (n=$n rounds=$rounds oneComponent=$ok)")
+      }
+      ccProbe("x1", 20000L)
+      ccProbe("x32", 640000L)
     }
     time("range_join_10m") {
       val base = ev.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))

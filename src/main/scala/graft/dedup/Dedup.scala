@@ -211,53 +211,162 @@ object Dedup {
     simhashCandidatePairs(signed, idCol, "__sim", maxHamming, maxBucketRows)
   }
 
-  /** Connected components over a near-duplicate pair graph by iterated
-    * min-label propagation: every node's label becomes the minimum of
-    * its own and its neighbors' labels until fixpoint. The cluster step
-    * of corpus dedup — a near-dup PAIR list (from MinHash/SimHash/
+  /** Connected components over a near-duplicate pair graph — the cluster
+    * step of corpus dedup: a near-dup PAIR list (from MinHash/SimHash/
     * embedding LSH) becomes disjoint clusters, and one canonical doc
     * (min id) is kept per cluster.
     *
-    * Scale shape: each iteration is one shuffle join (edges ⋈ labels on
-    * dst) + one groupBy(src) min — map-side combined — and converges in
-    * `diameter(graph)` rounds; near-dup clusters are shallow (pairs of
-    * a common template), so 3-5 rounds is typical. `localCheckpoint`
-    * truncates the growing lineage each round (iterative DataFrame
-    * loops otherwise replan from the source every iteration). The
-    * driver sees only the per-round change COUNT, never node data. For
-    * graphs with long chains swap in pointer-doubling (large-star/
-    * small-star) — same loop skeleton, O(log d) rounds.
+    * Two algorithms behind one signature:
+    *  - `"alternating"` (default) — large-star/small-star pointer
+    *    doubling ([[ccAlternating]]): O(log n) rounds independent of
+    *    graph diameter, the 100 TB-safe choice;
+    *  - `"minlabel"` — min-label propagation ([[ccMinLabel]]):
+    *    diameter-of-graph rounds, fine for the shallow clusters real
+    *    near-dup graphs produce.
+    * The driver sees only per-round fixpoint aggregates, never node
+    * data; rounds are checkpointed (reliable dir when the session has
+    * one configured, else localCheckpoint — see [[checkpoint]]).
     *
     * Output: (id, label) — `label` = min node id reachable from `id`,
     * i.e. the cluster id. Only nodes that appear in `edges` are listed
     * (isolated docs are their own trivial cluster).
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 50,
+                          algorithm: String = "alternating"): DataFrame =
+    connectedComponentsWithRounds(edges, aCol, bCol, maxIters, algorithm)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — the
+    * O(log n) evidence ScaleCheck records for long-chain graphs.
+    */
+  def connectedComponentsWithRounds(edges: DataFrame, aCol: String,
+                                    bCol: String, maxIters: Int = 50,
+                                    algorithm: String = "alternating")
+      : (DataFrame, Int) = algorithm match {
+    case "alternating" => ccAlternating(edges, aCol, bCol, maxIters)
+    case "minlabel"    => ccMinLabel(edges, aCol, bCol, maxIters)
+    case other => throw new IllegalArgumentException(
+      s"unknown connected-components algorithm '$other'")
+  }
+
+  /** Reliable checkpoint when the session has a checkpoint directory
+    * configured (`spark.sparkContext.setCheckpointDir` — blocks land on
+    * the cluster FS and survive executor loss); `localCheckpoint`
+    * otherwise (executor-local — fine single-node / in-sandbox, lossy on
+    * executor failure at cluster scale). Both truncate lineage, which
+    * iterative DataFrame loops need to avoid replanning from the source
+    * every round.
+    */
+  private def checkpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Min-label propagation: converges in `diameter(graph)` rounds — the
+    * cheap path for the shallow clusters near-dup graphs produce, kept
+    * for comparison; [[ccAlternating]] is the default (long chains make
+    * diameter rounds quadratic work in the worst case).
+    */
+  private def ccMinLabel(edges: DataFrame, aCol: String, bCol: String,
+                         maxIters: Int): (DataFrame, Int) = {
     val sym = edges.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .union(edges.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = checkpoint(sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val updated = labels.as("l")
+      val updated = checkpoint(labels.as("l")
         .join(nbrMin, col("l.id") === nbrMin("src"), "left")
         .select(col("l.id").as("id"),
           least(col("l.label"), coalesce(col("nbr_label"), col("l.label")))
             .as("label"),
-          col("l.label").as("__old"))
-        .localCheckpoint()
+          col("l.label").as("__old")))
       changed = updated.where(col("label") < col("__old")).count()
       labels = updated.select("id", "label")
       iters += 1
     }
-    labels
+    (labels, iters)
+  }
+
+  /** Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14) — pointer-doubling
+    * for edge lists: converges in O(log n) rounds regardless of graph
+    * diameter, where min-label propagation needs diameter rounds (a
+    * 10⁶-node chain = 10⁶ rounds).
+    *
+    *  - large-star: for every node u, hook each STRICTLY LARGER neighbor
+    *    v > u onto m = min(Γ(u) ∪ {u}) — emit (v, m);
+    *  - small-star: direct edges large→small; hook each smaller neighbor
+    *    (and u itself) onto m = min(Γ⁻(u) ∪ {u}).
+    *
+    * Both steps preserve connectivity exactly (no approximation); at
+    * fixpoint the edge set is a disjoint union of stars (v, root).
+    * Per round: two shuffle joins + two map-side-combined groupBy-mins
+    * over the EDGE list (never a node×neighbor matrix), one fixpoint
+    * check. Checkpointed each round ([[checkpoint]]: reliable dir when
+    * configured, else local).
+    *
+    * Fixpoint test: the (count, wrapping-sum of xxhash64(src,dst))
+    * signature of the canonical edge set — one cheap aggregate per
+    * round; both steps are monotone (labels only decrease), so a stable
+    * signature means a stable edge set.
+    */
+  private def ccAlternating(edges: DataFrame, aCol: String, bCol: String,
+                            maxIters: Int): (DataFrame, Int) = {
+    // canonical direction: (big, small); self-loops dropped
+    def canon(e: DataFrame): DataFrame =
+      e.where(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct()
+
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("__minN"))
+        .select(col("src"), least(col("__minN"), col("src")).as("__m"))
+      canon(sym.join(m, "src").where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("__m").as("dst")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // already canonical (src > dst): Γ⁻(u) = all dst < u
+      val m = e.groupBy(col("src")).agg(min(col("dst")).as("__m"))
+      val j = e.join(m, "src")
+      canon(
+        j.where(col("dst") =!= col("__m"))
+          .select(col("dst").as("src"), col("__m").as("dst"))
+          .union(j.select(col("src"), col("__m").as("dst"))))
+    }
+
+    var e = checkpoint(canon(edges.select(
+      col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))))
+    var sig = signature(e)
+    var iters = 0
+    var stable = false
+    while (!stable && iters < maxIters) {
+      val next = checkpoint(smallStar(largeStar(e)))
+      val nextSig = signature(next)
+      stable = nextSig == sig
+      sig = nextSig
+      e = next
+      iters += 1
+    }
+    // fixpoint edge set is stars (v, root); roots get their self row.
+    // groupBy-min is a safety net if maxIters truncated the loop.
+    val labels = e.select(col("src").as("id"), col("dst").as("label"))
+      .union(e.select(col("dst").as("id"), col("dst").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+    (labels, iters)
   }
 
   /** Brute-force exact n-gram Jaccard over all pairs of `df` — O(n²),

@@ -350,6 +350,118 @@ object VectorExprs {
       copy(child = c)
   }
 
+  /** Top-`n` nearest centroids of a float-vector column — the IVF
+    * coarse-quantizer assignment in ONE expression. The centroid matrix
+    * (row-major `float[numCells*dim]`) and per-centroid norms ride along
+    * as codegen reference objects, so `numCells` is a runtime loop bound
+    * rather than an expression-tree width: one struct-expression per
+    * cell (the naive spelling) makes janino whole-stage compile time the
+    * dominant cost past ~64 cells — same lesson as [[SrpBandKeys]].
+    *
+    * Ranking key is (dot/centroidNorm) ≡ cosine up to the row's own
+    * positive norm; ties broken toward the HIGHER cell index, matching
+    * `array_max` / descending `array_sort` over `struct(sim, cell)` so
+    * swapping the naive spelling for this one cannot reorder any result.
+    * Accumulation is ascending-index double — bit-identical to
+    * [[FloatVecDot]] against a centroid literal.
+    */
+  case class NearestCells(child: Expression, cents: Array[Float],
+                          centNorms: Array[Double], n: Int)
+      extends UnaryExpression {
+
+    require(n > 0 && centNorms.length > 0 &&
+      cents.length % centNorms.length == 0)
+    private val numCells = centNorms.length
+    private val dim = cents.length / numCells
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"nearest_cells: vector dim ${v.numElements()} != centroid dim $dim")
+      val keep = math.min(n, numCells)
+      val simBuf = new Array[Double](keep)
+      val cellBuf = new Array[Int](keep)
+      var m = 0
+      var c = 0
+      while (c < numCells) {
+        var acc = 0.0
+        val off = c * dim
+        var i = 0
+        while (i < dim) {
+          acc += v.getFloat(i).toDouble * cents(off + i).toDouble
+          i += 1
+        }
+        val sim = acc / centNorms(c)
+        if (m < keep || sim > simBuf(m - 1) ||
+            (sim == simBuf(m - 1) && c > cellBuf(m - 1))) {
+          var j = if (m < keep) m else keep - 1
+          while (j > 0 && (sim > simBuf(j - 1) ||
+              (sim == simBuf(j - 1) && c > cellBuf(j - 1)))) {
+            simBuf(j) = simBuf(j - 1); cellBuf(j) = cellBuf(j - 1); j -= 1
+          }
+          simBuf(j) = sim; cellBuf(j) = c
+          if (m < keep) m += 1
+        }
+        c += 1
+      }
+      ArrayData.toArrayData(java.util.Arrays.copyOf(cellBuf, m))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ce = ctx.addReferenceObj("cents", cents, "float[]")
+      val no = ctx.addReferenceObj("centNorms", centNorms, "double[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val simBuf = ctx.freshName("simBuf")
+        val cellBuf = ctx.freshName("cellBuf")
+        val m = ctx.freshName("m")
+        val c = ctx.freshName("c")
+        val acc = ctx.freshName("acc")
+        val off = ctx.freshName("off")
+        val i = ctx.freshName("i")
+        val sim = ctx.freshName("sim")
+        val j = ctx.freshName("j")
+        val keep = ctx.freshName("keep")
+        s"""
+           |if ($v.numElements() != $dim) {
+           |  throw new IllegalArgumentException(
+           |    "nearest_cells: vector dim " + $v.numElements() + " != centroid dim " + $dim);
+           |}
+           |int $keep = ${math.min(n, numCells)};
+           |double[] $simBuf = new double[$keep];
+           |int[] $cellBuf = new int[$keep];
+           |int $m = 0;
+           |for (int $c = 0; $c < $numCells; $c++) {
+           |  double $acc = 0.0;
+           |  int $off = $c * $dim;
+           |  for (int $i = 0; $i < $dim; $i++) {
+           |    $acc += (double) $v.getFloat($i) * (double) $ce[$off + $i];
+           |  }
+           |  double $sim = $acc / $no[$c];
+           |  if ($m < $keep || $sim > $simBuf[$m - 1] ||
+           |      ($sim == $simBuf[$m - 1] && $c > $cellBuf[$m - 1])) {
+           |    int $j = ($m < $keep) ? $m : $keep - 1;
+           |    while ($j > 0 && ($sim > $simBuf[$j - 1] ||
+           |        ($sim == $simBuf[$j - 1] && $c > $cellBuf[$j - 1]))) {
+           |      $simBuf[$j] = $simBuf[$j - 1]; $cellBuf[$j] = $cellBuf[$j - 1]; $j--;
+           |    }
+           |    $simBuf[$j] = $sim; $cellBuf[$j] = $c;
+           |    if ($m < $keep) $m++;
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+           |  java.util.Arrays.copyOf($cellBuf, $m));
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ---- Column wrappers ----
 
   def float_dot(a: Column, b: Column): Column =
@@ -371,4 +483,8 @@ object VectorExprs {
                     bands: Int, bitsPerBand: Int): Column =
     bridge.column(SrpBandKeys(bridge.expression(vec),
       planes.flatten.toArray, bands, bitsPerBand))
+
+  def nearest_cells(vec: Column, cents: Array[Float],
+                    centNorms: Array[Double], n: Int): Column =
+    bridge.column(NearestCells(bridge.expression(vec), cents, centNorms, n))
 }

@@ -117,6 +117,32 @@ object ReferenceQueries {
         round(col("value"), 2).as("value_2dp"),
         (col("user_id") % 16).cast("integer").as("k_bucket"),
         to_date(timestamp_micros(col("ts_us"))).as("event_date"))
+    }),
+
+    // S3/crawler nested-struct inference (historical.py:236-243 landed a
+    // nested `localizacao` object; stage.py:38-41 read it back through
+    // the crawler's inferred schema): land DOUBLY-nested JSON objects,
+    // infer the struct tree on read (no user schema), then project
+    // dotted paths out of the INFERRED tree. DuckDB's read_json_auto
+    // infers the same nesting for the twin.
+    "raw_json_nested_infer" -> ((s, dir) => {
+      val rawPath = OracleAux.dir(dir, "raw_events_nested_json")
+      graft.etl.Writers.gzipJson(
+        Tables.events(s, dir).select(
+          col("event_id"),
+          struct(
+            col("user_id"),
+            struct((col("user_id") % 27).as("region"),
+              concat(lit("c"), col("user_id") % 100).as("city")).as("geo"))
+            .as("who"),
+          col("value")),
+        rawPath)
+      val inferred = s.read.json(rawPath) // nested inference = crawler
+      inferred.select(col("event_id"),
+        col("who.user_id").as("user_id"),
+        col("who.geo.region").as("region"),
+        col("who.geo.city").as("city"),
+        round(col("value"), 2).as("value_2dp"))
     })
   )
 
@@ -188,6 +214,14 @@ object ReferenceQueries {
         |  CAST(user_id % 16 AS INTEGER) AS k_bucket,
         |  CAST(make_timestamp(ts_us) AS DATE) AS event_date
         |FROM read_json_auto('${OracleAux.sqlDir("raw_events_json")}/*.json.gz')""".stripMargin,
+
+    "raw_json_nested_infer" ->
+      s"""SELECT event_id,
+        |  who.user_id AS user_id,
+        |  who.geo.region AS region,
+        |  who.geo.city AS city,
+        |  round(value, 2) AS value_2dp
+        |FROM read_json_auto('${OracleAux.sqlDir("raw_events_nested_json")}/*.json.gz')""".stripMargin,
 
     "stateful_spend_alert" ->
       """WITH r AS (

@@ -347,19 +347,54 @@ object Similarity {
   private def withNorm(v: Seq[Float]): (Seq[Float], Double) =
     (v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
 
-  /** Per-row array of (cosine-to-centroid, cell-index) structs; the
-    * row's own norm is a positive constant across the comparison so
-    * dot/centroidNorm ranks identically to full cosine.
+  /** Top-`n` nearest cells (by dot/centroidNorm ≡ cosine up to the
+    * row's own positive norm), descending, in ONE codegen expression
+    * ([[VectorExprs.NearestCells]]): the centroid matrix is a codegen
+    * reference object and `numCells` a loop bound, so cell count can
+    * follow [[ivfPlan]]'s √n rule without the per-cell struct-expression
+    * spelling whose janino compile dominates past ~64 cells.
     */
-  private def simsFor(cents: Array[(Seq[Float], Double)])(vec: Column): Column =
-    array(cents.zipWithIndex.map { case ((cv, cn), i) =>
-      struct((dot(vec, array(cv.map(lit): _*)) / lit(cn)).as("sim"),
-        lit(i).as("cell"))
-    }: _*)
+  def nearestCells(cents: Array[(Seq[Float], Double)], n: Int)(vec: Column): Column =
+    VectorExprs.nearest_cells(vec, cents.flatMap(_._1), cents.map(_._2), n)
 
   /** Nearest-centroid cell index for a vector column. */
   def cellFor(cents: Array[(Seq[Float], Double)])(vec: Column): Column =
-    array_max(simsFor(cents)(vec)).getField("cell")
+    element_at(nearestCells(cents, 1)(vec), 1)
+
+  /** Sizing rule for the IVF coarse quantizer — the [[srpPlan]]
+    * analogue, the knob to re-derive at any corpus scale. Per-QUERY work
+    * over balanced cells is
+    * {{{
+    *   numCells·dim                 // score every centroid
+    *   + nprobe·(n/numCells)·dim    // exact re-rank of the probed lists
+    * }}}
+    * minimized at `numCells = √(n·nprobe)` where the two terms are equal
+    * — per-query cost then grows as √(n·nprobe)·dim, the IVF
+    * subquadratic scale claim (total query workload n^1.5 for n queries,
+    * vs n² brute force). Recall is bought with `nprobe`: a true neighbor
+    * is reachable iff its cell is probed, and vectors near a cell
+    * boundary need more than one probe; re-rank cost is linear in
+    * nprobe. Measured against [[bruteForceTopK]] in SimilaritySpec
+    * (recall 1.0 at nprobe=8 of 16 cells on the test corpus).
+    *
+    * The √n count is capped at `maxCells`: the one-time BUILD pass
+    * ([[ivfBuild]]) assigns every corpus row at n·numCells·dim cost and
+    * the driver-side model is numCells·dim floats — past the cap the
+    * flat centroid scan itself needs the IVF treatment (a two-level /
+    * hierarchical coarse quantizer). Train on a hash sample sized by
+    * [[trainSampleModFor]], never the full corpus.
+    */
+  def ivfPlan(n: Long, nprobe: Int = 4, maxCells: Int = 4096): (Int, Int) =
+    (math.max(4, math.min(maxCells,
+      math.ceil(math.sqrt(n.toDouble * nprobe)).toInt)), nprobe)
+
+  /** Hash-sample modulus leaving ≈ `rowsPerCell·numCells` training rows:
+    * the quantizer needs ~10²-rows-per-cell statistics, not the corpus —
+    * at 100 TB training must read a sample or it costs a full extra
+    * shuffle-the-vectors pass per Lloyd round.
+    */
+  def trainSampleModFor(n: Long, numCells: Int, rowsPerCell: Int = 128): Int =
+    math.max(1, (n / math.max(1L, rowsPerCell.toLong * numCells)).toInt)
 
   /** Lloyd's k-means on the cosine geometry, deterministic and
     * seed-free: hash-stratified init (one pseudo-random row per
@@ -376,10 +411,17 @@ object Similarity {
     * standard Lloyd degeneracy.
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                     numCells: Int, iters: Int = 1): Array[(Seq[Float], Double)] = {
+                     numCells: Int, iters: Int = 1,
+                     sampleMod: Int = 1): Array[(Seq[Float], Double)] = {
+    // hash-stratified training sample (deterministic, seed-free): the
+    // quantizer needs per-cell statistics, not the corpus — sampleMod>1
+    // is the 100 TB shape (size via trainSampleModFor)
+    val train = if (sampleMod <= 1) corpus
+      else corpus.where(
+        pmod(xxhash64(col(idCol), lit(13)), lit(sampleMod)) === 0)
     val pickW = Window.partitionBy(col("__stratum"))
       .orderBy(col("__pick"), col(idCol))
-    val init: Array[(Seq[Float], Double)] = corpus
+    val init: Array[(Seq[Float], Double)] = train
       .select(col(idCol), col(vecCol),
         pmod(xxhash64(col(idCol)), lit(numCells)).as("__stratum"),
         xxhash64(col(idCol), lit(7)).as("__pick"))
@@ -390,7 +432,7 @@ object Similarity {
       .map(_._1.length).getOrElse(64))
     var cents = init
     for (_ <- 1 to iters) {
-      cents = corpus
+      cents = train
         .select(col(vecCol).as("__v"), cellFor(cents)(col(vecCol)).as("cell"))
         .groupBy(col("cell")).agg(mean(col("__v")).as("m"))
         .orderBy(col("cell")) // stable cell numbering across runs
@@ -401,30 +443,52 @@ object Similarity {
     cents
   }
 
+  /** BUILD stage of IVF — train the coarse quantizer, then assign every
+    * corpus row to its cell. This is the one-time n·numCells·dim pass
+    * that amortizes over all queries (real ANN services build once,
+    * query forever — ScaleCheck times build and query separately for
+    * exactly this reason). Returns the model + the inverted-file
+    * `(neighbor_id, cell)` table, which callers persist/cache.
+    */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+               numCells: Int, iters: Int = 1, sampleMod: Int = 1)
+      : (Array[(Seq[Float], Double)], DataFrame) = {
+    val cents = trainCentroids(corpus, idCol, vecCol, numCells, iters, sampleMod)
+    (cents, corpus.select(col(idCol).as("neighbor_id"),
+      cellFor(cents)(col(vecCol)).as("cell")))
+  }
+
+  /** QUERY stage of IVF against a built index: each query probes its
+    * `nprobe` nearest cells; candidates = the probed cells' rows via a
+    * broadcast equi-join (the only shuffle-shaped step, and its left
+    * side is |Q|·nprobe rows of (long, int)).
+    */
+  def ivfProbe(queries: DataFrame, idCol: String, vecCol: String,
+               cents: Array[(Seq[Float], Double)], cells: DataFrame,
+               nprobe: Int): DataFrame = {
+    val qProbes = queries.select(col(idCol).as("query_id"),
+      explode(nearestCells(cents, nprobe)(col(vecCol))).as("cell"))
+    broadcast(qProbes).join(cells, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+  }
+
   /** Candidate stage of [[ivfTopK]]: (query_id, neighbor_id) pairs from
     * probing each query's `nprobe` nearest cells. Exposed so the pair
     * list can be materialized and the exact re-rank verified externally.
     */
   def ivfCandidates(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, numCells: Int = 16,
-                    nprobe: Int = 4): DataFrame = {
-    val centroids = trainCentroids(corpus, idCol, vecCol, numCells, iters = 1)
-    def cellSims(vec: Column): Column = simsFor(centroids)(vec)
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      array_max(cellSims(col(vecCol))).getField("cell").as("cell"))
-    val qProbes = queries.select(col(idCol).as("query_id"),
-      explode(slice(reverse(array_sort(cellSims(col(vecCol)))), 1, nprobe))
-        .as("probe"))
-      .select(col("query_id"), col("probe.cell").as("cell"))
-    broadcast(qProbes).join(c, Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
+                    nprobe: Int = 4, sampleMod: Int = 1): DataFrame = {
+    val (cents, cells) =
+      ivfBuild(corpus, idCol, vecCol, numCells, iters = 1, sampleMod)
+    ivfProbe(queries, idCol, vecCol, cents, cells, nprobe)
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16,
-              nprobe: Int = 4): DataFrame =
+              nprobe: Int = 4, sampleMod: Int = 1): DataFrame =
     rerankTopK(
-      ivfCandidates(queries, corpus, idCol, vecCol, numCells, nprobe),
+      ivfCandidates(queries, corpus, idCol, vecCol, numCells, nprobe, sampleMod),
       queries, corpus, idCol, vecCol, k)
 }

@@ -88,6 +88,50 @@ class DedupSpec extends SparkSpec {
     assert(comp.size == 10)
   }
 
+  test("connectedComponents: alternating == minlabel on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    def labels(algo: String) =
+      Dedup.connectedComponents(edges, "id_a", "id_b", algorithm = algo)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels("alternating") == labels("minlabel"))
+  }
+
+  test("connectedComponents: alternating converges in O(log n) rounds on " +
+    "a long chain where minlabel needs diameter rounds") {
+    // 512-node chain: diameter 511. minlabel moves the min one hop per
+    // round; alternating's star contractions collapse it in ~log n.
+    val chain = (0L until 511L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+      chain, "id_a", "id_b", maxIters = 25, algorithm = "alternating")
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 512 && m.values.forall(_ == 0L), s"rounds=$rounds")
+    assert(rounds <= 15, s"expected O(log 512) ≈ <=15 rounds, took $rounds")
+    // and minlabel demonstrably can NOT finish the chain in that budget
+    val (_, mlRounds) = Dedup.connectedComponentsWithRounds(
+      chain, "id_a", "id_b", maxIters = 16, algorithm = "minlabel")
+    assert(mlRounds == 16, "minlabel should exhaust its budget on a chain")
+  }
+
+  test("connectedComponents uses a reliable checkpoint dir when configured") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      val m = Dedup.connectedComponents(edges, "id_a", "id_b").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      // checkpoint blocks must have landed under the configured dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no checkpoint files written to the reliable dir")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("simhash hot-bucket guard bounds a skewed corpus (many identical docs)") {
     // 2000 identical docs → one fingerprint → every (chunk_id, chunk)
     // bucket holds all 2000 rows → ungated candidates would be

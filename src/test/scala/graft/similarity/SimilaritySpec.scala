@@ -81,6 +81,37 @@ class SimilaritySpec extends SparkSpec {
     assert(bandsMp < bands1k / 3, s"mp=$bandsMp vs $bands1k")
   }
 
+  test("ivfPlan: √(n·nprobe) cells, capped; sampleMod leaves ~rowsPerCell·cells") {
+    val (c64k, np) = Similarity.ivfPlan(64000)
+    assert(np == 4 && c64k == math.ceil(math.sqrt(64000.0 * 4)).toInt, s"c=$c64k")
+    val (c2m, _) = Similarity.ivfPlan(64000L * 32)
+    // √n rule: ×32 corpus → ~√32 ≈ 5.7× the cells
+    assert(c2m.toDouble / c64k > 4 && c2m.toDouble / c64k < 7, s"$c64k -> $c2m")
+    val (cBig, _) = Similarity.ivfPlan(1000000000L)
+    assert(cBig == 4096, "cap: past maxCells the quantizer needs a 2nd level")
+    val mod = Similarity.trainSampleModFor(64000L * 32, c2m)
+    val sampled = 64000L * 32 / mod
+    assert(sampled >= 100L * c2m && sampled <= 300L * c2m, s"mod=$mod")
+  }
+
+  test("nearestCells matches the naive (sim desc, cell desc) ordering, ties included") {
+    val rnd = new scala.util.Random(5)
+    // 3-dim corpus, 7 centroids, two of them IDENTICAL to force sim ties
+    val base = Array.fill(6)(Seq.fill(3)(rnd.nextFloat()))
+    val cents = (base :+ base(2)).map(v =>
+      (v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)))
+    val rows = Seq.tabulate(50)(i => (i.toLong, Seq.fill(3)(rnd.nextFloat())))
+    val df = rows.toDF("id", "vec")
+    val got = df.select($"id", Similarity.nearestCells(cents, 3)($"vec").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    rows.foreach { case (id, v) =>
+      val want = cents.zipWithIndex.map { case ((cv, cn), i) =>
+        (v.zip(cv).map { case (a, b) => a.toDouble * b.toDouble }.sum / cn, i)
+      }.sortBy { case (s, i) => (-s, -i) }.take(3).map(_._2).toList
+      assert(got(id) == want, s"id=$id")
+    }
+  }
+
   test("IVF top-k recall vs brute force is usable (>= 0.7 with nprobe=8/16)") {
     val emb = Tables.embeddings(spark, sf())
     val q = emb.where($"vec_id" < 10)
