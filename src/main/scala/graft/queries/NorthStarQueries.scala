@@ -22,6 +22,25 @@ object NorthStarQueries {
 
   def defs: Map[String, Q] = Map(
     // ---- text analysis ----
+    // Gopher-style repetition filters (token-level): top-bigram
+    // coverage + duplicated-trigram fraction per document
+    "text_repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(
+        Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text")),
+
+    // train/eval decontamination: docs sharing any n-token gram with
+    // the (deterministic doc_id%97) eval slice; eval grams broadcast.
+    // Real pipelines use 8-13 token windows; this corpus' ~50-word
+    // vocabulary needs n=4 for the overlap regime to exist at harness
+    // scale (8 contaminated docs at sf0.01, 727 at sf0.1)
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      TextAnalysis.contamination(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 4)
+    }),
+
     "text_quality_stats" -> ((s, dir) =>
       TextAnalysis.qualityStats(
         Tables.documents(s, dir).select("doc_id", "text"), "text")
@@ -447,6 +466,51 @@ object NorthStarQueries {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    "text_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), tk AS (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+        |bga AS (
+        |  SELECT doc_id, g, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i + 1])) AS g FROM tk)
+        |  GROUP BY 1, 2
+        |), bstat AS (
+        |  SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram_n,
+        |    CAST(sum(n) AS BIGINT) AS n_bigrams FROM bga GROUP BY 1
+        |), tga AS (
+        |  SELECT doc_id, g, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g FROM tk)
+        |  GROUP BY 1, 2
+        |), tstat AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_trigrams FROM tga GROUP BY 1
+        |)
+        |SELECT b.doc_id, b.n_bigrams, b.top_bigram_n,
+        |  round(CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams, 6) AS top_bigram_frac,
+        |  t.n_trigrams,
+        |  round(1.0 - CAST(t.n_distinct_trigrams AS DOUBLE) / t.n_trigrams, 6)
+        |    AS dup_trigram_frac
+        |FROM bstat b JOIN tstat t USING (doc_id)""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS g
+        |  FROM toks WHERE len(t) >= 4
+        |), bench AS (
+        |  SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0
+        |)
+        |SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared_grams
+        |FROM g JOIN bench USING (g)
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY 1""".stripMargin,
 
     "text_quality_stats" ->
       """WITH t AS (

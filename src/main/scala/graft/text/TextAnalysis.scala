@@ -105,4 +105,72 @@ object TextAnalysis {
     df.withColumn("fp_exact", md5(t.cast("binary")))
       .withColumn("fp_norm", md5(concat_ws(" ", tokens(t)).cast("binary")))
   }
+
+  /** Space-joined token n-grams, every occurrence kept (positions
+    * 1..len-n+1). Callers must pre-filter `size(toks) >= n` — Spark's
+    * `sequence(0, negative)` counts DOWN, it doesn't return empty.
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: repetitive
+    * documents are boilerplate/generator output and get filtered before
+    * training). Token-level variants of the paper's line-based rules
+    * (this corpus is single-line):
+    *  - `top_bigram_frac` — share of bigram occurrences taken by the
+    *    single most frequent bigram;
+    *  - `dup_trigram_frac` — share of trigram occurrences that are
+    *    repeats (1 − distinct/total).
+    * Scale shape: two explode → groupBy(doc, gram) → groupBy(doc)
+    * passes; grams never leave their document key, so the shuffle is
+    * per-doc bounded and partial (map-side) aggregation soaks up the
+    * within-doc repetition this operator exists to measure.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= 3)
+    def gramCounts(n: Int): DataFrame = toks
+      .select(col(idCol), explode(ngrams(col("__t"), n)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+    val bi = gramCounts(2).groupBy(col(idCol))
+      .agg(max(col("__n")).as("top_bigram_n"), sum(col("__n")).as("n_bigrams"))
+    val tri = gramCounts(3).groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_trigrams"),
+        count(lit(1)).as("n_distinct_trigrams"))
+    bi.join(tri, idCol)
+      .select(col(idCol), col("n_bigrams"), col("top_bigram_n"),
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_frac"),
+        col("n_trigrams"),
+        round(lit(1.0) -
+          col("n_distinct_trigrams").cast("double") / col("n_trigrams"), 6)
+          .as("dup_trigram_frac"))
+  }
+
+  /** Train/eval decontamination: flag every training document sharing
+    * at least one `n`-token gram with the eval set — the overlap filter
+    * every serious pretraining corpus runs (e.g. GPT-3 appendix C;
+    * 8-13 token grams are the standard window). Returns
+    * (id, n_shared_grams) for contaminated docs only.
+    *
+    * Scale shape: eval suites are millions of tokens, corpora are
+    * 100 TB — so the eval gram set broadcasts and the corpus side is a
+    * map-only explode + broadcast-hash semi-join + per-doc count; the
+    * corpus is never shuffled. For an eval set too big to broadcast,
+    * swap in the bloom-pruned shuffle join ([[graft.etl.BloomPrune]])
+    * — same pair semantics, sketch-bounded traffic.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= n)
+      .select(col(idCol),
+        explode(array_distinct(ngrams(col("__t"), n))).as("__g"))
+    val evalGrams = grams(eval).select(col("__g")).distinct()
+    grams(train).join(broadcast(evalGrams), "__g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__g")).as("n_shared_grams"))
+  }
 }
