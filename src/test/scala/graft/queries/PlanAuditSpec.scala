@@ -91,4 +91,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("text_decontaminate: eval grams broadcast; the corpus side never shuffles " +
+    "before the join") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the streamed (corpus) side sits between the join line and the
+    // BroadcastExchange in the top-down print: it must contain no
+    // shuffle — the corpus only exchanges AFTER the join cut it down
+    val streamed = p.substring(p.indexOf("BroadcastHashJoin"),
+      p.indexOf("BroadcastExchange"))
+    assert(!streamed.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("text_repetition_stats: gram counting aggregates partially before " +
+    "every exchange (within-doc repetition combines map-side)") {
+    val p = plan("text_repetition_stats")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "partial + final aggregation expected for both gram sizes\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ivf assignment (nearest_cells) stays inside whole-stage codegen") {
+    val cents = graft.similarity.Similarity.trainCentroids(
+      graft.model.Tables.embeddings(spark, sf()), "vec_id", "embedding",
+      numCells = 90, iters = 1)
+    val df = graft.model.Tables.embeddings(spark, sf()).select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      graft.similarity.Similarity.cellFor(cents)(
+        org.apache.spark.sql.functions.col("embedding")).as("cell"))
+    val p = df.queryExecution.executedPlan.toString
+    // `*(n)` is WholeStageCodegen's toString marker
+    assert(p.contains("*(1) Project"), p)
+    // one expression, not one-per-cell: the 90-cell matrix must ride as
+    // a reference object, or janino compile time explodes past ~64 cells
+    assert("nearestcells".r.findAllIn(p.toLowerCase).size <= 1, p)
+  }
 }
