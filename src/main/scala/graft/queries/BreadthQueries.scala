@@ -78,6 +78,33 @@ object BreadthQueries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // bucketed co-located fact-fact join: both sides land as external
+    // bucketed tables (8 buckets on the join key), so the join + the
+    // per-key half of the aggregation run with NO exchange — the
+    // pre-paid-shuffle pattern for a 100 TB fact table joined on the
+    // same key by many jobs. hint("merge") keeps the demonstration
+    // honest at harness scale (orders would broadcast at sf0.01);
+    // exchange-freedom is asserted in PlanAuditSpec
+    "join_bucketed_colocated" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.etl.Bucketing.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+        s"graft_bkt_lineitem_$sfx", OracleAux.dir(dir, "bkt_lineitem"),
+        "l_orderkey", 8)
+      graft.etl.Bucketing.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+        s"graft_bkt_orders_$sfx", OracleAux.dir(dir, "bkt_orders"),
+        "o_orderkey", 8)
+      val li = s.table(s"graft_bkt_lineitem_$sfx")
+      val o = s.table(s"graft_bkt_orders_$sfx")
+      li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          (sum(dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // left-semi: customers that have at least one order (EXISTS)
     "join_semi_customers_with_orders" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -531,6 +558,18 @@ object BreadthQueries {
         |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // reads the bucketed tables' own parquet files: same values as the
+    // source tables, but proves the bucketed write round-trips
+    "join_bucketed_colocated" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM read_parquet('${OracleAux.sqlDir("bkt_lineitem")}/*.parquet') li
+        |JOIN read_parquet('${OracleAux.sqlDir("bkt_orders")}/*.parquet') o
+        |  ON li.l_orderkey = o.o_orderkey
         |GROUP BY 1, 2""".stripMargin,
 
     "join_semi_customers_with_orders" ->

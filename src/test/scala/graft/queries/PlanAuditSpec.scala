@@ -113,6 +113,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("join_bucketed_colocated: bucketed SMJ with no shuffle exchange") {
+    val p = plan("join_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"), p)
+    // the join and the per-key partial agg ride the bucket layout; only
+    // the final small groupBy(status, priority) may exchange
+    val join = p.indexOf("SortMergeJoin")
+    assert(!p.substring(join).contains("Exchange hashpartitioning"),
+      "bucketed join sides must not re-shuffle\n" + p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("ivf assignment (nearest_cells) stays inside whole-stage codegen") {
     val cents = graft.similarity.Similarity.trainCentroids(
       graft.model.Tables.embeddings(spark, sf()), "vec_id", "embedding",
