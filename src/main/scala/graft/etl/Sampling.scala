@@ -1,0 +1,47 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling — the corpus-mixing step of a
+  * training-data pipeline (per-source/per-language keep rates, e.g.
+  * upsample books, downsample crawl).
+  *
+  * The keep decision derives from md5 of the row key, NOT `rand()`:
+  *  - reproducible across runs, cluster sizes, and partitionings
+  *    (`rand(seed)` is seeded per partition — a repartition changes
+  *    the sample);
+  *  - engine-portable, so the DuckDB oracle computes the identical
+  *    bucket and the sample is hash-verifiable row-for-row;
+  *  - stable under incremental reprocessing: a row's fate never
+  *    changes, so re-running over a grown corpus keeps the old
+  *    sample (the property dataset versioning needs).
+  *
+  * Map-only: no shuffle, no state; at 100 TB this is a free rider on
+  * whatever scan already runs.
+  */
+object Sampling {
+
+  /** Uniform-ish bucket in [0, 100): first 8 md5 hex digits of
+    * `key:salt` as an integer, mod 100. Change `salt` to draw an
+    * independent sample.
+    */
+  def hashBucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long") % 100
+
+  /** Keep each row iff its bucket falls under its stratum's percent
+    * rate (`rates` by stratum value, `defaultRate` otherwise). Adds
+    * the bucket as `strat_bucket` so downstream audits can re-check
+    * the decision.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Int], defaultRate: Int,
+                       salt: String): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("strat_bucket", hashBucket(col(keyCol), salt))
+      .where(col("strat_bucket") < rate)
+  }
+}

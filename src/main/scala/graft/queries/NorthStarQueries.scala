@@ -22,6 +22,17 @@ object NorthStarQueries {
 
   def defs: Map[String, Q] = Map(
     // ---- text analysis ----
+    // deterministic stratified sampling (corpus mixing): md5-bucket
+    // keep decision per source — upsample src0/src1, downsample rest.
+    // Reproducible across partitionings (unlike rand(seed)); the
+    // oracle recomputes every bucket from the same md5 arithmetic
+    "sample_stratified_mix" -> ((s, dir) =>
+      graft.etl.Sampling.stratifiedSample(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "doc_id", "source",
+        rates = Map("src0" -> 80, "src1" -> 60, "src2" -> 40),
+        defaultRate = 20, salt = "mix1")),
+
     // Gopher-style repetition filters (token-level): top-bigram
     // coverage + duplicated-trigram fraction per document
     "text_repetition_stats" -> ((s, dir) =>
@@ -165,6 +176,34 @@ object NorthStarQueries {
       comp.select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(w))
         .withColumn("keep", col("doc_id") === col("cluster_id"))
+    }),
+
+    // the full near-dup dedup decision a real pipeline ships: cluster
+    // the pair graph, then keep the BEST-quality doc per cluster (not
+    // min-id) — rank by (quality desc, doc_id asc); the rn==1 filter
+    // rides the TopKPerKey heap rewrite
+    "dedup_cluster_keep_best" -> ((s, dir) => {
+      val pairPath = OracleAux.dir(dir, "neardup_pairs_kb")
+      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.8)
+        .select("id_a", "id_b")
+        .write.mode("overwrite").parquet(pairPath)
+      val comp = Dedup.connectedComponents(
+        s.read.parquet(pairPath), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val q = graft.text.TextAnalysis.qualityStats(
+        Tables.documents(s, dir).select("doc_id", "text"), "text")
+        .select(col("doc_id"), col("quality_score"))
+      val w = Window.partitionBy(col("cluster_id"))
+      val wOrd = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      comp.join(q, "doc_id")
+        .withColumn("n_docs", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(wOrd))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("n_docs"),
+          col("doc_id").as("keep_doc_id"),
+          col("quality_score").as("best_quality"))
     }),
 
     // exact brute-force n-gram Jaccard on a bounded slice — the oracle-
@@ -435,6 +474,53 @@ object NorthStarQueries {
         |  doc_id = cluster_id AS keep
         |FROM comp""".stripMargin,
 
+    "dedup_cluster_keep_best" ->
+      s"""WITH RECURSIVE e AS (
+        |  SELECT id_a AS a, id_b AS b
+        |  FROM read_parquet('${OracleAux.sqlDir("neardup_pairs_kb")}/*.parquet')
+        |  UNION
+        |  SELECT id_b AS a, id_a AS b
+        |  FROM read_parquet('${OracleAux.sqlDir("neardup_pairs_kb")}/*.parquet')
+        |),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+        |    WHERE e2.b <> r.a
+        |),
+        |comp AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a
+        |),
+        |t AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS n_chars_m,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_filter(toks, tk -> list_contains(
+        |      ['the','a','of','and','to','in','is','it'], tk))) AS INTEGER) AS n_stopwords,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct
+        |  FROM t
+        |), q AS (
+        |  SELECT doc_id,
+        |    round(CAST(n_stopwords AS DOUBLE) / n_tokens * 0.5
+        |      + CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 0.3 ELSE 0.0 END
+        |      + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_m < 0.1 THEN 0.2 ELSE 0.0 END,
+        |      6) AS quality_score
+        |  FROM m
+        |), r AS (
+        |  SELECT comp.cluster_id, comp.doc_id, q.quality_score,
+        |    count(*) OVER (PARTITION BY comp.cluster_id) AS n_docs,
+        |    CAST(row_number() OVER (PARTITION BY comp.cluster_id
+        |      ORDER BY q.quality_score DESC, comp.doc_id ASC) AS INTEGER) AS rn
+        |  FROM comp JOIN q USING (doc_id)
+        |)
+        |SELECT cluster_id, n_docs, doc_id AS keep_doc_id,
+        |  quality_score AS best_quality
+        |FROM r WHERE rn = 1""".stripMargin,
+
     "dedup_keep_first" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
@@ -466,6 +552,18 @@ object NorthStarQueries {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    "sample_stratified_mix" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8))
+        |      AS UBIGINT) % 100 AS BIGINT) AS strat_bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_chars, strat_bucket FROM b
+        |WHERE strat_bucket < CASE source
+        |  WHEN 'src0' THEN 80 WHEN 'src1' THEN 60 WHEN 'src2' THEN 40
+        |  ELSE 20 END""".stripMargin,
 
     "text_repetition_stats" ->
       """WITH toks AS (
