@@ -21,6 +21,29 @@ class SamplingSpec extends SparkSpec {
     assert(frac > 0.1 && frac < 0.3, s"fraction $frac far from 0.2")
   }
 
+  test("Sampling.stratifiedSample is invariant under repartitioning " +
+    "(the property rand(seed) lacks) and honors per-stratum rates") {
+    val d = graft.model.Tables.documents(spark, sf())
+      .select("doc_id", "source", "n_chars")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(df, "doc_id", "source",
+        rates = Map("src0" -> 80, "src1" -> 0), defaultRate = 20,
+        salt = "mix1")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(d)
+    assert(base == ids(d.repartition(13)), "sample must not depend on layout")
+    assert(base == ids(d.orderBy(col("n_chars"))), "nor on row order")
+    val bySrc = Sampling.stratifiedSample(d, "doc_id", "source",
+      Map("src0" -> 80, "src1" -> 0), 20, "mix1")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src1"), "rate 0 drops the stratum")
+    val totals = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val f0 = bySrc("src0").toDouble / totals("src0")
+    assert(f0 > 0.55 && f0 < 1.0, s"src0 fraction $f0 far from 0.8")
+  }
+
   test("sampleBy stratifies: per-key fractions honored") {
     val e = Tables.events(spark, sf()).select("event_id", "event_type")
     val fractions = Map("click" -> 0.5, "error" -> 0.1, "purchase" -> 0.0,
