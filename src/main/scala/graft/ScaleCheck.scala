@@ -125,6 +125,40 @@ object ScaleCheck {
       ivfProbe("x1", emb0)
       ivfProbe("x32", embX)
     }
+    // Text/dedup probe: documents ×32 with per-replica token remapping
+    // (prefix every token with the replica id — a bijective vocabulary
+    // shift, so within-replica shingle sets and Jaccard are unchanged
+    // but NO shingle collides across replicas; the text analog of the
+    // embeddings sign-flip). Near-dup structure therefore scales with
+    // the corpus instead of collapsing into 32×-sized clusters.
+    locally {
+      val d0 = graft.model.Tables.documents(spark, sf)
+      val dBig = d0.crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+          concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
+            t => concat(lit("r"), col("rep"), lit("_"), t))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      dBig.repartition(32).write.mode("overwrite")
+        .parquet("/tmp/documents_x32.parquet")
+      val docs = spark.read.parquet("/tmp/documents_x32.parquet")
+      println(s"doc rows=${docs.count()}")
+      def textProbes(tag: String, d: org.apache.spark.sql.DataFrame): Unit = {
+        time(s"text_repetition_$tag") {
+          graft.text.TextAnalysis.repetitionStats(d, "doc_id", "text").count()
+        }
+        time(s"text_decontaminate_$tag") {
+          graft.text.TextAnalysis.contamination(
+            d.where(col("doc_id") % 97 =!= 0), d.where(col("doc_id") % 97 === 0),
+            "doc_id", "text", n = 4).count()
+        }
+        time(s"dedup_minhash_$tag") {
+          graft.dedup.Dedup.minhashNearDups(d, "doc_id", "text",
+            shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.8).count()
+        }
+      }
+      textProbes("x1", d0)
+      textProbes("x32", docs)
+    }
     // Connected-components long-chain probe: a path graph is the
     // diameter worst case — min-label propagation needs |V| rounds; the
     // default alternating large-star/small-star must close a ×32 chain

@@ -50,8 +50,9 @@ object Dedup {
     */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      // codegen'd: one loop over the token array (first-occurrence-
+      // distinct, same as array_distinct over the HOF spelling)
+      graft.functions.VectorExprs.token_ngrams(toks, n, distinct = true))
       .otherwise(array(concat_ws(" ", toks)))
 
   /** Mersenne prime 2^31-1: hash values and permutation coefficients stay

@@ -107,12 +107,13 @@ object TextAnalysis {
   }
 
   /** Space-joined token n-grams, every occurrence kept (positions
-    * 1..len-n+1). Callers must pre-filter `size(toks) >= n` — Spark's
-    * `sequence(0, negative)` counts DOWN, it doesn't return empty.
+    * 1..len-n+1), as one codegen'd loop
+    * ([[graft.functions.VectorExprs.TokenNGrams]] — the HOF spelling is
+    * CodegenFallback). Callers should still pre-filter
+    * `size(toks) >= n` to skip degenerate documents.
     */
   def ngrams(toks: Column, n: Int): Column =
-    transform(sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))
+    graft.functions.VectorExprs.token_ngrams(toks, n)
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: repetitive
     * documents are boilerplate/generator output and get filtered before

@@ -46,6 +46,30 @@ class VectorExprsSpec extends SparkSpec {
     a.foreach { case (id, keys) => assert(keys == b(id), s"vec $id") }
   }
 
+  test("TokenNGrams == the HOF spelling (order, every-occurrence and " +
+    "distinct modes), interpreted == codegen") {
+    val docs = Tables.documents(spark, sf()).select($"doc_id",
+      split(trim($"text"), "\\s+").as("t")).where(size($"t") >= 3)
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val fast = collectMap(docs.select($"doc_id",
+      VectorExprs.token_ngrams($"t", 3)))
+    val hof = collectMap(docs.select($"doc_id",
+      transform(sequence(lit(0), size($"t") - 3),
+        i => concat_ws(" ", slice($"t", i + lit(1), lit(3))))))
+    assert(fast == hof, "every-occurrence mode must match the HOF plan")
+    val fastD = collectMap(docs.select($"doc_id",
+      VectorExprs.token_ngrams($"t", 3, distinct = true)))
+    val hofD = collectMap(docs.select($"doc_id",
+      array_distinct(transform(sequence(lit(0), size($"t") - 3),
+        i => concat_ws(" ", slice($"t", i + lit(1), lit(3)))))))
+    assert(fastD == hofD, "distinct mode must match array_distinct order")
+    // short-input guard: empty result, not a descending sequence
+    val shorty = Seq((1L, Seq("a", "b"))).toDF("doc_id", "t")
+      .select($"doc_id", VectorExprs.token_ngrams($"t", 3))
+    assert(collectMap(shorty) == Map(1L -> Nil))
+  }
+
   test("approx sketches land near exact values") {
     val li = Tables.lineitem(spark, sf())
     val approx = li.groupBy($"l_returnflag").agg(
