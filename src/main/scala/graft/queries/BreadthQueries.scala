@@ -51,7 +51,38 @@ object BreadthQueries {
        |  round(CAST(n*sdt - sd*st AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000, 6) + 0.0 AS covar_disc_tax
        |FROM m""".stripMargin
 
+  /** Z-score anomaly scoring (the fraud-shaped analytic the reference's
+    * domain implies): per-type mean/stddev from exact DECIMAL(38,0)
+    * cents-scaled moments, z computed in ONE fixed order of IEEE double
+    * ops, rounded BEFORE the |z|>3 cutoff — same SQL text verbatim on
+    * both engines (the [[statsBatterySql]] parity pattern). Scale
+    * shape: pass 1 is a map-side-combined 5-row aggregate; pass 2 joins
+    * those 5 rows back (auto-broadcast) — two scans, no wide shuffle.
+    */
+  def zscoreSql(table: String): String =
+    s"""WITH m AS (
+       |  SELECT event_type,
+       |    CAST(count(*) AS DECIMAL(38,0)) AS n,
+       |    sum(CAST(round(value*100) AS DECIMAL(38,0))) AS sv,
+       |    sum(CAST(round(value*100) AS DECIMAL(38,0)) * CAST(round(value*100) AS DECIMAL(38,0))) AS svv
+       |  FROM $table GROUP BY 1),
+       |z AS (
+       |  SELECT e.event_id, e.event_type, e.value,
+       |    round((CAST(round(e.value*100) AS DOUBLE)
+       |        - CAST(m.sv AS DOUBLE) / CAST(m.n AS DOUBLE))
+       |      / sqrt(CAST(m.n*m.svv - m.sv*m.sv AS DOUBLE) / CAST(m.n*(m.n-1) AS DOUBLE)),
+       |      4) + 0.0 AS zscore
+       |  FROM $table e JOIN m USING (event_type))
+       |SELECT event_id, event_type, value, zscore
+       |FROM z WHERE abs(zscore) > 3""".stripMargin
+
   def defs: Map[String, Q] = Map(
+    // anomaly scoring: |z| > 3 events vs their type's distribution
+    "fraud_zscore_outliers" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql(zscoreSql("events_v"))
+    }),
+
     // broadcast join chain: fact(customer) ⋈ dim(nation) ⋈ dim(region)
     "join_broadcast_dims" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -512,6 +543,8 @@ object BreadthQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "fraud_zscore_outliers" -> zscoreSql("events"),
+
     // reads the Spark-materialized sketch values, recomputes exact
     // counts/ranks independently, and evaluates the same documented
     // bounds — every column deterministic, so hashes must match
