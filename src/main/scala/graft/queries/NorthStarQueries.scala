@@ -206,6 +206,19 @@ object NorthStarQueries {
           col("quality_score").as("best_quality"))
     }),
 
+    // incremental ingest dedup: only the NEW batch's fingerprints shuffle
+    // against the existing corpus (left_anti) — at 100 TB the corpus
+    // side is a bucketed fingerprint index and the new batch is the
+    // only moving data; novel docs flow on, dups are dropped
+    "dedup_incremental_novel" -> ((s, dir) => {
+      val fp = graft.text.TextAnalysis.fingerprints(
+        Tables.documents(s, dir).select("doc_id", "text"), "text")
+        .select(col("doc_id"), col("fp_norm"))
+      fp.where(col("doc_id") % 10 === 7)
+        .join(fp.where(col("doc_id") % 10 =!= 7), Seq("fp_norm"), "left_anti")
+        .select("doc_id", "fp_norm")
+    }),
+
     // exact brute-force n-gram Jaccard on a bounded slice — the oracle-
     // checkable baseline for the LSH path
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -726,6 +739,16 @@ object NorthStarQueries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    "dedup_incremental_novel" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(string_split_regex(trim(text), '\s+'), ' ')) AS fp_norm
+        |  FROM documents
+        |)
+        |SELECT b.doc_id, b.fp_norm
+        |FROM fp b WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
+        |  SELECT 1 FROM fp c WHERE c.doc_id % 10 <> 7 AND c.fp_norm = b.fp_norm)""".stripMargin,
 
     // exact brute-force twin: valid as an oracle because the corpus'
     // similarity gap (j≈0.95 planted dups vs ≈0.04 background) puts the

@@ -143,6 +143,46 @@ object ReferenceQueries {
         col("who.geo.region").as("region"),
         col("who.geo.city").as("city"),
         round(col("value"), 2).as("value_2dp"))
+    }),
+
+    // schema evolution across raw-zone generations (the crawler problem
+    // one deploy later): generation 1 landed without `event_type`,
+    // generation 2 added it; mergeSchema reads both under one schema
+    // (missing column → NULL) — DuckDB twin via union_by_name
+    "raw_schema_evolution" -> ((s, dir) => {
+      val g1 = OracleAux.dir(dir, "schema_evo_g1")
+      val g2 = OracleAux.dir(dir, "schema_evo_g2")
+      val e = Tables.events(s, dir)
+      e.where(col("user_id") % 2 === 0)
+        .select("event_id", "user_id", "value")
+        .write.mode("overwrite").parquet(g1)
+      e.where(col("user_id") % 2 =!= 0)
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite").parquet(g2)
+      s.read.option("mergeSchema", "true").parquet(g1, g2)
+        .groupBy(coalesce(col("event_type"), lit("__pre_schema")).as("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // CDC apply with tombstones: latest change per key wins (seq desc),
+    // op='D' deletes the row, 'U' updates the balance — the ordered-
+    // upsert semantics every lakehouse MERGE pipeline implements.
+    // Changes are derived deterministically from orders (key=o_custkey,
+    // seq=o_orderkey, op from o_orderstatus: P→D, else U→o_totalprice)
+    "etl_cdc_apply" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderkey").desc)
+      val latest = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          when(col("o_orderstatus") === "P", lit("D")).otherwise(lit("U")).as("op"),
+          col("o_totalprice"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      val c = Tables.customer(s, dir)
+      c.join(latest, c("c_custkey") === latest("o_custkey"), "left")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(col("c_custkey"), col("c_name"),
+          round(when(col("op") === "U", col("o_totalprice"))
+            .otherwise(col("c_acctbal")), 2).as("final_bal"))
     })
   )
 
@@ -222,6 +262,31 @@ object ReferenceQueries {
         |  who.geo.city AS city,
         |  round(value, 2) AS value_2dp
         |FROM read_json_auto('${OracleAux.sqlDir("raw_events_nested_json")}/*.json.gz')""".stripMargin,
+
+    "raw_schema_evolution" ->
+      s"""SELECT coalesce(event_type, '__pre_schema') AS event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM read_parquet(
+        |  ['${OracleAux.sqlDir("schema_evo_g1")}/*.parquet',
+        |   '${OracleAux.sqlDir("schema_evo_g2")}/*.parquet'],
+        |  union_by_name = true)
+        |GROUP BY 1""".stripMargin,
+
+    "etl_cdc_apply" ->
+      """WITH latest AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice
+        |  FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1
+        |)
+        |SELECT c_custkey, c_name,
+        |  round(CASE WHEN latest.op = 'U' THEN latest.o_totalprice
+        |    ELSE c_acctbal END, 2) AS final_bal
+        |FROM customer LEFT JOIN latest ON c_custkey = o_custkey
+        |WHERE latest.op IS NULL OR latest.op <> 'D'""".stripMargin,
 
     "stateful_spend_alert" ->
       """WITH r AS (
