@@ -391,4 +391,52 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** EXACT n-gram Jaccard pairs via an inverted shingle index — the
+    * set-similarity join (candidate + verify, the PPJoin shape):
+    * explode (doc, shingle) postings, self-join on the shingle (only
+    * docs SHARING a shingle ever pair — Σ df² candidate pairs, not n²),
+    * then verify each candidate with the exact Jaccard of the two full
+    * shingle sets, rounded (6 dp) before the threshold cutoff. With
+    * `maxDf = 0` this is exact like [[ngramJaccardPairs]] (any J>0
+    * pair shares a shingle, so candidates are complete) but
+    * subquadratic on real corpora, where shingle document-frequencies
+    * are small.
+    *
+    * 100 TB notes: the candidate-shuffle key is the shingle, so a
+    * stop-shingle ("in the of") with df=d contributes d² pairs — cap
+    * it with `maxDf`, which drops hot postings from CANDIDATE
+    * GENERATION only; verification always scores the full sets, so the
+    * cap can only miss a pair whose every shared shingle is ubiquitous
+    * (the prefix-filter regime: a J≥0.8 pair shares ≥0.8/1.8 of its
+    * union, so rare shingles exist unless the whole document is
+    * stop-shingles), never mis-score a survivor. For
+    * approximate-but-bounded work at any skew, [[minhashNearDups]] is
+    * the LSH alternative.
+    */
+  def jaccardPairsInverted(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int, threshold: Double,
+                           maxDf: Long = 0L): DataFrame = {
+    val withSh = df.select(col(idCol).cast("long").as("id"),
+      shingles(graft.text.TextAnalysis.tokens(col(textCol)), shingleSize)
+        .as("__sh"))
+    val postings = withSh.select(col("id"), explode(col("__sh")).as("s"))
+    val forPairs = if (maxDf > 0) {
+      val dfs = postings.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+      postings.join(dfs.where(col("__df") <= maxDf), "s")
+    } else postings
+    // candidate stage: docs co-posted on any (surviving) shingle
+    val cands = forPairs.select(col("s"), col("id").as("id_a"))
+      .join(forPairs.select(col("s"), col("id").as("id_b")), "s")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // verify stage: exact Jaccard over the two full shingle SETS — so
+    // the maxDf cap can only MISS pairs, never mis-score survivors
+    cands
+      .join(withSh.select(col("id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("__sh_a"), col("__sh_b")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

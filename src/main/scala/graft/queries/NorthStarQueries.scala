@@ -206,6 +206,13 @@ object NorthStarQueries {
           col("quality_score").as("best_quality"))
     }),
 
+    // EXACT full-corpus Jaccard pairs via the inverted shingle index —
+    // subquadratic (Σ df² posting pairs, not n²), upgrading the bounded
+    // crossJoin baseline to the whole corpus
+    "dedup_jaccard_inverted" -> ((s, dir) =>
+      Dedup.jaccardPairsInverted(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8)),
+
     // incremental ingest dedup: only the NEW batch's fingerprints shuffle
     // against the existing corpus (left_anti) — at 100 TB the corpus
     // side is a bucketed fingerprint index and the new batch is the
@@ -739,6 +746,30 @@ object NorthStarQueries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    "dedup_jaccard_inverted" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id AS id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks
+        |), sizes AS (
+        |  SELECT id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.id = id_a
+        |JOIN sizes sb ON sb.id = id_b
+        |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8""".stripMargin,
 
     "dedup_incremental_novel" ->
       """WITH fp AS (

@@ -164,6 +164,32 @@ object ReferenceQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // columnar-format breadth: same rows through an ORC round-trip must
+    // aggregate identically to the parquet source (lossless fidelity —
+    // the oracle computes from the original table)
+    "format_orc_roundtrip" -> ((s, dir) => {
+      val p = OracleAux.dir(dir, "orc_events")
+      Tables.events(s, dir).select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").orc(p)
+      s.read.orc(p).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("user_id")).as("max_user_id"))
+    }),
+
+    // text-format breadth: Spark-written CSV read back by BOTH engines
+    // (DuckDB parses the same files) — cross-engine escaping/typing
+    "format_csv_roundtrip" -> ((s, dir) => {
+      val p = OracleAux.dir(dir, "csv_events")
+      Tables.events(s, dir).select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").option("header", "true").csv(p)
+      s.read.option("header", "true")
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .csv(p)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
     // CDC apply with tombstones: latest change per key wins (seq desc),
     // op='D' deletes the row, 'U' updates the balance — the ordered-
     // upsert semantics every lakehouse MERGE pipeline implements.
@@ -270,6 +296,19 @@ object ReferenceQueries {
         |  ['${OracleAux.sqlDir("schema_evo_g1")}/*.parquet',
         |   '${OracleAux.sqlDir("schema_evo_g2")}/*.parquet'],
         |  union_by_name = true)
+        |GROUP BY 1""".stripMargin,
+
+    "format_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |  min(event_id) AS min_event_id, max(user_id) AS max_user_id
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "format_csv_roundtrip" ->
+      s"""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM read_csv('${OracleAux.sqlDir("csv_events")}/*.csv',
+        |  header = true,
+        |  columns = {'event_id': 'BIGINT', 'user_id': 'BIGINT',
+        |             'event_type': 'VARCHAR', 'value': 'DOUBLE'})
         |GROUP BY 1""".stripMargin,
 
     "etl_cdc_apply" ->

@@ -88,6 +88,20 @@ class DedupSpec extends SparkSpec {
     assert(comp.size == 10)
   }
 
+  test("jaccardPairsInverted == brute-force crossJoin on a corpus slice; " +
+    "maxDf guard only drops stop-shingle-only pairs") {
+    val docs = graft.model.Tables.documents(spark, sf()).where($"doc_id" < 150)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))
+    val inv = pairs(Dedup.jaccardPairsInverted(docs, "doc_id", "text", 3, 0.8))
+    assert(inv == brute, "inverted index must be EXACT")
+    // the hot-shingle cap may only lose pairs, never invent or mis-score
+    val capped = pairs(Dedup.jaccardPairsInverted(docs, "doc_id", "text", 3,
+      0.8, maxDf = 3))
+    capped.foreach { case (k, j) => assert(brute.get(k).contains(j)) }
+  }
+
   test("connectedComponents: alternating == minlabel on a random graph") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
