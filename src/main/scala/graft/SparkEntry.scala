@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{BreadthQueries, NorthStarQueries, ReferenceQueries}
+import graft.queries.{BreadthQueries, NorthStarQueries, ReferenceQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +18,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.defs ++ BreadthQueries.defs ++ NorthStarQueries.defs
+    ReferenceQueries.defs ++ BreadthQueries.defs ++ NorthStarQueries.defs ++
+      TpchQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracles ++ BreadthQueries.oracles ++ NorthStarQueries.oracles
+    ReferenceQueries.oracles ++ BreadthQueries.oracles ++ NorthStarQueries.oracles ++
+      TpchQueries.oracles
 }

@@ -124,6 +124,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), p)
   }
 
+  test("tpch q3/q10/q18 LIMIT runs as a heap (TakeOrderedAndProject), no global sort") {
+    for (q <- Seq("tpch_q3_shipping_priority", "tpch_q10_returned_items",
+                  "tpch_q18_large_volume_customer")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+      assert(!p.contains("GlobalLimit"), s"$q:\n$p")
+    }
+  }
+
+  test("tpch_q6 pushes every predicate into the lineitem scan") {
+    // toString truncates long PushedFilters lists; use formatted explain
+    TopKPerKey.ensureRegistered(spark)
+    val p = SparkEntry.queries("tpch_q6_forecast_revenue")(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_shipdate"), p)
+    assert(p.contains("LessThan(l_quantity,24.0"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.04"), p)
+  }
+
+  test("tpch_q5 pushes the order-date range and broadcasts the dims") {
+    val p = plan("tpch_q5_local_supplier_volume")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
   test("ivf assignment (nearest_cells) stays inside whole-stage codegen") {
     val cents = graft.similarity.Similarity.trainCentroids(
       graft.model.Tables.embeddings(spark, sf()), "vec_id", "embedding",
