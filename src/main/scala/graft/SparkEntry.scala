@@ -16,15 +16,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("fraud_window_sum")(spark, "/root/testdata/sf0.001")
 
+  /** Every query registry, in merge order. `queries`/`oracleSql` AND the
+    * collision guard in SparkEntrySpec derive from this one list, so a
+    * new registry file only has to be added here.
+    */
+  val registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (ReferenceQueries.defs, ReferenceQueries.oracles),
+      (BreadthQueries.defs, BreadthQueries.oracles),
+      (NorthStarQueries.defs, NorthStarQueries.oracles),
+      (TpchQueries.defs, TpchQueries.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.defs ++ BreadthQueries.defs ++ NorthStarQueries.defs ++
-      TpchQueries.defs
+    registries.map(_._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
-  def oracleSql: Map[String, String] =
-    ReferenceQueries.oracles ++ BreadthQueries.oracles ++ NorthStarQueries.oracles ++
-      TpchQueries.oracles
+  def oracleSql: Map[String, String] = registries.map(_._2).reduce(_ ++ _)
 }

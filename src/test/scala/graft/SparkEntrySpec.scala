@@ -1,16 +1,20 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{BreadthQueries, NorthStarQueries, ReferenceQueries}
 
 /** Contract guards for the driver registry. */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("no query-name collisions across the three registries") {
-    val sizes = ReferenceQueries.defs.size + BreadthQueries.defs.size +
-      NorthStarQueries.defs.size
-    assert(SparkEntry.queries.size === sizes,
-      "a duplicate key would silently drop a query from the merged Map")
+  test("no query-name collisions across the registries") {
+    // derive from SparkEntry.registries (the same list `queries` merges)
+    // so a newly added registry file is guarded automatically
+    val allKeys = SparkEntry.registries.flatMap(_._1.keys)
+    val dups = allKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"duplicate query names (later registry shadows earlier): $dups")
+    assert(SparkEntry.queries.size === allKeys.size)
+    val allOracleKeys = SparkEntry.registries.flatMap(_._2.keys)
+    val oDups = allOracleKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(oDups.isEmpty, s"duplicate oracle names: $oDups")
   }
 
   test("every oracle key has a query; names are well-formed") {
