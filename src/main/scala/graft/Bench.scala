@@ -59,7 +59,20 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = ms(med.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"sf":"$sfDir"}"""
+    // The harness captures a bounded stdout TAIL: the full per-query map
+    // has been head-truncated two rounds running. So (a) persist the full
+    // JSON to a file, and (b) make the LAST stdout line a compact summary
+    // that always survives tail capture and parses standalone.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_full.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outFile),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () /* bench numbers still go to stdout */ }
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${med.size},"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"sf":"$sfDir","full_json":"$outFile"}""")
     spark.stop()
   }
 }

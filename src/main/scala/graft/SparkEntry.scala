@@ -27,12 +27,15 @@ object SparkEntry {
       (NorthStarQueries.defs, NorthStarQueries.oracles),
       (TpchQueries.defs, TpchQueries.oracles))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. Cached: the
+    * registry maps are immutable literals, and per-query callers (Bench,
+    * Verify) would otherwise pay the O(n) merge on every lookup.
+    */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     registries.map(_._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
-  def oracleSql: Map[String, String] = registries.map(_._2).reduce(_ ++ _)
+  lazy val oracleSql: Map[String, String] = registries.map(_._2).reduce(_ ++ _)
 }

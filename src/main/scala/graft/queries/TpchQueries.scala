@@ -46,6 +46,80 @@ object TpchQueries {
       |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue"""
       .stripMargin
 
+  // ---- correlated-subquery suite (q4 / q21 / q22 shapes) -------------
+  //
+  // Written as *correlated subqueries* (EXISTS / NOT EXISTS / correlated
+  // scalar) through the SQL interface, NOT as hand-planned semi/anti
+  // joins: what's being proven is Catalyst's decorrelation — EXISTS →
+  // left-semi hash join, NOT EXISTS → left-anti hash join, correlated
+  // scalar agg → aggregate + (broadcast) outer equi-join — with no
+  // CartesianProduct / BroadcastNestedLoopJoin anywhere in the physical
+  // plan (asserted in PlanAuditSpec). At 100 TB a correlated subquery
+  // that DOESN'T decorrelate to a hash join is a per-row rescan of a
+  // fact table; these queries are the regression guard against that.
+  //
+  // The harness lineitem has no l_commitdate/l_receiptdate, so the
+  // TPC-H "late line" predicate becomes l_shipdate > o_orderdate + 60
+  // days — which correlates on TWO outer columns (orderkey equality +
+  // orderdate inequality), a strictly richer decorrelation than stock
+  // q4/q21: the non-equi half must land in the semi/anti join condition.
+  // Same SQL text runs on both engines (only view names differ).
+
+  /** q4 shape — order-priority checking: orders in a half-year window
+    * with at least one late line. EXISTS over the fact table.
+    */
+  private def q4Sql(orders: String, lineitem: String) =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+      |FROM $orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM $lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q21 shape — suppliers who kept waiting: for finished multi-supplier
+    * orders, the supplier whose line was the ONLY late one. EXISTS +
+    * NOT EXISTS over the same fact (lineitem self-correlation), both
+    * referencing the outer join's o_orderdate.
+    */
+  private def q21Sql(supplier: String, lineitem: String, orders: String, nation: String) =
+    s"""SELECT s_name, count(*) AS numwait
+      |FROM $supplier JOIN $lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN $orders ON o_orderkey = l1.l_orderkey
+      |JOIN $nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM $lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM $lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  /** q22 shape — global sales opportunity: well-funded idle customers.
+    * The scalar subquery is CORRELATED (per-nation average over the
+    * positive-balance slice) — Catalyst rewrites it to an aggregate
+    * joined back on the correlation key; the NOT EXISTS (no open
+    * orders) decorrelates to a left-anti join on o_custkey.
+    */
+  private def q22Sql(customer: String, nation: String, orders: String) =
+    s"""SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+      |FROM $customer c JOIN $nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM $customer c2
+      |                     WHERE c2.c_acctbal > 0.0
+      |                       AND c2.c_nationkey = c.c_nationkey)
+      |  AND NOT EXISTS (SELECT 1 FROM $orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'O')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   def defs: Map[String, Q] = Map(
 
     // q3 — shipping priority: unshipped high-value orders for one
@@ -142,6 +216,33 @@ object TpchQueries {
         .limit(100)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
           "o_totalprice", "sum_qty")
+    }),
+
+    // q4 shape — correlated EXISTS; decorrelates to a left-semi hash
+    // join on l_orderkey with the late-line inequality as the join's
+    // extra condition (PlanAuditSpec: no nested-loop anywhere).
+    "tpch_q4_order_priority" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sq_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
+      s.sql(q4Sql("orders_sq_v", "lineitem_sq_v"))
+    }),
+
+    // q21 shape — EXISTS + NOT EXISTS self-correlations on the fact;
+    // decorrelate to one semi and one anti hash join on l_orderkey.
+    "tpch_q21_waiting_suppliers" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_sq_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sq_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_sq_v")
+      s.sql(q21Sql("supplier_sq_v", "lineitem_sq_v", "orders_sq_v", "nation_sq_v"))
+    }),
+
+    // q22 shape — correlated scalar subquery + filtered NOT EXISTS.
+    "tpch_q22_idle_rich_customers" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_sq_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_sq_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sq_v")
+      s.sql(q22Sql("customer_sq_v", "nation_sq_v", "orders_sq_v"))
     })
   )
 
@@ -201,6 +302,13 @@ object TpchQueries {
         |  GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250)
         |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    "tpch_q4_order_priority" -> q4Sql("orders", "lineitem"),
+
+    "tpch_q21_waiting_suppliers" ->
+      q21Sql("supplier", "lineitem", "orders", "nation"),
+
+    "tpch_q22_idle_rich_customers" -> q22Sql("customer", "nation", "orders")
   )
 }

@@ -152,6 +152,29 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
   }
 
+  test("correlated subqueries decorrelate to hash semi/anti joins, never " +
+    "nested loops") {
+    // q4: EXISTS with a two-column correlation (orderkey equality +
+    // orderdate inequality) must become a LeftSemi HASH join carrying
+    // the inequality as its extra condition — a BroadcastNestedLoopJoin
+    // here would rescan lineitem per order at 100 TB
+    val q4 = plan("tpch_q4_order_priority")
+    assert(q4.contains("LeftSemi"), q4)
+    // q21: EXISTS + NOT EXISTS self-correlations → one semi, one anti
+    val q21 = plan("tpch_q21_waiting_suppliers")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21)
+    // q22: correlated scalar avg → per-key aggregate joined back on the
+    // correlation key; filtered NOT EXISTS → anti join
+    val q22 = plan("tpch_q22_idle_rich_customers")
+    assert(q22.contains("LeftAnti"), q22)
+    assert("HashAggregate".r.findAllIn(q22).size >= 2,
+      "correlated scalar must rewrite to an aggregate, not a rescan\n" + q22)
+    for ((q, p) <- Seq("q4" -> q4, "q21" -> q21, "q22" -> q22)) {
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("ivf assignment (nearest_cells) stays inside whole-stage codegen") {
     val cents = graft.similarity.Similarity.trainCentroids(
       graft.model.Tables.embeddings(spark, sf()), "vec_id", "embedding",
