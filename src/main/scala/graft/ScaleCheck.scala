@@ -155,6 +155,14 @@ object ScaleCheck {
           graft.dedup.Dedup.minhashNearDups(d, "doc_id", "text",
             shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.8).count()
         }
+        // exact set-similarity join: the PPJoin prefix filter must keep
+        // candidate volume ~linear in the corpus (per-replica token
+        // remapping means no cross-replica collisions, so a superlinear
+        // ratio here would expose a df² regression in candidate gen)
+        time(s"dedup_jaccard_inv_$tag") {
+          graft.dedup.Dedup.jaccardPairsInverted(d, "doc_id", "text",
+            shingleSize = 3, threshold = 0.8).count()
+        }
       }
       textProbes("x1", d0)
       textProbes("x32", docs)

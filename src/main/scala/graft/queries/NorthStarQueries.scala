@@ -226,6 +226,28 @@ object NorthStarQueries {
         .select("doc_id", "fp_norm")
     }),
 
+    // incremental dedup against a PERSISTED bucketed fingerprint index:
+    // the corpus side is written once as a bucketed table on fp_norm
+    // (the pre-paid shuffle), so the per-batch anti-join exchanges ONLY
+    // the new batch — at 100 TB the corpus index is petabyte-scale and
+    // static per ingest cycle while each batch is tiny; re-shuffling
+    // the corpus per batch (what dedup_incremental_novel models) is the
+    // thing this variant retires. Plan-audited: exactly one exchange,
+    // on the batch side (PlanAuditSpec).
+    "dedup_incremental_bucketed" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val fp = graft.text.TextAnalysis.fingerprints(
+        Tables.documents(s, dir).select("doc_id", "text"), "text")
+        .select(col("doc_id"), col("fp_norm"))
+      graft.etl.Bucketing.writeBucketed(
+        fp.where(col("doc_id") % 10 =!= 7),
+        s"graft_fp_index_$sfx", OracleAux.dir(dir, "fp_index"), "fp_norm", 8)
+      val corpus = s.table(s"graft_fp_index_$sfx")
+      fp.where(col("doc_id") % 10 === 7).hint("merge")
+        .join(corpus, Seq("fp_norm"), "left_anti")
+        .select("doc_id", "fp_norm")
+    }),
+
     // exact brute-force n-gram Jaccard on a bounded slice — the oracle-
     // checkable baseline for the LSH path
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -772,6 +794,18 @@ object NorthStarQueries {
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8""".stripMargin,
 
     "dedup_incremental_novel" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(string_split_regex(trim(text), '\s+'), ' ')) AS fp_norm
+        |  FROM documents
+        |)
+        |SELECT b.doc_id, b.fp_norm
+        |FROM fp b WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
+        |  SELECT 1 FROM fp c WHERE c.doc_id % 10 <> 7 AND c.fp_norm = b.fp_norm)""".stripMargin,
+
+    // same semantics as dedup_incremental_novel — the bucketed variant
+    // changes the physical plan (where the exchange lands), not the result
+    "dedup_incremental_bucketed" ->
       """WITH fp AS (
         |  SELECT doc_id,
         |    md5(array_to_string(string_split_regex(trim(text), '\s+'), ' ')) AS fp_norm

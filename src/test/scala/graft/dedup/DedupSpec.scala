@@ -102,6 +102,29 @@ class DedupSpec extends SparkSpec {
     capped.foreach { case (k, j) => assert(brute.get(k).contains(j)) }
   }
 
+  test("PPJoin prefix filter: candidate volume shrinks, candidate set is a " +
+    "subset, and the verified output is unchanged") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val docs = graft.model.Tables.documents(spark, sf()).where($"doc_id" < 300)
+    val withSh = docs.select(col("doc_id").cast("long").as("id"),
+      Dedup.shingles(graft.text.TextAnalysis.tokens(col("text")), 3).as("__sh"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(Dedup.jaccardCandidates(withSh, 0.8, prefixFilter = false))
+    val pref = pairSet(Dedup.jaccardCandidates(withSh, 0.8, prefixFilter = true))
+    assert(pref.subsetOf(full), "prefix filter may only DROP candidates")
+    info(s"candidates: ${full.size} -> ${pref.size} " +
+      f"(${full.size.toDouble / pref.size}%.1fx reduction at t=0.8)")
+    assert(pref.size * 2 <= full.size,
+      s"prefix filter should cut candidates >=2x, got ${full.size} -> ${pref.size}")
+    // survivors: every true pair still found (exactness), scored identically
+    def scored(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = scored(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))
+    val inv = scored(Dedup.jaccardPairsInverted(docs, "doc_id", "text", 3, 0.8))
+    assert(inv == brute, "prefix-filtered join must stay EXACT")
+  }
+
   test("connectedComponents: alternating == minlabel on a random graph") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))

@@ -152,6 +152,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
   }
 
+  test("dedup_incremental_bucketed: corpus index never re-shuffles — the " +
+    "one exchange is on the new batch") {
+    val p = plan("dedup_incremental_bucketed")
+    assert(p.contains("SortMergeJoin LeftAnti") || p.contains("LeftAnti"), p)
+    assert(p.contains("Bucketed: true"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "exactly one exchange expected (the batch side)\n" + p)
+    // top-down print: the streamed (batch/left) side comes first, so
+    // the exchange must appear BEFORE the bucketed catalog scan
+    assert(p.indexOf("Exchange hashpartitioning") < p.indexOf("graft_fp_index"),
+      "the exchange must be on the batch side, not the corpus index\n" + p)
+  }
+
   test("correlated subqueries decorrelate to hash semi/anti joins, never " +
     "nested loops") {
     // q4: EXISTS with a two-column correlation (orderkey equality +
