@@ -4,18 +4,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** Driver-runnable streaming evidence (sbt-free): runs the Structured
-  * Streaming fraud plan (§2.9 T1-T5) over a harness dir with
-  * `Trigger.AvailableNow`, checks stream == batch parity against the
-  * batch twin of the same plan, reruns on the same checkpoint to prove
-  * the bookmark semantics (T7/T10: second pass processes nothing), and
-  * prints ONE JSON line.
+/** Driver-runnable streaming evidence (sbt-free). Three checks, each
+  * printing ONE JSON line:
   *
-  * Usage: `runMain graft.StreamCheck [sfDir]` (default sf0.01).
+  *  - `fraud` (§2.9 T1-T5/T7/T10): the windowed-agg fraud plan with
+  *    `Trigger.AvailableNow`, stream == batch parity against the batch
+  *    twin, then a rerun on the same checkpoint proving the bookmark
+  *    (second pass processes 0 rows).
+  *  - `stateful` (§2.9 T8 surface): `flatMapGroupsWithState` running-
+  *    spend alerts over the same file stream, parity vs the window-
+  *    predicate batch twin.
+  *  - `streamjoin` (§2.9 T11-adjacent): watermarked stream-stream
+  *    interval join (views ⋈ purchases within 60 s per user), parity vs
+  *    the identical batch join.
+  *
+  * Usage: `runMain graft.StreamCheck [sfDir] [--check=fraud|stateful|streamjoin|all]`
+  * (defaults: sf0.01, all). Exit 1 if any selected check fails.
   */
 object StreamCheck {
+
+  private def js(d: Double): Double = math.rint(d * 1000) / 1000
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val sfDir = args.find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")
+    val mode = args.find(_.startsWith("--check="))
+      .map(_.stripPrefix("--check=")).getOrElse("all")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,54 +37,132 @@ object StreamCheck {
       .appName("graft-streamcheck").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val checks: Seq[(String, () => Boolean)] = Seq(
+      "fraud" -> (() => checkFraud(spark, sfDir)),
+      "stateful" -> (() => checkStateful(spark, sfDir)),
+      "streamjoin" -> (() => checkStreamJoin(spark, sfDir)))
+    val selected = checks.filter { case (n, _) => mode == "all" || mode == n }
+    require(selected.nonEmpty, s"unknown --check=$mode")
+    val ok = selected.map { case (_, f) => f() }.forall(identity)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+
+  /** File-stream over the harness events parquet (nanos → µs rebuild,
+    * same as the batch loader).
+    */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(graft.streaming.StreamingFraud.eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Run a streaming DF to parquet via foreachBatch+AvailableNow (memory
+    * sink can't recover checkpoints; b.count() forces every partition so
+    * stateful commits validate), returning rows processed this run.
+    */
+  private def runToParquet(df: DataFrame, ckpt: String, outDir: String): Long = {
+    val processed = new java.util.concurrent.atomic.AtomicLong
+    val q = df.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        processed.addAndGet(b.count())
+        b.write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    processed.get()
+  }
+
+  /** Parity report: stream output (parquet at outDir) vs batch twin. */
+  private def parityLine(check: String, sfDir: String, outDir: String,
+                         batch: DataFrame, extraJson: String, sec: Double,
+                         extraOk: Boolean): Boolean = {
+    val spark = batch.sparkSession
+    val stream = spark.read.parquet(outDir)
+    val streamRows = stream.count()
+    val missing = batch.exceptAll(stream).count() // in batch, not stream
+    val extra = stream.exceptAll(batch).count()   // in stream, not batch
+    val parity = streamRows > 0 && missing == 0 && extra == 0
+    println(
+      s"""{"check":"$check","sf":"$sfDir","rows":$streamRows,""" +
+      s""""parity":$parity,"missing_vs_batch":$missing,"extra_vs_batch":$extra,""" +
+      extraJson + s""""sec":${js(sec)}}""")
+    parity && extraOk
+  }
+
+  private def checkFraud(spark: SparkSession, sfDir: String): Boolean = {
     val windowSec = graft.queries.ReferenceQueries.WindowSec
     val threshold = graft.queries.ReferenceQueries.Threshold
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
-    val processed = new java.util.concurrent.atomic.AtomicLong
-
-    // memory sink can't recover a checkpoint, so results land in parquet
-    // via foreachBatch (b.count() also forces every partition so the
-    // state store commit validates)
-    def runOnce(): Unit = {
-      val raw = spark.readStream
-        .schema(graft.streaming.StreamingFraud.eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val q = graft.streaming.StreamingFraud
-        .fraudStream(raw, windowSec, threshold)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          processed.addAndGet(b.count())
-          b.write.mode("append").parquet(outDir)
-          ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-
+    def plan() = graft.streaming.StreamingFraud
+      .fraudStream(eventsStream(spark, sfDir), windowSec, threshold)
     val t0 = System.nanoTime()
-    runOnce()
-    val firstPass = processed.get()
-    val stream = spark.read.parquet(outDir)
+    runToParquet(plan(), ckpt, outDir)
+    // bookmark rerun: same checkpoint, no new files → processes nothing
+    val rerun = runToParquet(plan(), ckpt, outDir)
     val batch = graft.stream.Fraud.windowSum(
       graft.model.Tables.events(spark, sfDir), windowSec, threshold)
-    val streamRows = stream.count()
-    val missing = batch.exceptAll(stream).count() // in batch, not stream
-    val extra = stream.exceptAll(batch).count()   // in stream, not batch
-    runOnce() // bookmark rerun: same checkpoint, no new files
-    val rerunProcessed = processed.get() - firstPass
-    val sec = (System.nanoTime() - t0) / 1e9
-    val parity = streamRows > 0 && missing == 0 && extra == 0
-    println(
-      s"""{"check":"streaming_fraud","sf":"$sfDir","rows":$streamRows,""" +
-      s""""parity":$parity,"missing_vs_batch":$missing,"extra_vs_batch":$extra,""" +
-      s""""rerun_processed":$rerunProcessed,"bookmark_ok":${rerunProcessed == 0L},""" +
-      s""""sec":${math.rint(sec * 1000) / 1000}}""")
-    spark.stop()
-    if (!parity || rerunProcessed != 0L) sys.exit(1)
+    parityLine("streaming_fraud", sfDir, outDir, batch,
+      s""""rerun_processed":$rerun,"bookmark_ok":${rerun == 0L},""",
+      (System.nanoTime() - t0) / 1e9, extraOk = rerun == 0L)
+  }
+
+  /** flatMapGroupsWithState spend alerts: stream over the events file,
+    * batch twin = running-sum window predicate (the oracle-checked
+    * `stateful_spend_alert` plan). AvailableNow delivers the whole file
+    * ordered within the batch by the operator's own (ts, event_id) sort,
+    * so the alert set must match the batch twin exactly.
+    */
+  private def checkStateful(spark: SparkSession, sfDir: String): Boolean = {
+    val threshold = 200.0
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
+    val t0 = System.nanoTime()
+    val alerts = graft.streaming.StatefulSpend.streamingSpendAlerts(
+      graft.streaming.StatefulSpend.asTxns(eventsStream(spark, sfDir)),
+      threshold).toDF()
+    runToParquet(alerts, ckpt, outDir)
+    val batch = graft.streaming.StatefulSpend.batchSpendAlerts(
+      graft.model.Tables.events(spark, sfDir), threshold)
+    parityLine("streaming_stateful_spend", sfDir, outDir, batch, "",
+      (System.nanoTime() - t0) / 1e9, extraOk = true)
+  }
+
+  /** Watermarked stream-stream interval join: purchases within 1 h of a
+    * view by the same user, both sides file streams over the same events
+    * parquet. Batch twin = the identical join predicate in batch mode
+    * (AvailableNow delivers everything before the final watermark sweep,
+    * so no in-window match can be dropped). Each side buffers only rows
+    * younger than watermark + interval — the state bound that makes the
+    * join viable on unbounded streams.
+    */
+  private def checkStreamJoin(spark: SparkSession, sfDir: String): Boolean = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
+    val t0 = System.nanoTime()
+    def views(df: DataFrame) = df.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("vts"),
+        col("event_id").as("view_id"))
+    def buys(df: DataFrame) = df.where(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("bts"),
+        col("event_id").as("buy_id"), col("value").as("amount"))
+    val cond = "v_user = b_user AND bts >= vts AND bts <= vts + interval 1 hour"
+    val joined = views(eventsStream(spark, sfDir)).withWatermark("vts", "10 seconds")
+      .join(buys(eventsStream(spark, sfDir)).withWatermark("bts", "10 seconds"),
+        expr(cond))
+      .select(col("v_user").as("user_id"), col("view_id"), col("buy_id"),
+        col("amount"))
+    runToParquet(joined, ckpt, outDir)
+    val ev = graft.model.Tables.events(spark, sfDir)
+    val batch = views(ev).join(buys(ev), expr(cond))
+      .select(col("v_user").as("user_id"), col("view_id"), col("buy_id"),
+        col("amount"))
+    parityLine("streaming_stream_join", sfDir, outDir, batch, "",
+      (System.nanoTime() - t0) / 1e9, extraOk = true)
   }
 }

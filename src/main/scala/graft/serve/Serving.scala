@@ -56,6 +56,42 @@ object Serving {
     }
 
     def size: Int = items.size
+
+    /** Full contents snapshot (spec-side equality between sink paths). */
+    def entries: Map[(String, String), Map[String, String]] = {
+      import scala.jdk.CollectionConverters._
+      items.asScala.toMap
+    }
+  }
+
+  /** Executor-side client registry for [[upsertPartitions]]. A Spark
+    * closure is SERIALIZED per task, so capturing a [[KvStore]] directly
+    * would hand every task its own deserialized COPY and the writes
+    * would vanish — the classic foreach-into-driver-state trap. The
+    * production pattern is what this models instead: tasks carry only a
+    * small client KEY (table name / endpoint config) and resolve a
+    * per-executor connection from a process-local registry; here the
+    * "connection" is the registered store itself.
+    */
+  object KvClients {
+    private val registry =
+      new java.util.concurrent.ConcurrentHashMap[String, KvStore]()
+    private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    def register(store: KvStore): String = {
+      val id = "kv-" + ids.incrementAndGet()
+      registry.put(id, store)
+      id
+    }
+
+    /** In production: per-executor lazily-built connection pool. */
+    def clientFor(id: String): KvStore = {
+      val s = registry.get(id)
+      require(s != null, s"no KV client registered under $id")
+      s
+    }
+
+    def unregister(id: String): Unit = registry.remove(id)
   }
 
   /** foreachBatch body: upsert a micro-batch into `store`. The collect
@@ -69,6 +105,27 @@ object Serving {
       val attrs = cols.zipWithIndex
         .map { case (c, i) => c -> String.valueOf(row.get(i)) }.toMap
       store.put(attrs(pkCol), attrs(skCol), attrs)
+    }
+  }
+
+  /** Partition-parallel foreachBatch body: every partition writes to the
+    * KV store directly from its executor through a [[KvClients]] client
+    * — no driver collect, no driver memory bound, writes scale with the
+    * partition count. This is the 100 TB-shaped sink; [[upsertBatch]]
+    * stays as the bounded-micro-batch driver-handoff demo. Same
+    * last-writer-wins upsert semantics (KvStoreSpec asserts both paths
+    * produce identical store contents).
+    */
+  def upsertPartitions(clientId: String, pkCol: String, skCol: String)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    val cols = batch.columns
+    batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val client = KvClients.clientFor(clientId)
+      rows.foreach { row =>
+        val attrs = cols.zipWithIndex
+          .map { case (c, i) => c -> String.valueOf(row.get(i)) }.toMap
+        client.put(attrs(pkCol), attrs(skCol), attrs)
+      }
     }
   }
 }
