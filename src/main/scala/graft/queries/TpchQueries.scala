@@ -102,6 +102,103 @@ object TpchQueries {
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
 
+  /** q7 shape — volume shipping between two nations, either direction,
+    * by ship year. The nation table joins in TWO roles (supplier's and
+    * customer's), with the direction disjunction across both roles —
+    * the classic two-alias dimension pattern.
+    */
+  private def q7Sql(supplier: String, lineitem: String, orders: String,
+                    customer: String, nation: String) =
+    s"""SELECT supp_nation, cust_nation, l_year, $revenueSql
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |             l_extendedprice, l_discount
+      |      FROM $supplier JOIN $lineitem ON s_suppkey = l_suppkey
+      |      JOIN $orders ON o_orderkey = l_orderkey
+      |      JOIN $customer ON c_custkey = o_custkey
+      |      JOIN $nation n1 ON s_nationkey = n1.n_nationkey
+      |      JOIN $nation n2 ON c_nationkey = n2.n_nationkey
+      |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |        AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** q13 shape — customer order-count distribution: LEFT OUTER join
+    * (zero-order customers must survive with count 0) under an
+    * order-side filter, then a second aggregation over the counts.
+    */
+  private def q13Sql(customer: String, orders: String) =
+    s"""SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM $customer LEFT OUTER JOIN $orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q14 shape — promo revenue share: conditional aggregation over a
+    * part-dimension join, exact DECIMAL sums on both branches of the
+    * ratio, one double division at the end.
+    */
+  private def q14Sql(lineitem: String, part: String) =
+    s"""SELECT round(100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+      |  4) AS promo_revenue
+      |FROM $lineitem JOIN $part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+
+  /** q15 shape — top supplier: an aggregated revenue view consumed
+    * twice, once joined and once inside a scalar max subquery; DECIMAL
+    * revenue makes the max-equality exact.
+    */
+  private def q15Sql(supplier: String, lineitem: String) =
+    s"""WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      |  FROM $lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM $supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q17 shape — small-quantity-order revenue: correlated scalar AVG
+    * per part (decorrelates to an aggregate on the fact keyed by the
+    * SAME column as the join). The average is built from an exact
+    * DECIMAL sum (quantities are integral) with ONE double division, so
+    * the 20% cutoff is engine-portable — a naive double avg would make
+    * the strict inequality flap at the last ulp.
+    */
+  private def q17Sql(lineitem: String, part: String) =
+    s"""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM $lineitem l JOIN $part ON p_partkey = l.l_partkey
+      |WHERE p_brand = 'Brand#12'
+      |  AND l.l_quantity < (
+      |    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity * 100 AS DECIMAL(18,0))) AS DOUBLE) / (100.0 * count(*)))
+      |    FROM $lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  /** q19 shape — discounted revenue over a DISJUNCTION of brand/size/
+    * quantity conjunctions: the equi-key (partkey) must still drive a
+    * hash join, with the OR-of-ANDs as the join's residual condition —
+    * not a nested loop.
+    */
+  private def q19Sql(lineitem: String, part: String) =
+    s"""SELECT $revenueSql
+      |FROM $lineitem JOIN $part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** q22 shape — global sales opportunity: well-funded idle customers.
     * The scalar subquery is CORRELATED (per-nation average over the
     * positive-balance slice) — Catalyst rewrites it to an aggregate
@@ -243,6 +340,52 @@ object TpchQueries {
       Tables.nation(s, dir).createOrReplaceTempView("nation_sq_v")
       Tables.orders(s, dir).createOrReplaceTempView("orders_sq_v")
       s.sql(q22Sql("customer_sq_v", "nation_sq_v", "orders_sq_v"))
+    }),
+
+    // q7 shape — two-role nation dimension with a direction disjunction
+    "tpch_q7_volume_shipping" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_sq_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sq_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_sq_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_sq_v")
+      s.sql(q7Sql("supplier_sq_v", "lineitem_sq_v", "orders_sq_v",
+        "customer_sq_v", "nation_sq_v"))
+    }),
+
+    // q13 shape — outer-join count distribution (zero-order customers kept)
+    "tpch_q13_customer_distribution" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_sq_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sq_v")
+      s.sql(q13Sql("customer_sq_v", "orders_sq_v"))
+    }),
+
+    // q14 shape — conditional aggregation ratio over a dim join
+    "tpch_q14_promo_effect" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_sq_v")
+      s.sql(q14Sql("lineitem_sq_v", "part_sq_v"))
+    }),
+
+    // q15 shape — aggregated view + scalar max subquery
+    "tpch_q15_top_supplier" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_sq_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
+      s.sql(q15Sql("supplier_sq_v", "lineitem_sq_v"))
+    }),
+
+    // q17 shape — per-part correlated scalar average (decimal-exact)
+    "tpch_q17_small_quantity_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_sq_v")
+      s.sql(q17Sql("lineitem_sq_v", "part_sq_v"))
+    }),
+
+    // q19 shape — disjunctive residual over an equi hash join
+    "tpch_q19_discounted_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_sq_v")
+      s.sql(q19Sql("lineitem_sq_v", "part_sq_v"))
     })
   )
 
@@ -309,6 +452,19 @@ object TpchQueries {
     "tpch_q21_waiting_suppliers" ->
       q21Sql("supplier", "lineitem", "orders", "nation"),
 
-    "tpch_q22_idle_rich_customers" -> q22Sql("customer", "nation", "orders")
+    "tpch_q22_idle_rich_customers" -> q22Sql("customer", "nation", "orders"),
+
+    "tpch_q7_volume_shipping" ->
+      q7Sql("supplier", "lineitem", "orders", "customer", "nation"),
+
+    "tpch_q13_customer_distribution" -> q13Sql("customer", "orders"),
+
+    "tpch_q14_promo_effect" -> q14Sql("lineitem", "part"),
+
+    "tpch_q15_top_supplier" -> q15Sql("supplier", "lineitem"),
+
+    "tpch_q17_small_quantity_revenue" -> q17Sql("lineitem", "part"),
+
+    "tpch_q19_discounted_revenue" -> q19Sql("lineitem", "part")
   )
 }

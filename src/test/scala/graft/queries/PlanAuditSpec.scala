@@ -188,6 +188,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tpch q7/q13/q14/q15/q17/q19: every shape stays on hash joins — " +
+    "two-role dims, outer-join counts, scalar subqueries, disjunctive residuals") {
+    val q13 = plan("tpch_q13_customer_distribution")
+    assert(q13.contains("LeftOuter"),
+      "zero-order customers must survive via an OUTER hash join\n" + q13)
+    val q17 = plan("tpch_q17_small_quantity_revenue")
+    assert("HashAggregate".r.findAllIn(q17).size >= 2,
+      "per-part correlated scalar must decorrelate to an aggregate\n" + q17)
+    for (q <- Seq("tpch_q7_volume_shipping", "tpch_q13_customer_distribution",
+                  "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+                  "tpch_q17_small_quantity_revenue", "tpch_q19_discounted_revenue")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("ivf assignment (nearest_cells) stays inside whole-stage codegen") {
     val cents = graft.similarity.Similarity.trainCentroids(
       graft.model.Tables.embeddings(spark, sf()), "vec_id", "embedding",
