@@ -139,6 +139,26 @@ object NorthStarQueries {
         TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
 
+    // sequence packing: docs → fixed-token-budget training sequences,
+    // contiguously in (source, doc_id) order — pack assignment is a
+    // total function of the corpus (reproducible data order); output is
+    // the per-pack manifest. The window form here; the two-pass prefix
+    // sum (no single-task stratum sort) is packSequencesScalable,
+    // spec-asserted bit-equal (PackingSpec).
+    "text_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(
+        Tables.documents(s, dir), "doc_id", "text", "source", 512)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("pack_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))),
+
+    // overlapping token-window chunking (context-window splitter):
+    // map-only posexplode, chunk hash stands in for the text so chunk-
+    // level exact dedup is a downstream groupBy
+    "text_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkWindows(
+        Tables.documents(s, dir), "doc_id", "text", 32, 24)),
+
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.dedupExact(Tables.documents(s, dir), "text", "doc_id")
@@ -594,6 +614,36 @@ object NorthStarQueries {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    "text_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, n_toks,
+        |    CAST(floor((sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_toks) / 512.0) AS INTEGER) AS pack_id
+        |  FROM t)
+        |SELECT source, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY source, pack_id""".stripMargin,
+
+    "text_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 32 THEN 1
+        |         ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INTEGER) + 1 END AS nc
+        |  FROM t),
+        |e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+        |  CAST(len(list_slice(toks, i*24 + 1, i*24 + 32)) AS INTEGER) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ')) AS chunk_hash
+        |FROM e""".stripMargin,
 
     "sample_stratified_mix" ->
       """WITH b AS (

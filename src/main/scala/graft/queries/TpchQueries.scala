@@ -125,6 +125,35 @@ object TpchQueries {
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** q8 shape — national market share: an 8-table join (nation in two
+    * roles + region on the customer side), share = conditional DECIMAL
+    * sum over total DECIMAL sum, one double division per year.
+    */
+  private def q8Sql(part: String, lineitem: String, orders: String,
+                    customer: String, nation: String, region: String,
+                    supplier: String) =
+    s"""SELECT o_year,
+      |  round(CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume
+      |                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+      |        CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+      |    n2.n_name AS nation
+      |  FROM $part JOIN $lineitem ON p_partkey = l_partkey
+      |  JOIN $orders ON l_orderkey = o_orderkey
+      |  JOIN $customer ON o_custkey = c_custkey
+      |  JOIN $nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN $region ON n1.n_regionkey = r_regionkey
+      |  JOIN $supplier ON l_suppkey = s_suppkey
+      |  JOIN $nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
   /** q13 shape — customer order-count distribution: LEFT OUTER join
     * (zero-order customers must survive with count 0) under an
     * order-side filter, then a second aggregation over the counts.
@@ -353,6 +382,19 @@ object TpchQueries {
         "customer_sq_v", "nation_sq_v"))
     }),
 
+    // q8 shape — 8-table market-share join, conditional decimal ratio
+    "tpch_q8_market_share" -> ((s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("part_sq_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sq_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_sq_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_sq_v")
+      Tables.region(s, dir).createOrReplaceTempView("region_sq_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_sq_v")
+      s.sql(q8Sql("part_sq_v", "lineitem_sq_v", "orders_sq_v",
+        "customer_sq_v", "nation_sq_v", "region_sq_v", "supplier_sq_v"))
+    }),
+
     // q13 shape — outer-join count distribution (zero-order customers kept)
     "tpch_q13_customer_distribution" -> ((s, dir) => {
       Tables.customer(s, dir).createOrReplaceTempView("customer_sq_v")
@@ -456,6 +498,10 @@ object TpchQueries {
 
     "tpch_q7_volume_shipping" ->
       q7Sql("supplier", "lineitem", "orders", "customer", "nation"),
+
+    "tpch_q8_market_share" ->
+      q8Sql("part", "lineitem", "orders", "customer", "nation", "region",
+        "supplier"),
 
     "tpch_q13_customer_distribution" -> q13Sql("customer", "orders"),
 

@@ -174,4 +174,110 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(countDistinct(col("__g")).as("n_shared_grams"))
   }
+
+  /** Sequence packing — assign documents to fixed-token-budget training
+    * sequences ("packs"), contiguously in (stratum, id) order: a doc's
+    * pack is `floor(exclusive-prefix-token-sum / budget)`. The rule is
+    * a total function of the corpus (no greedy bin-packing state), so
+    * packing is reproducible across engines and runs — the property a
+    * training pipeline needs to resume/a-b-test a data order.
+    *
+    * Returns (stratum, id, n_toks, pack_id). This form computes the
+    * prefix sum with one window per stratum — fine when strata are
+    * many and bounded (sources, shards); for a 100 TB corpus with few
+    * giant strata use [[packSequencesScalable]], which computes the
+    * same prefix sum without ever sorting a stratum on one task.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    strataCol: String, budgetTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(strataCol), col(idCol),
+        tokenCount(col(textCol)).as("n_toks"))
+      .withColumn("pack_id",
+        floor((sum(col("n_toks")).over(w) - col("n_toks")) /
+          lit(budgetTokens.toDouble)).cast("int"))
+  }
+
+  /** [[packSequences]] at 100 TB: the distributed two-pass prefix sum.
+    * Pass 1 range-partitions on (stratum, id) — so one stratum SPANS
+    * many partitions, each locally sorted — and computes per-partition
+    * local running sums plus one (partition, stratum) subtotal row.
+    * Pass 2 broadcasts the subtotals (O(partitions × strata-per-
+    * partition-boundary) rows, ~KB) back as exclusive offsets. No
+    * stratum is ever sorted on a single task, which is exactly the
+    * failure mode of the window form when a stratum is 10 TB.
+    * Deterministic: range partitioning is boundary-based and the local
+    * scan follows the same (stratum, id) order the window form uses —
+    * PackingSpec asserts bit-equality between the two forms.
+    */
+  def packSequencesScalable(df: DataFrame, idCol: String, textCol: String,
+                            strataCol: String, budgetTokens: Int,
+                            numParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val toks = df.select(col(strataCol), col(idCol),
+        tokenCount(col(textCol)).as("n_toks"))
+      .repartitionByRange(numParts, col(strataCol), col(idCol))
+      .sortWithinPartitions(col(strataCol), col(idCol))
+    val withPid = toks.withColumn("__pid", spark_partition_id())
+    // pass 1: local exclusive prefix sums (one iterator scan per task —
+    // rows are already (stratum, id)-sorted within the partition)
+    val schema = StructType(withPid.schema.fields :+
+      StructField("__local_excl", LongType, nullable = false))
+    val local = spark.createDataFrame(
+      withPid.rdd.mapPartitions { it =>
+        var stratum: Any = null
+        var running = 0L
+        it.map { r =>
+          if (r.get(0) != stratum) { stratum = r.get(0); running = 0L }
+          val excl = running
+          running += r.getInt(2)
+          Row(r.get(0), r.get(1), r.get(2), r.get(3), excl)
+        }
+      }, schema)
+    // pass 2: per-(partition, stratum) token totals → exclusive cross-
+    // partition offsets; tiny (≤ partitions × strata), broadcast back
+    val subtotal = local.groupBy(col("__pid"), col(strataCol))
+      .agg(sum(col("n_toks")).as("__part_total"))
+    val offsetW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = subtotal
+      .withColumn("__offset",
+        coalesce(sum(col("__part_total")).over(offsetW), lit(0L)))
+      .select(col("__pid"), col(strataCol), col("__offset"))
+    local.join(broadcast(offsets), Seq("__pid", strataCol))
+      .select(col(strataCol), col(idCol), col("n_toks"),
+        floor((col("__local_excl") + col("__offset")) /
+          lit(budgetTokens.toDouble)).cast("int").as("pack_id"))
+  }
+
+  /** Overlapping token-window chunking — the context-window splitter: a
+    * doc of n tokens becomes `1 + ceil((n - chunk)/stride)` chunks,
+    * chunk i covering tokens `[i·stride, i·stride + chunk)` (the last
+    * one short). Emits (id, chunk_id, n_chunk_tokens, chunk_hash) —
+    * map-only, one codegen'd Project with a posexplode, no shuffle; the
+    * hash stands in for the chunk text so downstream exact-dedup of
+    * chunks is a plain groupBy.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(strideTokens > 0 && chunkTokens >= strideTokens,
+      "need 0 < stride <= chunk")
+    val nChunks = when(col("__n") <= chunkTokens, lit(1))
+      .otherwise(ceil((col("__n") - lit(chunkTokens)) /
+        lit(strideTokens.toDouble)).cast("int") + 1)
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__t"), col("chunk_id") * strideTokens + 1, lit(chunkTokens))
+          .as("__c"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__c")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("__c")).cast("binary")).as("chunk_hash"))
+  }
 }

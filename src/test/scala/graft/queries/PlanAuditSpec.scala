@@ -196,7 +196,8 @@ class PlanAuditSpec extends SparkSpec {
     val q17 = plan("tpch_q17_small_quantity_revenue")
     assert("HashAggregate".r.findAllIn(q17).size >= 2,
       "per-part correlated scalar must decorrelate to an aggregate\n" + q17)
-    for (q <- Seq("tpch_q7_volume_shipping", "tpch_q13_customer_distribution",
+    for (q <- Seq("tpch_q7_volume_shipping", "tpch_q8_market_share",
+                  "tpch_q13_customer_distribution",
                   "tpch_q14_promo_effect", "tpch_q15_top_supplier",
                   "tpch_q17_small_quantity_revenue", "tpch_q19_discounted_revenue")) {
       val p = plan(q)
