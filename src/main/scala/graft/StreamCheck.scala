@@ -40,7 +40,8 @@ object StreamCheck {
     val checks: Seq[(String, () => Boolean)] = Seq(
       "fraud" -> (() => checkFraud(spark, sfDir)),
       "stateful" -> (() => checkStateful(spark, sfDir)),
-      "streamjoin" -> (() => checkStreamJoin(spark, sfDir)))
+      "streamjoin" -> (() => checkStreamJoin(spark, sfDir)),
+      "session" -> (() => checkSession(spark, sfDir)))
     val selected = checks.filter { case (n, _) => mode == "all" || mode == n }
     require(selected.nonEmpty, s"unknown --check=$mode")
     val ok = selected.map { case (_, f) => f() }.forall(identity)
@@ -131,6 +132,42 @@ object StreamCheck {
       graft.model.Tables.events(spark, sfDir), threshold)
     parityLine("streaming_stateful_spend", sfDir, outDir, batch, "",
       (System.nanoTime() - t0) / 1e9, extraOk = true)
+  }
+
+  /** Streaming session windows: dynamic-gap state merging (sessions
+    * extend/merge as events arrive, close at watermark), vs the
+    * oracle-checked batch `window_session_sum` plan — same 5-minute
+    * gap, same aggregates. AvailableNow delivers the whole file, the
+    * final watermark sweep closes every session, so the emitted set
+    * must equal the batch sessionization exactly.
+    */
+  private def checkSession(spark: SparkSession, sfDir: String): Boolean = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
+    val t0 = System.nanoTime()
+    val stream = eventsStream(spark, sfDir)
+      .withWatermark("ts", "10 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("n_events"), col("total_value"))
+    runToParquet(stream, ckpt, outDir)
+    // append mode emits a session only once the watermark passes its
+    // end; the final watermark is max(ts) - 10 s, so sessions ending
+    // inside that last horizon are STILL OPEN in state — correctly
+    // unemitted. Parity therefore runs over the closeable set, with the
+    // open remainder counted (must be tiny: only sessions whose last
+    // event sits within gap+delay of the corpus max).
+    val ev = graft.model.Tables.events(spark, sfDir)
+    val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val batch = SparkEntry.queries("window_session_sum")(spark, sfDir)
+    val closeable = batch.where(col("session_end") <= maxTs - 10)
+    val open = batch.count() - closeable.count()
+    parityLine("streaming_session_window", sfDir, outDir, closeable,
+      s""""open_sessions":$open,""",
+      (System.nanoTime() - t0) / 1e9, extraOk = open <= 5)
   }
 
   /** Watermarked stream-stream interval join: purchases within 1 h of a
