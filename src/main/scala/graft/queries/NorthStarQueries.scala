@@ -139,6 +139,12 @@ object NorthStarQueries {
         TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
 
+    // unigram LM quality score (CCNet-style perplexity filter, order-0):
+    // model trained on the corpus, scored by mean token log-prob —
+    // micro-nat decimal sums keep it partition-order-invariant
+    "text_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
+
     // sequence packing: docs → fixed-token-budget training sequences,
     // contiguously in (source, doc_id) order — pack assignment is a
     // total function of the corpus (reproducible data order); output is
@@ -614,6 +620,22 @@ object NorthStarQueries {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |t AS (SELECT sum(cnt) AS total FROM v),
+        |lp AS (
+        |  SELECT tok,
+        |    CAST(round(ln(cnt / (SELECT total FROM t)) * 1000000, 0)
+        |         AS DECIMAL(18,0)) AS lp6
+        |  FROM v)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  round(CAST(sum(lp6) AS DOUBLE) / (1000000.0 * count(*)), 6) AS avg_logprob
+        |FROM toks JOIN lp USING (tok)
+        |GROUP BY doc_id""".stripMargin,
 
     "text_pack_sequences" ->
       """WITH t AS (

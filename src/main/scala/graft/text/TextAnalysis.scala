@@ -175,6 +175,36 @@ object TextAnalysis {
       .agg(countDistinct(col("__g")).as("n_shared_grams"))
   }
 
+  /** Unigram language-model quality score (the CCNet/RedPajama-style
+    * "LM perplexity" filter, reduced to its order-0 form): train a
+    * unigram model ON the corpus (token → count / total), then score
+    * every document by its mean token log-probability. Rare-token-heavy
+    * docs (OCR noise, codes, lorem) score low; filtering is a
+    * downstream threshold on `avg_logprob`.
+    *
+    * Scale shape: the model is vocabulary-sized (≪ corpus) — counts are
+    * one hash agg, the normalizing total is DRIVER MODEL STATE (one
+    * long — the k-means-centroids precedent), and scoring re-joins the
+    * model to the exploded corpus via broadcast, so the corpus never
+    * shuffles. FP discipline: per-token log-probs round to integer
+    * micro-nats and sum as DECIMAL — order-insensitive, so the score is
+    * identical under any partitioning (and to the DuckDB oracle); ONE
+    * double division at the end.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
+    val model = vocab.select(col("tok"),
+      round(log(col("cnt") / lit(total.toDouble)) * 1e6, 0)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("lp6"))
+    toks.join(broadcast(model), "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("lp6")).cast("double") /
+          (lit(1e6) * count(lit(1))), 6).as("avg_logprob"))
+  }
+
   /** Sequence packing — assign documents to fixed-token-budget training
     * sequences ("packs"), contiguously in (stratum, id) order: a doc's
     * pack is `floor(exclusive-prefix-token-sum / budget)`. The rule is
