@@ -1,0 +1,100 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering.
+  *
+  * A 100 TB table is pruned at the scan by parquet min/max stats, but a
+  * single-column sort narrows the stats of ONLY its leading column —
+  * a predicate on any other dimension still reads every file. Z-order
+  * interleaves the bits of two dimension ranks so that each contiguous
+  * key range covers a compact rectangle in (a, b) space: every output
+  * file then carries narrow min/max on BOTH columns and a 2-d box
+  * predicate skips most files (the layout Delta/Iceberg `OPTIMIZE
+  * ZORDER BY` applies; Morton 1966). Layout never changes query
+  * results — only which files a predicate has to touch — so the
+  * re-clustered copy is oracle-checkable against the original table.
+  *
+  * Ranks are EQUI-POPULATION (quantile boundaries), not linear min-max:
+  * under a skewed column a linear rank parks most rows in a few low
+  * buckets, the rank's high bits go constant, and the z-curve
+  * degenerates into a single-column sort on the other dimension
+  * (measured in LayoutSpec: 15/16 files touched vs 4/16 with quantile
+  * ranks). Delta's ZORDER uses the same fix (range-partition ids).
+  */
+object Layout {
+
+  /** Morton interleave of two `bits`-bit bucket ranks into one
+    * 2·`bits`-bit key, built purely from codegen'd built-ins (a fold of
+    * shift/mask/or terms stays inside whole-stage codegen — one pass,
+    * no UDF). Bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  def zValue16(a: Column, b: Column): Column = zValue(a, b, 16)
+
+  /** Interior quantile boundaries splitting `c` into `buckets`
+    * equi-population ranks — model state (≤ `buckets`−1 doubles) from
+    * ONE Greenwald-Khanna sketch pass (sample-sized, map-side merged;
+    * never a global sort). Duplicate boundaries from low-cardinality
+    * columns are harmless: their buckets are empty, ranks stay ordered.
+    */
+  def quantileBoundaries(df: DataFrame, colName: String, buckets: Int): Array[Double] =
+    df.select(col(colName).cast("double").as("__q"))
+      .stat.approxQuantile("__q", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+
+  /** Equi-population rank of `c` against quantile `boundaries`: the
+    * count of boundaries ≤ x, one codegen `aggregate` over a literal
+    * array — map-only, no join, no shuffle.
+    */
+  def bucketByBoundaries(c: Column, boundaries: Array[Double]): Column =
+    aggregate(
+      lit(boundaries),
+      lit(0),
+      (acc, bnd) => acc + when(c.cast("double") >= bnd, 1).otherwise(0))
+
+  /** Write `df` z-order clustered on (colA, colB): quantile-rank both
+    * dims (8-bit ranks ⇒ 256×256 tiles), range-partition on the Morton
+    * key (each output file owns one compact z-range ⇒ a small tile
+    * block in (a, b) space) plus a local sort so row groups inside a
+    * file are tight too. One full shuffle — the same price as any
+    * re-clustering pass — paid once at write time, amortized over every
+    * subsequent multi-dimensional scan.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int, bitsPerDim: Int = 8): Unit = {
+    val buckets = 1 << bitsPerDim
+    val bA = quantileBoundaries(df, colA, buckets)
+    val bB = quantileBoundaries(df, colB, buckets)
+    df.withColumn("__z", zValue(
+        bucketByBoundaries(col(colA), bA),
+        bucketByBoundaries(col(colB), bB), bitsPerDim))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Pruning proxy for a layout: the number of files whose per-file
+    * [min, max] envelope intersects the query box — exactly the files
+    * parquet stats-based skipping would have to read. Counted from the
+    * data itself (groupBy input file), no footer access needed.
+    */
+  def filesOverlapping(df: DataFrame, predicates: (String, Double, Double)*): Long = {
+    val stats = predicates.flatMap { case (c, _, _) =>
+      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"))
+    }
+    val agg = df.groupBy(input_file_name().as("__f"))
+      .agg(stats.head, stats.tail: _*)
+    val overlap = predicates.map { case (c, lo, hi) =>
+      col(s"__lo_$c") <= hi && col(s"__hi_$c") >= lo
+    }.reduce(_ && _)
+    agg.where(overlap).count()
+  }
+}

@@ -136,6 +136,23 @@ object BreadthQueries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // Z-order layout: re-cluster events on (user_id, value) so per-file
+    // min/max stats prune a 2-d box predicate on BOTH dimensions — the
+    // single-sort layout prunes only its leading column (measured:
+    // LayoutSpec's files-overlapping proxy, 4/16 vs 16/16 files). Ranks
+    // are quantile-boundary model state (skew-proof); layout never
+    // changes results, so the oracle is the same box filter on the
+    // ORIGINAL table
+    "layout_zorder_prune" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val path = OracleAux.dir(dir, "zorder_events")
+      graft.etl.Layout.writeZOrdered(ev, path, "user_id", "value",
+        numFiles = 16)
+      s.read.parquet(path)
+        .where(col("user_id").between(100, 119) &&
+          col("value").between(40.0, 60.0))
+    }),
+
     // left-semi: customers that have at least one order (EXISTS)
     "join_semi_customers_with_orders" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -604,6 +621,13 @@ object BreadthQueries {
         |JOIN read_parquet('${OracleAux.sqlDir("bkt_orders")}/*.parquet') o
         |  ON li.l_orderkey = o.o_orderkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // layout changes WHERE the rows live, never WHICH rows match: the
+    // oracle runs the same box filter on the original table
+    "layout_zorder_prune" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id BETWEEN 100 AND 119
+        |  AND value BETWEEN 40.0 AND 60.0""".stripMargin,
 
     "join_semi_customers_with_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

@@ -165,6 +165,15 @@ object NorthStarQueries {
       TextAnalysis.chunkWindows(
         Tables.documents(s, dir), "doc_id", "text", 32, 24)),
 
+    // C4/RefinedWeb corpus-level line dedup: a "line" (3-token row of
+    // the single-line harness docs) appearing in >1 distinct document
+    // is boilerplate, removed everywhere. One shuffle key (the line)
+    // reused for both the distinct-count and the anti join
+    "text_line_dedup" -> ((s, dir) =>
+      TextAnalysis.lineDedup(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", lineWords = 3)),
+
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.dedupExact(Tables.documents(s, dir), "text", "doc_id")
@@ -375,6 +384,24 @@ object NorthStarQueries {
       Similarity.cosineNearDupsFromCandidates(
         s.read.parquet(OracleAux.dir(dir, "cosine_cands")),
         emb, "vec_id", "embedding", threshold = 0.4)
+    }),
+
+    // SemDeDup: k-means cells bound the pairwise-cosine work to
+    // Σ|cell|² (never n²); drop = a smaller-id same-cell neighbor at
+    // cosine ≥ t. Centroids materialized so DuckDB re-derives the
+    // ASSIGNMENT and the within-cell NOT-EXISTS exactly
+    "dedup_semantic" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        numCells = 8, iters = 3)
+      cents.zipWithIndex
+        .map { case ((v, n), i) => (i, v.map(_.toDouble), n) }.toSeq
+        .toDF("cell", "centroid", "norm")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(OracleAux.dir(dir, "semdedup_centroids"))
+      Similarity.semanticDedup(emb, "vec_id", "embedding", cents,
+        threshold = 0.4)
     }),
 
     // int8 symmetric quantization of embeddings (the 4× storage
@@ -636,6 +663,44 @@ object NorthStarQueries {
         |  round(CAST(sum(lp6) AS DOUBLE) / (1000000.0 * count(*)), 6) AS avg_logprob
         |FROM toks JOIN lp USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    // same 3-token lines from the same regex split; duplicate set =
+    // lines in >1 distinct doc; NOT IN removes them corpus-wide
+    "text_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS line_idx,
+        |    array_to_string(list_slice(toks, i*3 + 1, i*3 + 3), ' ') AS line
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT))) AS i
+        |        FROM t)),
+        |d AS (SELECT line FROM l GROUP BY line
+        |      HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, line_idx, line FROM l
+        |WHERE line NOT IN (SELECT line FROM d)""".stripMargin,
+
+    // nearest-centroid assignment re-derived from the materialized
+    // model, then the SemDeDup drop rule as a correlated NOT EXISTS
+    "dedup_semantic" ->
+      s"""WITH c AS (
+        |  SELECT cell, centroid, norm
+        |  FROM read_parquet('${OracleAux.sqlDir("semdedup_centroids")}/*.parquet')
+        |),
+        |a AS (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+        |    (SELECT c.cell FROM c
+        |     ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+        |       / c.norm DESC, c.cell DESC
+        |     LIMIT 1) AS cell
+        |  FROM embeddings e)
+        |SELECT x.vec_id, x.cell,
+        |  NOT EXISTS (
+        |    SELECT 1 FROM a y
+        |    WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+        |      AND list_cosine_similarity(x.v, y.v) >= 0.4) AS keep
+        |FROM a x""".stripMargin,
 
     "text_pack_sequences" ->
       """WITH t AS (

@@ -324,6 +324,41 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
   }
 
+  /** SemDeDup — semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means partition the embedding space, then
+    * compare pairwise cosine ONLY within each cell; a vector is dropped
+    * when a same-cell neighbor with a smaller id sits at or above the
+    * similarity threshold. Returns every corpus row with its `cell` and
+    * a `keep` flag.
+    *
+    * Scale shape: the clustering bounds the quadratic term — candidate
+    * volume is Σ|cell|², not n², and the self-join shuffles only
+    * (id, vec, norm) keyed on `cell`. At 100 TB the cell count grows
+    * with the corpus (cells ≈ n / targetCellRows, the [[ivfPlan]]
+    * discipline — the paper itself runs k≈100k on LAION) so per-cell
+    * work stays constant and cells are embarrassingly parallel; the
+    * centroid model is driver state inlined into one codegen
+    * expression, so assignment is a map-only projection, no join.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[(Seq[Float], Double)],
+                    threshold: Double): DataFrame = {
+    val assigned = corpus.select(col(idCol), col(vecCol).as("__v"),
+      l2Norm(col(vecCol)).as("__n"),
+      cellFor(cents)(col(vecCol)).as("cell"))
+    val dropped = assigned
+      .select(col("cell"), col(idCol).as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na"))
+      .join(assigned.select(col("cell"), col(idCol).as("id_b"),
+        col("__v").as("__vb"), col("__n").as("__nb")), "cell")
+      .where(col("id_b") < col("id_a") &&
+        cosineWithNorms(dot(col("__va"), col("__vb")),
+          col("__na"), col("__nb")) >= threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    assigned.join(dropped.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("__dup").isNull.as("keep"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the other classic ANN scale
     * path next to LSH. A coarse quantizer of `numCells` centroids
     * partitions the corpus into cells (the "inverted lists"); each query

@@ -293,6 +293,37 @@ object TextAnalysis {
     * hash stands in for the chunk text so downstream exact-dedup of
     * chunks is a plain groupBy.
     */
+  /** Corpus-level exact line dedup — the C4 recipe (Raffel et al. 2020
+    * dedups three-sentence spans; RefinedWeb drops exact duplicate
+    * lines): a line that appears in MORE THAN ONE distinct document is
+    * boilerplate (headers, footers, licence blurbs) and is removed from
+    * every document. The harness corpus is single-line word soup, so a
+    * "line" here is a fixed-width row of `lineWords` tokens.
+    *
+    * Scale shape: explode → groupBy(line) with map-side partial
+    * distinct-counts → the duplicate-line set anti-joins back against
+    * the exploded corpus on the SAME key (one shuffle key reused), and
+    * the anti join's right side carries only the duplicated lines — a
+    * small fraction of the corpus, never the corpus itself.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                lineWords: Int): DataFrame = {
+    require(lineWords > 0, "need lineWords > 0")
+    val nLines = ceil(size(col("__t")) / lit(lineWords.toDouble)).cast("int")
+    val lined = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("line_idx", explode(sequence(lit(0), nLines - 1)))
+      .select(col(idCol), col("line_idx"),
+        concat_ws(" ",
+          slice(col("__t"), col("line_idx") * lineWords + 1, lit(lineWords)))
+          .as("line"))
+    val dups = lined.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") > 1)
+      .select("line")
+    lined.join(dups, Seq("line"), "left_anti")
+      .select(col(idCol), col("line_idx"), col("line"))
+  }
+
   def chunkWindows(df: DataFrame, idCol: String, textCol: String,
                    chunkTokens: Int, strideTokens: Int): DataFrame = {
     require(strideTokens > 0 && chunkTokens >= strideTokens,

@@ -229,4 +229,33 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(run() == run())
   }
+
+  test("semanticDedup matches a plain-Scala within-cell reference " +
+    "and never drops across cells") {
+    val emb = Tables.embeddings(spark, sf())
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      numCells = 8, iters = 3)
+    val t = 0.38
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding", cents, t)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+
+    // plain-Scala reference over the collected corpus
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cellOf = out.map { case (id, (c, _)) => id -> c }
+    val refKeep = vecs.keys.map { id =>
+      id -> !vecs.keys.exists(o => o < id && cellOf(o) == cellOf(id) &&
+        cos(vecs(o), vecs(id)) >= t)
+    }.toMap
+    assert(out.size == vecs.size)
+    val drops = out.count(!_._2._2)
+    assert(drops > 0, "threshold should drop at least one near-dup")
+    out.foreach { case (id, (_, keep)) =>
+      assert(keep == refKeep(id), s"vec $id keep=$keep ref=${refKeep(id)}")
+    }
+  }
 }

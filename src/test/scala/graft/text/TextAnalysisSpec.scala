@@ -42,4 +42,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0).getString(1) == fps(1).getString(1))
     assert(fps(0).getString(0) != fps(1).getString(0))
   }
+
+  test("lineDedup removes exactly the lines shared by >1 document, " +
+    "keeps per-doc repeats, and the ragged tail line") {
+    val docs = Seq(
+      (1L, "dup line one aaa bbb ccc tail"),      // lines: [dup line one][aaa bbb ccc][tail]
+      (2L, "dup line one xxx yyy zzz"),           // shares line 0 with doc 1
+      (3L, "solo solo solo solo solo solo"),      // self-repeat within ONE doc survives
+      (4L, "unique words here and a tail")        // 'tail' is a full line of doc 1 but
+    ).toDF("doc_id", "text")                      //   only a suffix token here — no match
+    val out = TextAnalysis.lineDedup(docs, "doc_id", "text", lineWords = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(!out.exists(_._3 == "dup line one"), "cross-doc line removed everywhere")
+    assert(out.count(t => t._1 == 3L && t._3 == "solo solo solo") == 2,
+      "within-doc repetition is NOT corpus boilerplate")
+    assert(out.contains((1L, 2, "tail")), "ragged tail survives as its own line")
+    assert(out.contains((4L, 1, "and a tail")), "different line text, kept")
+    assert(out.contains((1L, 1, "aaa bbb ccc")) &&
+      out.contains((2L, 1, "xxx yyy zzz")))
+  }
 }
