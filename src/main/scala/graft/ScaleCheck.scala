@@ -124,6 +124,27 @@ object ScaleCheck {
       }
       ivfProbe("x1", emb0)
       ivfProbe("x32", embX)
+      // SemDeDup probe: cells scale with the corpus (constant rows per
+      // cell — the paper's discipline), so within-cell pairwise work
+      // stays ~linear overall; a fixed cell count would grow ×32² here
+      def semProbe(tag: String, emb: org.apache.spark.sql.DataFrame): Unit = {
+        val n = emb.count()
+        val cells = math.max(8, (n / 625L).toInt)
+        println(s"semanticDedup(n=$n): cells=$cells")
+        var model: Array[(Seq[Float], Double)] = null
+        time(s"semdedup_train_$tag") {
+          model = graft.similarity.Similarity.trainCentroids(
+            emb, "vec_id", "embedding", cells, iters = 1)
+          model.length.toLong
+        }
+        time(s"semdedup_$tag") {
+          graft.similarity.Similarity.semanticDedup(
+            emb, "vec_id", "embedding", model, 0.8)
+            .where(!col("keep")).count()
+        }
+      }
+      semProbe("x1", emb0)
+      semProbe("x32", embX)
     }
     // Text/dedup probe: documents ×32 with per-replica token remapping
     // (prefix every token with the replica id — a bijective vocabulary
@@ -163,6 +184,13 @@ object ScaleCheck {
           graft.dedup.Dedup.jaccardPairsInverted(d, "doc_id", "text",
             shingleSize = 3, threshold = 0.8).count()
         }
+        // corpus-level line dedup: explode + one reused shuffle key;
+        // remapped replica tokens mean the duplicate-line structure
+        // scales with the corpus instead of collapsing cross-replica
+        time(s"text_line_dedup_$tag") {
+          graft.text.TextAnalysis.lineDedup(
+            d.select("doc_id", "text"), "doc_id", "text", 3).count()
+        }
       }
       textProbes("x1", d0)
       textProbes("x32", docs)
@@ -184,6 +212,19 @@ object ScaleCheck {
       }
       ccProbe("x1", 20000L)
       ccProbe("x32", 640000L)
+    }
+    // Z-order re-cluster at ×32: one range shuffle (the price of any
+    // re-layout); the pruning ratio for a value-only box must hold as
+    // data grows — that ratio IS the read saving every later scan gets
+    locally {
+      time("zorder_write_x32") {
+        graft.etl.Layout.writeZOrdered(ev.select("event_id", "user_id", "value"),
+          "/tmp/zorder_x32.parquet", "user_id", "value", numFiles = 64)
+        spark.read.parquet("/tmp/zorder_x32.parquet").count()
+      }
+      val hit = graft.etl.Layout.filesOverlapping(
+        spark.read.parquet("/tmp/zorder_x32.parquet"), ("value", 40.0, 60.0))
+      println(s"zorder_overlap_x32: $hit / 64 files for a value-only box")
     }
     time("range_join_10m") {
       val base = ev.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))

@@ -39,28 +39,37 @@ object Layout {
 
   def zValue16(a: Column, b: Column): Column = zValue(a, b, 16)
 
-  /** Interior quantile boundaries splitting `c` into `buckets`
-    * equi-population ranks — model state (≤ `buckets`−1 doubles) from
-    * ONE Greenwald-Khanna sketch pass (sample-sized, map-side merged;
-    * never a global sort). Duplicate boundaries from low-cardinality
-    * columns are harmless: their buckets are empty, ranks stay ordered.
+  /** Interior quantile boundaries splitting each of `colNames` into
+    * `buckets` equi-population ranks — model state (≤ `buckets`−1
+    * doubles per column) from ONE Greenwald-Khanna sketch pass over all
+    * columns together (sample-sized, map-side merged; never a global
+    * sort). Boundary precision only affects bucket balance, never
+    * correctness, so a loose 1% relative error keeps the sketch tiny.
+    * Duplicate boundaries from low-cardinality columns are harmless:
+    * their buckets are empty, ranks stay ordered.
     */
-  def quantileBoundaries(df: DataFrame, colName: String, buckets: Int): Array[Double] =
-    df.select(col(colName).cast("double").as("__q"))
-      .stat.approxQuantile("__q", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+  def quantileBoundaries(df: DataFrame, colNames: Seq[String],
+                         buckets: Int): Array[Array[Double]] = {
+    val cast = df.select(colNames.zipWithIndex.map { case (c, i) =>
+      col(c).cast("double").as(s"__q$i")
+    }: _*)
+    cast.stat.approxQuantile(colNames.indices.map(i => s"__q$i").toArray,
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+  }
 
   /** Equi-population rank of `c` against quantile `boundaries`: the
-    * count of boundaries ≤ x, one codegen `aggregate` over a literal
-    * array — map-only, no join, no shuffle.
+    * count of boundaries ≤ x — an O(log B) binary search in ONE codegen
+    * expression ([[graft.functions.VectorExprs.BucketRank]]); map-only,
+    * no join, no shuffle. (The `aggregate`-HOF spelling of the same
+    * count is CodegenFallback and scanned all B boundaries interpreted —
+    * it dominated the re-layout write at bench scale.)
     */
   def bucketByBoundaries(c: Column, boundaries: Array[Double]): Column =
-    aggregate(
-      lit(boundaries),
-      lit(0),
-      (acc, bnd) => acc + when(c.cast("double") >= bnd, 1).otherwise(0))
+    graft.functions.VectorExprs.bucket_rank(c.cast("double"), boundaries)
 
   /** Write `df` z-order clustered on (colA, colB): quantile-rank both
-    * dims (8-bit ranks ⇒ 256×256 tiles), range-partition on the Morton
+    * dims (6-bit ranks ⇒ 64×64 tiles — plenty: file-level pruning only
+    * resolves ~log₂(numFiles) leading z-bits), range-partition on the Morton
     * key (each output file owns one compact z-range ⇒ a small tile
     * block in (a, b) space) plus a local sort so row groups inside a
     * file are tight too. One full shuffle — the same price as any
@@ -68,10 +77,9 @@ object Layout {
     * subsequent multi-dimensional scan.
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-                    numFiles: Int, bitsPerDim: Int = 8): Unit = {
+                    numFiles: Int, bitsPerDim: Int = 6): Unit = {
     val buckets = 1 << bitsPerDim
-    val bA = quantileBoundaries(df, colA, buckets)
-    val bB = quantileBoundaries(df, colB, buckets)
+    val Array(bA, bB) = quantileBoundaries(df, Seq(colA, colB), buckets)
     df.withColumn("__z", zValue(
         bucketByBoundaries(col(colA), bA),
         bucketByBoundaries(col(colB), bB), bitsPerDim))

@@ -581,4 +581,55 @@ object VectorExprs {
 
   def token_ngrams(toks: Column, n: Int, distinct: Boolean = false): Column =
     bridge.column(TokenNGrams(bridge.expression(toks), n, distinct))
+
+  /** Equi-population rank of a double against sorted quantile
+    * `boundaries`: the count of boundaries ≤ x (an upper-bound binary
+    * search, O(log B) per row). The `aggregate`-HOF spelling is
+    * CodegenFallback and walks all B boundaries interpreted — on a
+    * re-layout pass that touches EVERY row of the table (z-ordering,
+    * graft.etl.Layout) that interpretation dominated the write.
+    */
+  case class BucketRank(child: Expression, boundaries: Array[Double])
+      extends UnaryExpression {
+
+    require(boundaries.nonEmpty, "bucket_rank: need at least one boundary")
+
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[Double]
+      var lo = 0
+      var hi = boundaries.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (boundaries(mid) <= x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bs = ctx.addReferenceObj("boundaries", boundaries, "double[]")
+      nullSafeCodeGen(ctx, ev, x => {
+        val lo = ctx.freshName("lo")
+        val hi = ctx.freshName("hi")
+        val mid = ctx.freshName("mid")
+        s"""
+           |int $lo = 0;
+           |int $hi = $bs.length;
+           |while ($lo < $hi) {
+           |  int $mid = ($lo + $hi) >>> 1;
+           |  if ($bs[$mid] <= $x) { $lo = $mid + 1; } else { $hi = $mid; }
+           |}
+           |${ev.value} = $lo;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def bucket_rank(c: Column, boundaries: Array[Double]): Column =
+    bridge.column(BucketRank(bridge.expression(c), boundaries))
 }

@@ -70,6 +70,15 @@ class VectorExprsSpec extends SparkSpec {
     assert(collectMap(shorty) == Map(1L -> Nil))
   }
 
+  test("bucket_rank = count of boundaries <= x, duplicates and ends included") {
+    val bs = Array(1.0, 2.0, 2.0, 5.0)
+    val xs = Seq(0.5, 1.0, 1.5, 2.0, 3.0, 5.0, 9.9)
+    val expected = xs.map(x => bs.count(_ <= x))
+    val got = xs.toDF("x")
+      .select(VectorExprs.bucket_rank($"x", bs)).as[Int].collect().toSeq
+    assert(got == expected)
+  }
+
   test("approx sketches land near exact values") {
     val li = Tables.lineitem(spark, sf())
     val approx = li.groupBy($"l_returnflag").agg(
