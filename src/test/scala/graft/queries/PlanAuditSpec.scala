@@ -206,6 +206,36 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("layout_zorder_prune pushes BOTH box dimensions into the " +
+    "re-clustered scan (the stats-pruning contract)") {
+    TopKPerKey.ensureRegistered(spark)
+    // formatted mode: the compact toString truncates long filter lists
+    val p = SparkEntry.queries("layout_zorder_prune")(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(user_id,100)"), p)
+    assert(p.contains("LessThanOrEqual(user_id,119)"), p)
+    assert(p.contains("GreaterThanOrEqual(value,40.0)"), p)
+    assert(p.contains("LessThanOrEqual(value,60.0)"), p)
+  }
+
+  test("text_line_dedup broadcasts the duplicate-line set; the exploded " +
+    "corpus itself never shuffles for the anti join") {
+    val p = plan("text_line_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // only the distinct-count aggregation shuffles (partial-dedup by
+    // (line, doc_id), then count by line); the probe side streams
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("dedup_semantic assigns cells as one codegen expression (no join) " +
+    "and never degenerates to a nested-loop join") {
+    val p = plan("dedup_semantic")
+    assert(p.toLowerCase.contains("nearestcells"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ivf assignment (nearest_cells) stays inside whole-stage codegen") {
     val cents = graft.similarity.Similarity.trainCentroids(
       graft.model.Tables.embeddings(spark, sf()), "vec_id", "embedding",
