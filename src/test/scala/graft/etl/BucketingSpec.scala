@@ -46,4 +46,35 @@ class BucketingSpec extends SparkSpec {
       assert(joined.count() === expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("a point lookup on the bucket key prunes to 1 of 8 buckets " +
+    "(the serving-path read saving bucketing also buys)") {
+    // reuses ev_bucketed written by the join test when it ran first;
+    // (re)write defensively so the test stands alone too
+    val dir = new java.io.File("/tmp/graft_warehouse/ev_pruned")
+    if (dir.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively()
+    }
+    spark.sql("DROP TABLE IF EXISTS ev_pruned")
+    Tables.events(spark, sf()).select("event_id", "user_id", "value")
+      .write.bucketBy(8, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable("ev_pruned")
+    // autoBucketedScan drops the bucketed read when no join/agg benefits
+    // — it does not credit FILTER pruning, so a serving path that lives
+    // on point lookups pins it off (the files are sorted by the key, so
+    // row-group stats prune within the one selected bucket too)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val q = spark.table("ev_pruned").where(col("user_id") === 42)
+      val p = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning must cut the scan to one bucket:\n$p")
+      val expected = Tables.events(spark, sf())
+        .where(col("user_id") === 42).count()
+      assert(q.count() === expected, "pruned scan must not change results")
+    } finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+  }
 }
