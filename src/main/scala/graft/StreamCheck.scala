@@ -18,7 +18,8 @@ import org.apache.spark.sql.streaming.Trigger
   *    interval join (views ⋈ purchases within 60 s per user), parity vs
   *    the identical batch join.
   *
-  * Usage: `runMain graft.StreamCheck [sfDir] [--check=fraud|stateful|streamjoin|all]`
+  * Usage: `runMain graft.StreamCheck [sfDir]
+  * [--check=fraud|stateful|streamjoin|session|dedup|all]`
   * (defaults: sf0.01, all). Exit 1 if any selected check fails.
   */
 object StreamCheck {
@@ -41,7 +42,8 @@ object StreamCheck {
       "fraud" -> (() => checkFraud(spark, sfDir)),
       "stateful" -> (() => checkStateful(spark, sfDir)),
       "streamjoin" -> (() => checkStreamJoin(spark, sfDir)),
-      "session" -> (() => checkSession(spark, sfDir)))
+      "session" -> (() => checkSession(spark, sfDir)),
+      "dedup" -> (() => checkDedup(spark, sfDir)))
     val selected = checks.filter { case (n, _) => mode == "all" || mode == n }
     require(selected.nonEmpty, s"unknown --check=$mode")
     val ok = selected.map { case (_, f) => f() }.forall(identity)
@@ -168,6 +170,33 @@ object StreamCheck {
     parityLine("streaming_session_window", sfDir, outDir, closeable,
       s""""open_sessions":$open,""",
       (System.nanoTime() - t0) / 1e9, extraOk = open <= 5)
+  }
+
+  /** Streaming dedup: `dropDuplicatesWithinWatermark` over a
+    * duplicate-prone message key (same user, same event type, same
+    * rounded amount — the producer-retry shape). State is keyed by the
+    * fingerprint and bounded by the watermark, the property that makes
+    * exactly-once-per-key viable on an unbounded stream. Which PHYSICAL
+    * row survives depends on arrival order, so parity compares the KEY
+    * SET: stream output == batch `distinct` — dedup complete (no key
+    * missing) and never over-dropping (no key lost).
+    */
+  private def checkDedup(spark: SparkSession, sfDir: String): Boolean = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
+    val t0 = System.nanoTime()
+    def keyed(df: DataFrame) = df.select(col("ts"),
+      concat_ws(":", col("user_id"), col("event_type"),
+        round(col("value"), 0).cast("long")).as("fp"))
+    val stream = keyed(eventsStream(spark, sfDir))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("fp")
+      .select("fp")
+    runToParquet(stream, ckpt, outDir)
+    val batch = keyed(graft.model.Tables.events(spark, sfDir))
+      .select("fp").distinct()
+    parityLine("streaming_dedup", sfDir, outDir, batch, "",
+      (System.nanoTime() - t0) / 1e9, extraOk = true)
   }
 
   /** Watermarked stream-stream interval join: purchases within 1 h of a
