@@ -25,17 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton interleave of two `bits`-bit bucket ranks into one
-    * 2·`bits`-bit key, built purely from codegen'd built-ins (a fold of
+  /** Morton interleave of k `bits`-bit bucket ranks into one k·`bits`-
+    * bit key, built purely from codegen'd built-ins (a fold of
     * shift/mask/or terms stays inside whole-stage codegen — one pass,
-    * no UDF). Bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
+    * no UDF). Bit i of dimension j lands at position i·k + j, so the
+    * leading key bits cycle through every dimension's leading rank bits
+    * — each contiguous key range is a compact k-d tile block.
     */
-  def zValue(a: Column, b: Column, bits: Int): Column =
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2 && k * bits <= 62,
+      s"zValueN: need >=2 dims and k*bits <= 62 (got $k x $bits)")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * k + j))
+      }
     }
+  }
+
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    zValueN(Seq(a, b), bits)
 
   def zValue16(a: Column, b: Column): Column = zValue(a, b, 16)
 
@@ -77,12 +87,22 @@ object Layout {
     * subsequent multi-dimensional scan.
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-                    numFiles: Int, bitsPerDim: Int = 6): Unit = {
+                    numFiles: Int, bitsPerDim: Int = 6): Unit =
+    writeZOrderedN(df, path, Seq(colA, colB), numFiles, bitsPerDim)
+
+  /** N-dimensional variant (the `OPTIMIZE ZORDER BY (a, b, c)` shape):
+    * same one-pass quantile ranks, same single range shuffle. More
+    * dimensions dilute per-dimension pruning (each leading rank bit
+    * costs k key bits), so 2-4 columns is the useful envelope — the
+    * same guidance the lakehouse engines publish.
+    */
+  def writeZOrderedN(df: DataFrame, path: String, cols: Seq[String],
+                     numFiles: Int, bitsPerDim: Int = 6): Unit = {
     val buckets = 1 << bitsPerDim
-    val Array(bA, bB) = quantileBoundaries(df, Seq(colA, colB), buckets)
-    df.withColumn("__z", zValue(
-        bucketByBoundaries(col(colA), bA),
-        bucketByBoundaries(col(colB), bB), bitsPerDim))
+    val bounds = quantileBoundaries(df, cols, buckets)
+    df.withColumn("__z", zValueN(
+        cols.zip(bounds).map { case (c, b) => bucketByBoundaries(col(c), b) },
+        bitsPerDim))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

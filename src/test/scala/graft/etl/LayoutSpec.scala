@@ -33,6 +33,45 @@ class LayoutSpec extends SparkSpec {
     assert(got === samples.map { case (a, b) => zRef(a, b) })
   }
 
+  private def zRefN(vals: Seq[Int], bits: Int): Long = {
+    val k = vals.size
+    var z = 0L
+    for (i <- 0 until bits; j <- 0 until k)
+      z |= ((vals(j).toLong >> i) & 1L) << (i * k + j)
+    z
+  }
+
+  test("zValueN matches the reference interleave for 3 dims and reduces " +
+    "to zValue for 2") {
+    val samples = Seq(Seq(0, 0, 0), Seq(63, 63, 63), Seq(1, 2, 4),
+      Seq(40, 7, 63), Seq(33, 44, 55))
+    val df = samples.map { case Seq(a, b, c) => (a, b, c) }.toDF("a", "b", "c")
+    val got = df.select(
+      Layout.zValueN(Seq(col("a"), col("b"), col("c")), 6).as("z3"),
+      Layout.zValue(col("a"), col("b"), 6).as("z2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    samples.zip(got).foreach { case (s, (z3, z2)) =>
+      assert(z3 == zRefN(s, 6), s"3-dim interleave of $s")
+      assert(z2 == zRefN(s.take(2), 6), s"2-dim interleave of $s")
+    }
+  }
+
+  test("3-dim z-order still prunes a single-dimension box better than a " +
+    "sort on a different leading column") {
+    val ev = Tables.events(spark, sf("sf0.01"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+    val path = "/tmp/graft_layout_spec/zorder3"
+    Layout.writeZOrderedN(ev, path, Seq("user_id", "value", "ts_sec"),
+      numFiles = 16)
+    val z = spark.read.parquet(path)
+    assert(z.exceptAll(ev).count() == 0 && ev.exceptAll(z).count() == 0)
+    val zFiles = Layout.filesOverlapping(z, ("value", 40.0, 60.0))
+    // 3 dims dilute pruning vs the 2-dim layout, but a value box must
+    // still skip files — a user_id sort skips none
+    assert(zFiles < 16, s"3-dim z-order should prune a value box ($zFiles/16)")
+  }
+
   test("z-order prunes the non-leading dimension; a single sort cannot; " +
     "content round-trips unchanged") {
     val ev = Tables.events(spark, sf("sf0.01"))
