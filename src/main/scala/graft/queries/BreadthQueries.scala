@@ -254,6 +254,36 @@ object BreadthQueries {
           .when(col("o_totalprice") > 10000, lit("mid"))
           .otherwise(lit("low")).as("price_band"))),
 
+    // calendar arithmetic beyond scalar_battery's extracts: truncation,
+    // month-end, interval shift, day deltas — all map-only, all feeding
+    // partition pruning / window bucketing at scale
+    "scalar_datetime_battery" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        quarter(col("o_orderdate")).as("qtr"),
+        unix_timestamp(last_day(col("o_orderdate"))).as("month_end_day"),
+        unix_timestamp(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+        datediff(lit("1998-12-31").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_eoy98"))),
+
+    // null semantics end-to-end: NULLIF-produced nulls group as ONE key,
+    // aggregates ignore nulls (count(col) vs count(*), all-null max),
+    // and null-safe equality (<=>) treats null as a comparable value.
+    // The avg is an explicit decimal-sum / count so accumulation order
+    // can't leak into the double
+    "scalar_null_semantics" -> ((s, dir) => {
+      val w = Tables.orders(s, dir).select(
+        nullif(col("o_orderstatus"), lit("O")).as("st"),
+        when(col("o_totalprice") > 200000, col("o_totalprice")).as("big"))
+      w.groupBy(col("st")).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("big")).as("n_big"),
+        round(sum(dec("big")).cast("double") / count(col("big")), 4).as("avg_big"),
+        round(max(col("big")), 2).as("max_big"),
+        sum((col("st") <=> lit("F")).cast("long")).as("n_nullsafe_f"))
+    }),
+
     // TPC-H Q1 pricing summary — the classic agg headline. Partial
     // aggregation makes the shuffle |groups|-sized; decimal sums for the
     // product terms, round/div for the averages.
@@ -669,6 +699,29 @@ object BreadthQueries {
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS rank_in_user
         |FROM events""".stripMargin,
+
+    "scalar_datetime_battery" ->
+      """SELECT o_orderkey,
+        |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(epoch(last_day(o_orderdate)) AS BIGINT) AS month_end_day,
+        |  CAST(epoch(o_orderdate + INTERVAL 30 DAY) AS BIGINT) AS plus30,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+        |       AS INTEGER) AS days_to_eoy98
+        |FROM orders""".stripMargin,
+
+    "scalar_null_semantics" ->
+      """WITH w AS (
+        |  SELECT nullif(o_orderstatus, 'O') AS st,
+        |    CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big
+        |  FROM orders)
+        |SELECT st, count(*) AS n_rows, count(big) AS n_big,
+        |  round(CAST(sum(CAST(big AS DECIMAL(18,2))) AS DOUBLE)
+        |        / count(big), 4) AS avg_big,
+        |  round(max(big), 2) AS max_big,
+        |  CAST(sum(CASE WHEN st IS NOT DISTINCT FROM 'F'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_f
+        |FROM w GROUP BY st""".stripMargin,
 
     "scalar_battery" ->
       """SELECT o_orderkey,
