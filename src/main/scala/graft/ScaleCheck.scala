@@ -49,6 +49,26 @@ object ScaleCheck {
     time("stateful_spend_batch") {
       graft.streaming.StatefulSpend.batchSpendAlerts(ev, 200.0).count()
     }
+    // lateral ORDER BY+LIMIT: Catalyst decorrelates to WindowGroupLimit
+    // with a map-side Partial pass, so the shuffle carries ≤3 rows per
+    // user per map task and growth must stay ~linear in |events| — a
+    // per-outer-row rescan (the naive lateral execution) would be
+    // ×32² here. Outer side = distinct users, derived in-query on both
+    // sizes so the probe compares identical shapes.
+    def lateralProbe(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.createOrReplaceTempView(s"ev_lat_$tag")
+      df.select(col("user_id")).distinct().createOrReplaceTempView(s"us_lat_$tag")
+      time(s"lateral_topk_$tag") {
+        spark.sql(
+          s"""SELECT u.user_id, e.event_id, e.value
+            |FROM us_lat_$tag u, LATERAL (
+            |  SELECT event_id, value FROM ev_lat_$tag
+            |  WHERE user_id = u.user_id
+            |  ORDER BY value DESC, event_id LIMIT 3) e""".stripMargin).count()
+      }
+    }
+    lateralProbe("x1", e0)
+    lateralProbe("x32", ev)
     // SRP-LSH scale probe: embeddings ×32 with per-replica deterministic
     // sign flips (norm-preserving, decorrelates replicas so buckets stay
     // uniform and near-dup pairs stay ~within-replica). Times 1× vs 32×

@@ -26,6 +26,18 @@ object BreadthQueries {
 
   private def dec(c: String) = col(c).cast(DecimalType(18, 2))
 
+  /** One SQL text for join_lateral_topk_per_nation, run verbatim on
+    * BOTH engines — top-3 customers by balance per nation via a
+    * correlated LATERAL subquery with ORDER BY + LIMIT.
+    */
+  private def lateralTopkSql(nation: String, customer: String): String =
+    s"""SELECT n_name, c.c_custkey, round(c.c_acctbal, 2) AS c_acctbal
+      |FROM $nation, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM $customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+      |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin
+
   /** One SQL text for agg_stats_battery, parameterized only by table
     * name, run verbatim on BOTH Spark and DuckDB: exact DECIMAL(38,0)
     * cents-scaled moment sums, then the closed-form stddev/var/corr/
@@ -284,6 +296,26 @@ object BreadthQueries {
         sum((col("st") <=> lit("F")).cast("long")).as("n_nullsafe_f"))
     }),
 
+    // lambda higher-order functions over array columns — transform /
+    // filter / aggregate / exists, the API a user reaches for on
+    // array-of-struct event payloads. Map-only (no shuffle, no
+    // explode): the per-row array never leaves its partition, which is
+    // the point at 100 TB — an explode+groupBy spelling of the same
+    // stats would shuffle |tokens| rows to recompute per-doc scalars.
+    // HOF lambdas don't whole-stage-codegen, so they stay OFF the
+    // hot vector path (VectorExprs has the codegen expressions); for
+    // per-doc token stats the scan dominates and the trade is right.
+    "scalar_hof_array_battery" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => length(t) > 5)).as("n_long"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        array_max(transform(toks, t => length(t))).as("max_len"),
+        exists(toks, t => t.startsWith("sp")).as("has_sp"))
+    }),
+
     // TPC-H Q1 pricing summary — the classic agg headline. Partial
     // aggregation makes the shuffle |groups|-sized; decimal sums for the
     // product terms, round/div for the averages.
@@ -531,6 +563,22 @@ object BreadthQueries {
               |FROM lineitem_v GROUP BY 1, 2""".stripMargin)
     }),
 
+    // LATERAL join with a correlated ORDER BY + LIMIT body — the
+    // "top-k related rows per outer row" idiom a warehouse user writes
+    // directly. Catalyst decorrelates the per-nation LIMIT via a
+    // window/rank rewrite over ONE shuffle of customer keyed by the
+    // correlation column — NOT a per-nation rescan, which is what a
+    // naive lateral execution would do 25× here and 10^6× at 100 TB.
+    // Identical SQL text runs on both engines (DuckDB executes the
+    // lateral natively); acctbal rounded before the rank cutoff is not
+    // needed since the LIMIT orders by the raw column on both sides
+    // with a custkey tiebreak.
+    "join_lateral_topk_per_nation" -> ((s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("nation_lat_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_lat_v")
+      s.sql(lateralTopkSql("nation_lat_v", "customer_lat_v"))
+    }),
+
     // as-of join (graft.plans.AsOfJoin): latest order at-or-before each
     // event, per customer — one shuffle + sort over |L|+|R|, no range-
     // join expansion. Orders pre-deduped per (custkey, date) so the
@@ -699,6 +747,17 @@ object BreadthQueries {
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS rank_in_user
         |FROM events""".stripMargin,
+
+    "scalar_hof_array_battery" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tokens) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(tokens, x -> length(x) > 5)) AS INTEGER) AS n_long,
+        |  CAST(list_sum(list_transform(tokens, x -> length(x))) AS BIGINT) AS sum_len,
+        |  CAST(list_max(list_transform(tokens, x -> length(x))) AS INTEGER) AS max_len,
+        |  len(list_filter(tokens, x -> starts_with(x, 'sp'))) > 0 AS has_sp
+        |FROM t""".stripMargin,
 
     "scalar_datetime_battery" ->
       """SELECT o_orderkey,
@@ -907,6 +966,8 @@ object BreadthQueries {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS n_lines
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "join_lateral_topk_per_nation" -> lateralTopkSql("nation", "customer"),
 
     "join_asof_latest_order" ->
       """WITH o AS (

@@ -228,6 +228,59 @@ object TpchQueries {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** q11 shape — important part concentration: per-part value with a
+    * HAVING threshold taken from an UNCORRELATED scalar subquery over
+    * the same fact. Catalyst executes the scalar agg once as a
+    * subquery stage and injects the result — the HAVING filter then
+    * runs post-aggregation with no join at all, so at 100 TB the cost
+    * is two scans of lineitem (one |parts|-sized shuffle, one
+    * shuffle-free global agg), not a per-group rescan. The threshold is
+    * a MULTIPLE OF THE MEAN part value (stock q11's FRACTION of total
+    * selects nothing once the part count grows — scale-variant), so the
+    * query returns a stable ~16% slice at every SF. Sums are exact
+    * DECIMAL cast to double and the threshold is the same two double
+    * ops in the same order on both engines, so the strict inequality
+    * is engine-portable.
+    */
+  private def q11Sql(lineitem: String) =
+    s"""SELECT l_partkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+      |FROM $lineitem
+      |GROUP BY l_partkey
+      |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
+      |  (SELECT 1.2 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |          / count(DISTINCT l_partkey)
+      |   FROM $lineitem)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** q20 shape — excess-inventory suppliers, reshaped onto lineitem
+    * (the harness has no partsupp): suppliers who shipped more than 9%
+    * of a filtered part's all-time quantity in one year. Exercises the
+    * remaining subquery nestings in one query: IN whose subquery is an
+    * AGGREGATE, an inner IN against a dimension, and a CORRELATED
+    * scalar inside that aggregate's HAVING (correlation key =
+    * l_partkey, a group-by column). Decorrelation must produce hash
+    * joins end-to-end: dim IN → semi join, correlated HAVING scalar →
+    * per-part aggregate joined back on l_partkey, outer IN → semi join
+    * on s_suppkey. Threshold margin at sf0.01 is 4e-4 (measured), and
+    * both sides are exact DECIMAL sums with one double multiply, so
+    * the cutoff can't flap between engines.
+    */
+  private def q20Sql(supplier: String, lineitem: String, part: String) =
+    s"""SELECT s_suppkey, s_name
+      |FROM $supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l.l_suppkey FROM $lineitem l
+      |  WHERE l.l_partkey IN (SELECT p_partkey FROM $part WHERE p_name LIKE '%al%')
+      |    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY l.l_suppkey, l.l_partkey
+      |  HAVING CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 0.09 *
+      |    (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |     FROM $lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** q22 shape — global sales opportunity: well-funded idle customers.
     * The scalar subquery is CORRELATED (per-nation average over the
     * positive-balance slice) — Catalyst rewrites it to an aggregate
@@ -371,6 +424,20 @@ object TpchQueries {
       s.sql(q22Sql("customer_sq_v", "nation_sq_v", "orders_sq_v"))
     }),
 
+    // q11 shape — HAVING against an uncorrelated scalar subquery
+    "tpch_q11_part_concentration" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
+      s.sql(q11Sql("lineitem_sq_v"))
+    }),
+
+    // q20 shape — IN-over-aggregate with correlated HAVING scalar
+    "tpch_q20_excess_inventory" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_sq_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_sq_v")
+      s.sql(q20Sql("supplier_sq_v", "lineitem_sq_v", "part_sq_v"))
+    }),
+
     // q7 shape — two-role nation dimension with a direction disjunction
     "tpch_q7_volume_shipping" -> ((s, dir) => {
       Tables.supplier(s, dir).createOrReplaceTempView("supplier_sq_v")
@@ -495,6 +562,10 @@ object TpchQueries {
       q21Sql("supplier", "lineitem", "orders", "nation"),
 
     "tpch_q22_idle_rich_customers" -> q22Sql("customer", "nation", "orders"),
+
+    "tpch_q11_part_concentration" -> q11Sql("lineitem"),
+
+    "tpch_q20_excess_inventory" -> q20Sql("supplier", "lineitem", "part"),
 
     "tpch_q7_volume_shipping" ->
       q7Sql("supplier", "lineitem", "orders", "customer", "nation"),

@@ -188,6 +188,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tpch q11/q20: uncorrelated HAVING scalar runs once, nested IN + " +
+    "correlated HAVING scalar decorrelate to hash joins") {
+    // q11: the threshold is a one-row subquery stage, not a join — the
+    // HAVING must appear as a plain Filter over the grouped aggregate
+    val q11 = plan("tpch_q11_part_concentration")
+    assert(q11.contains("Subquery") || q11.contains("scalar-subquery"),
+      "threshold must execute as a scalar subquery stage\n" + q11)
+    // q20: outer IN → semi join on s_suppkey; inner dim IN → semi join
+    // on l_partkey; correlated HAVING scalar → per-part aggregate
+    // joined back (so >= 3 HashAggregates: group agg, per-part agg,
+    // plus partials)
+    val q20 = plan("tpch_q20_excess_inventory")
+    assert(q20.contains("LeftSemi"), q20)
+    assert("HashAggregate".r.findAllIn(q20).size >= 2,
+      "correlated HAVING scalar must rewrite to an aggregate\n" + q20)
+    for ((q, p) <- Seq("q11" -> q11, "q20" -> q20)) {
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("lateral ORDER BY+LIMIT decorrelates to WindowGroupLimit with a " +
+    "map-side partial, never a per-outer-row rescan") {
+    val p = plan("join_lateral_topk_per_nation")
+    // the per-nation LIMIT must run as group-limit pruning BEFORE the
+    // exchange (Partial) and again after (Final) — so the shuffle
+    // carries ≤ k rows per group per map task, not the whole table
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), "map-side partial group-limit missing\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("tpch q7/q13/q14/q15/q17/q19: every shape stays on hash joins — " +
     "two-role dims, outer-join counts, scalar subqueries, disjunctive residuals") {
     val q13 = plan("tpch_q13_customer_distribution")
