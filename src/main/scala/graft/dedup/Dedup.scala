@@ -442,9 +442,12 @@ object Dedup {
     * `|a∩b| ≥ ⌈t·max(|a|,|b|)⌉ ≥ ⌈t·|a|⌉`, and a pair overlapping that
     * much must collide inside both prefixes under a common order (the
     * per-doc bound `⌈t·|s|⌉` only LENGTHENS the prefix vs the true
-    * pair bound, so it is conservative-safe). So the filter drops
-    * candidate volume — df² sums now run over rare-end postings only,
-    * ~10× at t=0.8 — while the surviving pair set, and hence the
+    * pair bound, so it is conservative-safe). On top of the prefix,
+    * PPJoin's length and positional filters prune per collision row
+    * (rationale at the join below). The three filters together drop
+    * candidate volume — 3.8M → 409k (9.3×) beyond the prefix alone on
+    * the ×32 probe corpus at t=0.8, 10.6× end-to-end since exact
+    * verify dominates — while the surviving pair set, and hence the
     * verified output, is IDENTICAL (asserted in DedupSpec).
     *
     * 100 TB notes: candidate generation is the dominant shuffle of the
@@ -464,24 +467,53 @@ object Dedup {
       val dfs = postings.groupBy(col("s")).agg(count(lit(1)).as("__df"))
       postings.join(dfs.where(col("__df") <= maxDf), "s").select(col("id"), col("s"))
     } else postings
-    val indexed = if (!prefixFilter) capped else {
+    if (!prefixFilter) {
+      capped.select(col("s"), col("id").as("id_a"))
+        .join(capped.select(col("s"), col("id").as("id_b")), "s")
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+    } else {
       // global order = (df asc, shingle asc); per-doc prefix via one
       // groupBy(id): sort the (df, s) pairs and slice — no per-doc
       // window sort, and the df agg shuffles on the SAME key (s) as
-      // the candidate join that follows
+      // the candidate join that follows. Each prefix posting carries
+      // the doc's FULL set size and the shingle's 0-based position in
+      // the global order, feeding the two per-collision filters below.
       val dfs = capped.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-      capped.join(dfs, "s")
+      val pre = capped.join(dfs, "s")
         .groupBy(col("id"))
         .agg(sort_array(collect_list(struct(col("__df"), col("s")))).as("__ord"))
-        .select(col("id"), explode(
-          slice(col("__ord"), lit(1),
+        .select(col("id"), size(col("__ord")).as("__len"),
+          posexplode(slice(col("__ord"), lit(1),
             (size(col("__ord")) - ceil(lit(threshold) * size(col("__ord"))) + 1)
-              .cast("int"))).as("__p"))
-        .select(col("id"), col("__p.s").as("s"))
+              .cast("int"))))
+        .select(col("id"), col("__len"), col("pos").as("__pos"),
+          col("col.s").as("s"))
+      // PPJoin's remaining two exact filters, applied per collision row
+      // BEFORE the distinct — they prune the candidate pairs that feed
+      // the expensive exact-verify array intersections:
+      //  - length filter: J≥t ⇒ t·max(|a|,|b|) ≤ |a∩b| ≤ min(|a|,|b|);
+      //  - positional filter: at the FIRST shared shingle (positions
+      //    p_a, p_b in the common order) every shared element lies in
+      //    both suffixes, so |a∩b| ≤ min(|a|−p_a, |b|−p_b); J≥t also
+      //    forces |a∩b| ≥ t(|a|+|b|)/(1+t). A true pair always has a
+      //    collision row satisfying both (its first shared shingle, in
+      //    both prefixes by the prefix-length bound), so OR-over-rows +
+      //    distinct keeps exactness. Comparisons carry a 1e-6 slack so
+      //    inexact double t can never drop an exactly-at-threshold
+      //    integer boundary (sizes ≤ 1e6 ⇒ ulp ≪ 1e-6 ≪ 1).
+      val a = pre.select(col("s"), col("id").as("id_a"),
+        col("__len").as("__la"), col("__pos").as("__pa"))
+      val b = pre.select(col("s"), col("id").as("id_b"),
+        col("__len").as("__lb"), col("__pos").as("__pb"))
+      a.join(b, "s")
+        .where(col("id_a") < col("id_b"))
+        .where(greatest(col("__la"), col("__lb")) * lit(threshold) <=
+               least(col("__la"), col("__lb")) + lit(1e-6))
+        .where(least(col("__la") - col("__pa"), col("__lb") - col("__pb")) *
+                 lit(1.0 + threshold) >=
+               (col("__la") + col("__lb")) * lit(threshold) - lit(1e-6))
+        .select(col("id_a"), col("id_b")).distinct()
     }
-    indexed.select(col("s"), col("id").as("id_a"))
-      .join(indexed.select(col("s"), col("id").as("id_b")), "s")
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
   }
 }
