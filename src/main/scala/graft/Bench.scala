@@ -19,6 +19,20 @@ object Bench {
     // warm the session (JVM/codegen/file-index) so per-query numbers
     // measure the query, not first-action startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // Contention canary: a fixed CPU + 32-partition-shuffle probe whose
+    // idle-box cost is recorded in BASELINE.md. Query timings can't
+    // distinguish "code got slower" from "box was busy"; this probe can —
+    // it exercises zero graft code, so any inflation here is machine load.
+    // Median-of-3 to keep the canary itself noise-resistant.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(8000000L)
+        .selectExpr("id % 10007 as k", "id as v")
+        .groupBy("k").sum("v")
+        .selectExpr("sum(`sum(v)`)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibrationSec = List.fill(3)(calibrate()).sorted.apply(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = collection.mutable.Map.empty[String, List[Double]]
     // a broken query must be VISIBLE in the bench json, not a fast -1
@@ -60,7 +74,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ms(med.map(_._2).sum)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"sf":"$sfDir"}"""
     // The harness captures a bounded stdout TAIL: the full per-query map
     // has been head-truncated two rounds running. So (a) persist the full
     // JSON to a file, and (b) make the LAST stdout line a compact summary
@@ -72,7 +86,7 @@ object Bench {
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () /* bench numbers still go to stdout */ }
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${med.size},"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"sf":"$sfDir","full_json":"$outFile"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${med.size},"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"sf":"$sfDir","full_json":"$outFile"}""")
     spark.stop()
   }
 }

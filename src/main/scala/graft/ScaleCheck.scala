@@ -211,6 +211,13 @@ object ScaleCheck {
           graft.text.TextAnalysis.lineDedup(
             d.select("doc_id", "text"), "doc_id", "text", 3).count()
         }
+        // exact substring dedup: full-corpus shuffle is 8-byte window
+        // hashes; strings shuffle only for hash-dup candidates, so
+        // growth must stay ~linear in corpus tokens
+        time(s"dedup_substring_$tag") {
+          graft.text.TextAnalysis.substringDupSpans(
+            d.select("doc_id", "text"), "doc_id", "text", 8).count()
+        }
       }
       textProbes("x1", d0)
       textProbes("x32", docs)
@@ -254,6 +261,61 @@ object ScaleCheck {
       graft.plans.RangeJoin.intervalPointJoin(iv, pt, "ikey", "pkey",
         "start_us", "end_us", "ts_us", 600000000L)
         .groupBy("event_id").agg(count(lit(1))).count()
+    }
+    spark.stop()
+  }
+}
+
+/** ×128 probe for the df-distribution-sensitive text operators (the
+  * PPJoin exact-Jaccard join, corpus line dedup, substring dedup):
+  * their cost depends on the document-frequency spectrum, not just row
+  * count, so linear growth at ×32 does not automatically imply linear
+  * growth at ×128 — hot shingles/lines/windows gain occurrences as the
+  * corpus (and its df spectrum) grows. Replicates documents with the
+  * same bijective per-replica token remap as [[ScaleCheck]] (within-
+  * replica similarity structure preserved, zero cross-replica
+  * collisions) and times ×32 vs ×128 in one JVM; the pass condition is
+  * the ratio staying ≈4× (the corpus ratio), not ≈16× (a df² term).
+  */
+object ScaleCheck128 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.1"
+    val d0 = graft.model.Tables.documents(spark, sf)
+    def replicate(mult: Int): org.apache.spark.sql.DataFrame = {
+      val big = d0.crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+          concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
+            t => concat(lit("r"), col("rep"), lit("_"), t))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      big.repartition(32).write.mode("overwrite")
+        .parquet(s"/tmp/documents_x$mult.parquet")
+      spark.read.parquet(s"/tmp/documents_x$mult.parquet")
+    }
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+    for (mult <- Seq(32, 128)) {
+      val d = replicate(mult)
+      println(s"x$mult rows=${d.count()}")
+      time(s"dedup_jaccard_inv_x$mult") {
+        graft.dedup.Dedup.jaccardPairsInverted(d, "doc_id", "text",
+          shingleSize = 3, threshold = 0.8).count()
+      }
+      time(s"text_line_dedup_x$mult") {
+        graft.text.TextAnalysis.lineDedup(
+          d.select("doc_id", "text"), "doc_id", "text", 3).count()
+      }
+      time(s"dedup_substring_x$mult") {
+        graft.text.TextAnalysis.substringDupSpans(
+          d.select("doc_id", "text"), "doc_id", "text", 8).count()
+      }
     }
     spark.stop()
   }

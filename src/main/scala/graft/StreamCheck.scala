@@ -83,9 +83,15 @@ object StreamCheck {
   /** Parity report: stream output (parquet at outDir) vs batch twin. */
   private def parityLine(check: String, sfDir: String, outDir: String,
                          batch: DataFrame, extraJson: String, sec: Double,
-                         extraOk: Boolean): Boolean = {
+                         extraOk: Boolean,
+                         distinctStream: Boolean = false): Boolean = {
     val spark = batch.sparkSession
-    val stream = spark.read.parquet(outDir)
+    // distinctStream = the check's contract is a KEY-SET compare: a
+    // multi-batch source may legitimately re-emit a key after state
+    // eviction (watermark passed), so collapse the stream output to its
+    // key set before the multiset exceptAll
+    val raw = spark.read.parquet(outDir)
+    val stream = if (distinctStream) raw.distinct() else raw
     val streamRows = stream.count()
     val missing = batch.exceptAll(stream).count() // in batch, not stream
     val extra = stream.exceptAll(batch).count()   // in stream, not batch
@@ -196,7 +202,7 @@ object StreamCheck {
     val batch = keyed(graft.model.Tables.events(spark, sfDir))
       .select("fp").distinct()
     parityLine("streaming_dedup", sfDir, outDir, batch, "",
-      (System.nanoTime() - t0) / 1e9, extraOk = true)
+      (System.nanoTime() - t0) / 1e9, extraOk = true, distinctStream = true)
   }
 
   /** Watermarked stream-stream interval join: purchases within 1 h of a

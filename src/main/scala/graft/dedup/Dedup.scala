@@ -458,6 +458,13 @@ object Dedup {
     * of every doc and are never indexed, which also kills the skew the
     * `maxDf` cap existed for; the cap stays available for
     * stop-shingle-only corpora.
+    *
+    * Exactness caveat: the three-filter completeness argument assumes
+    * `maxDf = 0`. With a cap, `__len` (and the prefix/length/positional
+    * bounds built from it) is computed from the post-cap posting sets,
+    * so a capped true pair may be pruned beyond what the cap's own
+    * documented may-miss-pairs contract already allows. The default
+    * (maxDf = 0) is the exact path.
     */
   def jaccardCandidates(withSh: DataFrame, threshold: Double,
                         maxDf: Long = 0L,

@@ -54,6 +54,31 @@ object Multimodal {
       (pmod(abs(xxhash64(col(textCol), lit(1))), lit(720)) + lit(64)).cast("int").as("height"),
       length(col(textCol).cast("binary")).cast("long").as("n_bytes"))
 
+  /** True-binary media synthesis: payload = `unhex` of a deterministic
+    * md5 hex chain seeded by the content (one 16-byte block per 16
+    * chars of text, minimum one), giving full-range 0x00–0xFF bytes
+    * that are NOT valid UTF-8 — so the decode boundary
+    * ([[extractFeatures]], [[extractFrames]]) handles real binary —
+    * while both engines can reconstruct the identical bytes for the
+    * checksum oracle (DuckDB hashes VARCHAR only, hence the hex-chain
+    * construction and the hex-encoded checksum contract below).
+    */
+  def asBinaryMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nblocks = greatest(lit(1), ceil(length(col(textCol)) / 16.0)).cast("int")
+    val hexChain = array_join(
+      transform(sequence(lit(0), nblocks - 1),
+        i => md5(concat(col(textCol), lit(":"), i.cast("string")))), "")
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      unhex(hexChain).as("payload"),
+      when(pmod(col(idCol), lit(3)) === 0, "image")
+        .when(pmod(col(idCol), lit(3)) === 1, "audio")
+        .otherwise("video").as("media_type"),
+      (pmod(abs(xxhash64(col(textCol))), lit(1280)) + lit(64)).cast("int").as("width"),
+      (pmod(abs(xxhash64(col(textCol), lit(1))), lit(720)) + lit(64)).cast("int").as("height"),
+      (nblocks * 16).cast("long").as("n_bytes"))
+  }
+
   /** STUB decode: a real implementation would decode the payload with a
     * codec and run a vision/audio model; here a deterministic byte
     * histogram (16 buckets, L1-normalized) so tests have exact expected
@@ -73,18 +98,25 @@ object Multimodal {
   /** Feature extraction over media records: one partition at a time, the
     * decode stub applied per record inside the batch. Returns a typed
     * Dataset so downstream similarity ops get `Array[Float]` columns.
+    *
+    * Checksum contract: MD5 over the payload's UPPERCASE-HEX transport
+    * encoding (not the raw bytes) — the features decode the raw bytes,
+    * but the checksum must be independently computable by a VARCHAR-only
+    * SQL engine for the cross-engine oracle, and hex is the lossless
+    * encoding both sides produce identically.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { batch =>
       // per-partition setup would open the codec/model once here
       batch.map { rec =>
+        val hexUpper = rec.payload.map(b => f"${b & 0xff}%02X").mkString
         MediaFeatures(
           media_id = rec.media_id,
           media_type = rec.media_type,
           n_bytes = rec.n_bytes,
           checksum = java.security.MessageDigest.getInstance("MD5")
-            .digest(rec.payload).map("%02x".format(_)).mkString,
+            .digest(hexUpper.getBytes("UTF-8")).map("%02x".format(_)).mkString,
           features = fakeDecodeFeatures(rec.payload))
       }
     }

@@ -88,7 +88,9 @@ object NorthStarQueries {
     // cutoff; final per-doc top-k runs on the TopKPerKey heap operator
     "text_tfidf_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val nDocs = docs.count().toDouble
+      // corpus size folded in-plan (1-row agg, broadcast) instead of a
+      // driver-side count(): one job, one scan pass at 100 TB
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val terms = docs
         .select(col("doc_id"), explode(array_distinct(
           TextAnalysis.tokens(col("text")))).as("term"))
@@ -100,8 +102,9 @@ object NorthStarQueries {
       val df = terms.groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"))
       val scored = tf.join(df, "term")
+        .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("term"),
-          round(col("tf") * log(lit(nDocs) / col("df")), 6).as("tfidf"))
+          round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
       graft.plans.TopKPerKey.topKPerKey(scored, Seq("doc_id"),
         Seq("tfidf" -> true, "term" -> false), 3)
     }),
@@ -148,11 +151,12 @@ object NorthStarQueries {
     // sequence packing: docs → fixed-token-budget training sequences,
     // contiguously in (source, doc_id) order — pack assignment is a
     // total function of the corpus (reproducible data order); output is
-    // the per-pack manifest. The window form here; the two-pass prefix
-    // sum (no single-task stratum sort) is packSequencesScalable,
-    // spec-asserted bit-equal (PackingSpec).
+    // the per-pack manifest. Registered form is the two-pass distributed
+    // prefix sum (no single-task stratum sort — a 10-TB stratum would
+    // serialize under the window form); the window form survives in
+    // PackingSpec as the bit-equal semantic twin.
     "text_pack_sequences" -> ((s, dir) =>
-      TextAnalysis.packSequences(
+      TextAnalysis.packSequencesScalable(
         Tables.documents(s, dir), "doc_id", "text", "source", 512)
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("pack_tokens"),
@@ -175,6 +179,23 @@ object NorthStarQueries {
         "doc_id", "text", lineWords = 3)),
 
     // ---- dedup ----
+    // exact substring dedup (Lee et al. ExactSubstr): stride-1 8-token
+    // sliding-window fingerprints; corpus-duplicated windows merge into
+    // maximal per-doc removed spans — duplicate text at ARBITRARY
+    // offsets, which aligned line dedup and stride-aligned chunk
+    // hashing both miss
+    "dedup_substring_spans" -> ((s, dir) =>
+      TextAnalysis.substringDupSpans(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", n = 8)),
+
+    // the accounting view of the same operator: per-doc kept/removed
+    // token budget after span removal (every doc present)
+    "dedup_substring_summary" -> ((s, dir) =>
+      TextAnalysis.substringDedupSummary(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", n = 8)),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.dedupExact(Tables.documents(s, dir), "text", "doc_id")
         .select(md5(col("text").cast("binary")).as("text_hash"),
@@ -431,23 +452,29 @@ object NorthStarQueries {
     // payload-free projection parquet pruning would serve at scale
     // width/height are xxhash64-derived (not oracle-expressible) — they
     // are exercised in the ScalaTest suite; the oracle checks the rest
+    // all three run over TRUE binary payloads (full-range 0x00–0xFF
+    // synthesized bytes, not UTF-8 text-as-bytes): metadata-only read
+    // never touches the payload column (pruning)
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.asBinaryMedia(Tables.documents(s, dir), "doc_id", "text")
         .select("media_id", "media_type", "n_bytes")),
 
-    // feature extraction through the binary payload path (decode stub):
-    // checksum is oracle-checkable, features are exercised in tests
-    // frame sampling as a query: 256-char frames, every 2nd frame kept;
-    // md5 + length per frame so the oracle can compare scalars
+    // frame sampling over the binary payload: 64-byte frames, every 2nd
+    // kept; md5-of-hex + byte length per frame so a VARCHAR-only oracle
+    // can compare scalars
     "multimodal_frame_sample" -> ((s, dir) =>
       Multimodal.extractFrames(
-        Tables.documents(s, dir), "doc_id", "text", frameSize = 256, stride = 2)
-        .select(col("doc_id"), col("frame_idx"),
-          md5(col("frame").cast("binary")).as("frame_md5"),
+        Multimodal.asBinaryMedia(Tables.documents(s, dir), "doc_id", "text"),
+        "media_id", "payload", frameSize = 64, stride = 2)
+        .select(col("media_id"), col("frame_idx"),
+          md5(hex(col("frame"))).as("frame_md5"),
           length(col("frame")).as("frame_len"))),
 
+    // feature extraction through the binary payload path (decode stub
+    // reads the raw bytes; checksum over the hex transport encoding is
+    // the oracle-checkable part, features exercised in tests)
     "multimodal_features" -> ((s, dir) => {
-      val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+      val media = Multimodal.asBinaryMedia(Tables.documents(s, dir), "doc_id", "text")
       Multimodal.extractFeatures(s, media).toDF()
         .select(col("media_id"), col("media_type"), col("n_bytes"),
           col("checksum"),
@@ -621,15 +648,25 @@ object NorthStarQueries {
         |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin,
 
+    // binary payload reconstructed as its hex chain (2 hex chars = 1
+    // byte): a 64-byte frame is a 128-char hex slice; md5 runs over the
+    // UPPERCASE hex (Spark's hex()), lengths divide back to bytes
     "multimodal_frame_sample" ->
-      """WITH f AS (
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      range(0, greatest(1, CAST(ceil(strlen(text) / 16.0) AS BIGINT))),
+        |      i -> md5(text || ':' || CAST(i AS VARCHAR))), '') AS hx
+        |  FROM documents),
+        |f AS (
         |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-        |    substring(text, CAST(i * 256 + 1 AS INTEGER), 256) AS frame
-        |  FROM documents,
-        |    UNNEST(range(0, CAST(floor((length(text) - 1) / 256) AS BIGINT) + 1)) AS t(i)
+        |    substring(hx, CAST(i * 128 + 1 AS INTEGER), 128) AS fhex
+        |  FROM m,
+        |    UNNEST(range(0, CAST(floor((strlen(hx) / 2 - 1) / 64) AS BIGINT) + 1)) AS t(i)
         |)
-        |SELECT doc_id, frame_idx, md5(frame) AS frame_md5,
-        |  CAST(length(frame) AS INTEGER) AS frame_len
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, frame_idx,
+        |  md5(upper(fhex)) AS frame_md5,
+        |  CAST(strlen(fhex) / 2 AS INTEGER) AS frame_len
         |FROM f WHERE frame_idx % 2 = 0""".stripMargin,
 
     "agg_vector_centroid" ->
@@ -680,6 +717,71 @@ object NorthStarQueries {
         |      HAVING count(DISTINCT doc_id) > 1)
         |SELECT doc_id, line_idx, line FROM l
         |WHERE line NOT IN (SELECT line FROM d)""".stripMargin,
+
+    // same window generation via list_slice over range(), same
+    // duplicate rule (corpus count > 1), same lag-based interval merge
+    "dedup_substring_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS off,
+        |         array_to_string(list_slice(t, i + 1, i + 8), ' ') AS w
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(0, greatest(len(t) - 7, 0))) AS i FROM toks)),
+        |dup AS (SELECT w FROM win GROUP BY w HAVING count(*) > 1),
+        |occ AS (SELECT doc_id, off FROM win WHERE w IN (SELECT w FROM dup)),
+        |flagged AS (
+        |  SELECT doc_id, off,
+        |    CASE WHEN lag(off) OVER (PARTITION BY doc_id ORDER BY off) IS NULL
+        |           OR off > lag(off) OVER (PARTITION BY doc_id ORDER BY off) + 8
+        |         THEN 1 ELSE 0 END AS new_span
+        |  FROM occ),
+        |spans AS (
+        |  SELECT doc_id, off,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY off
+        |                        ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM flagged)
+        |SELECT doc_id, CAST(span_id AS INTEGER) AS span_id,
+        |  min(off) AS span_start, max(off) + 8 AS span_end,
+        |  max(off) + 8 - min(off) AS span_tokens
+        |FROM spans GROUP BY 1, 2""".stripMargin,
+
+    "dedup_substring_summary" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS off,
+        |         array_to_string(list_slice(t, i + 1, i + 8), ' ') AS w
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(0, greatest(len(t) - 7, 0))) AS i FROM toks)),
+        |dup AS (SELECT w FROM win GROUP BY w HAVING count(*) > 1),
+        |occ AS (SELECT doc_id, off FROM win WHERE w IN (SELECT w FROM dup)),
+        |flagged AS (
+        |  SELECT doc_id, off,
+        |    CASE WHEN lag(off) OVER (PARTITION BY doc_id ORDER BY off) IS NULL
+        |           OR off > lag(off) OVER (PARTITION BY doc_id ORDER BY off) + 8
+        |         THEN 1 ELSE 0 END AS new_span
+        |  FROM occ),
+        |spans AS (
+        |  SELECT doc_id, off,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY off
+        |                        ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT doc_id, span_id, min(off) AS s, max(off) + 8 AS e
+        |  FROM spans GROUP BY 1, 2),
+        |rem AS (
+        |  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS removed_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_spans
+        |  FROM agg GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens,
+        |  coalesce(rem.removed_tokens, 0) AS removed_tokens,
+        |  CAST(len(t.t) - coalesce(rem.removed_tokens, 0) AS BIGINT)
+        |    AS kept_tokens,
+        |  coalesce(rem.n_spans, 0) AS n_spans
+        |FROM toks t LEFT JOIN rem USING (doc_id)""".stripMargin,
 
     // nearest-centroid assignment re-derived from the materialized
     // model, then the SemDeDup drop rule as a correlated NOT EXISTS
@@ -1015,19 +1117,29 @@ object NorthStarQueries {
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio'
         |       ELSE 'video' END AS media_type,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  CAST(greatest(1, CAST(ceil(strlen(text) / 16.0) AS BIGINT)) * 16
+        |    AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
 
-    // checksum = md5 over the payload bytes; the stub features are an
-    // L1-normalized histogram, so their sum rounds to exactly 1.0
+    // checksum = md5 over the payload's UPPERCASE-hex encoding (the
+    // hex chain reconstructed here, uppercased to match Spark's hex());
+    // the stub features are an L1-normalized histogram over the raw
+    // bytes, so their sum rounds to exactly 1.0
     "multimodal_features" ->
-      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    greatest(1, CAST(ceil(strlen(text) / 16.0) AS BIGINT)) AS nb,
+        |    array_to_string(list_transform(
+        |      range(0, greatest(1, CAST(ceil(strlen(text) / 16.0) AS BIGINT))),
+        |      i -> md5(text || ':' || CAST(i AS VARCHAR))), '') AS hx
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio'
         |       ELSE 'video' END AS media_type,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |  md5(text) AS checksum,
+        |  CAST(nb * 16 AS BIGINT) AS n_bytes,
+        |  md5(upper(hx)) AS checksum,
         |  1.0 AS feature_l1
-        |FROM documents""".stripMargin
+        |FROM m""".stripMargin
   )
 }

@@ -299,6 +299,76 @@ object TpchQueries {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** q12 shape — shipping modes and order priority, reshaped (the
+    * harness lineitem has no l_shipmode/l_commitdate/l_receiptdate):
+    * the mode becomes l_returnflag and "late" is the same
+    * l_shipdate > o_orderdate + 60 days predicate the q4/q21 suite
+    * uses. One fact-fact hash join on orderkey with the lateness
+    * inequality as its residual, conditional BIGINT sums, a 3-group
+    * aggregate — the orderkey exchange is the only shuffle.
+    */
+  private def q12Sql(orders: String, lineitem: String) =
+    s"""SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM $orders JOIN $lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q16 shape — part/supplier relationship counting, reshaped (no
+    * partsupp: lineitem's distinct (l_partkey, l_suppkey) pairs are
+    * the relation; no s_comment: the complaint blacklist becomes the
+    * negative-balance suppliers). The NOT IN key is non-nullable, so
+    * the subquery must execute as a (null-aware) anti hash join against
+    * the broadcast blacklist — never a nested loop — and
+    * count(DISTINCT l_suppkey) runs as the standard two-phase distinct
+    * aggregate on the (brand, type, size) grouping.
+    */
+  private def q16Sql(part: String, lineitem: String, supplier: String) =
+    s"""SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM $part JOIN $lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5'
+      |  AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM $supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** q9 shape — product-type profit by nation and year, reshaped (no
+    * partsupp.ps_supplycost: unit cost is modeled as p_retailprice/10,
+    * keeping the classic revenue-minus-cost structure). Both terms are
+    * exact order-insensitive DECIMAL sums; the subtraction and the /10
+    * are the same two double ops in the same order on both engines.
+    * part (name-filtered), supplier, nation broadcast; the
+    * lineitem⋈orders orderkey exchange is the one big shuffle.
+    */
+  private def q9Sql(part: String, lineitem: String, supplier: String,
+                    orders: String, nation: String) =
+    s"""SELECT nation, o_year,
+      |  round(CAST(sum(volume) AS DOUBLE) -
+      |        CAST(sum(supp_cost) AS DOUBLE) / 10.0, 6) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+      |    CAST(p_retailprice AS DECIMAL(18,2)) *
+      |      CAST(l_quantity AS DECIMAL(18,2)) AS supp_cost
+      |  FROM $part JOIN $lineitem ON p_partkey = l_partkey
+      |  JOIN $supplier ON l_suppkey = s_suppkey
+      |  JOIN $orders ON l_orderkey = o_orderkey
+      |  JOIN $nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
   def defs: Map[String, Q] = Map(
 
     // q3 — shipping priority: unshipped high-value orders for one
@@ -495,6 +565,32 @@ object TpchQueries {
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
       Tables.part(s, dir).createOrReplaceTempView("part_sq_v")
       s.sql(q19Sql("lineitem_sq_v", "part_sq_v"))
+    }),
+
+    // q12 shape — conditional priority counts over the fact-fact join
+    "tpch_q12_ship_priority_counts" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sq_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
+      s.sql(q12Sql("orders_sq_v", "lineitem_sq_v"))
+    }),
+
+    // q16 shape — distinct-supplier counts with a NOT IN blacklist
+    "tpch_q16_supplier_part_counts" -> ((s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("part_sq_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_sq_v")
+      s.sql(q16Sql("part_sq_v", "lineitem_sq_v", "supplier_sq_v"))
+    }),
+
+    // q9 shape — profit by nation × year over a 5-table join
+    "tpch_q9_product_profit" -> ((s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("part_sq_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_sq_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sq_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_sq_v")
+      s.sql(q9Sql("part_sq_v", "lineitem_sq_v", "supplier_sq_v",
+        "orders_sq_v", "nation_sq_v"))
     })
   )
 
@@ -582,6 +678,10 @@ object TpchQueries {
 
     "tpch_q17_small_quantity_revenue" -> q17Sql("lineitem", "part"),
 
-    "tpch_q19_discounted_revenue" -> q19Sql("lineitem", "part")
+    "tpch_q19_discounted_revenue" -> q19Sql("lineitem", "part"),
+    "tpch_q12_ship_priority_counts" -> q12Sql("orders", "lineitem"),
+    "tpch_q16_supplier_part_counts" -> q16Sql("part", "lineitem", "supplier"),
+    "tpch_q9_product_profit" ->
+      q9Sql("part", "lineitem", "supplier", "orders", "nation")
   )
 }

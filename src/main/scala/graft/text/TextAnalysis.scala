@@ -324,6 +324,86 @@ object TextAnalysis {
       .select(col(idCol), col("line_idx"), col("line"))
   }
 
+  /** Exact substring dedup — the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") ExactSubstr mode:
+    * find token spans duplicated anywhere in the corpus at ARBITRARY
+    * offsets, the case aligned line dedup ([[lineDedup]]) and
+    * stride-aligned chunk hashing ([[chunkWindows]]) both miss. Every
+    * stride-1 sliding window of `n` tokens that occurs more than once
+    * corpus-wide marks its `[off, off+n)` range; overlapping/adjacent
+    * marked windows merge into maximal per-doc removed spans
+    * `[span_start, span_end)` (token offsets, 0-based, end-exclusive).
+    *
+    * Scale shape (100 TB): the full-corpus shuffle carries one 8-byte
+    * xxhash64 per window — window STRINGS shuffle only for
+    * hash-duplicate candidates (true duplicates plus rare collisions, a
+    * small fraction of the corpus), where a second groupBy on the
+    * string itself restores exactness: a collision can only ADD
+    * candidates, and the string-equality confirm removes them, so the
+    * result is bit-identical to grouping on raw strings at a fraction
+    * of the shuffle. The span merge is a per-doc window function over
+    * duplicate occurrences only, never the corpus. Windows come from
+    * the codegen'd stride-1
+    * [[graft.functions.VectorExprs.TokenNGrams]] + posexplode — one
+    * generate over the scan, no UDF.
+    */
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    require(n > 0, "need n > 0")
+    import graft.functions.VectorExprs.token_ngrams
+    val W = org.apache.spark.sql.expressions.Window
+    val occ = df.select(col(idCol),
+      posexplode(token_ngrams(tokens(col(textCol)), n)).as(Seq("off", "w")))
+    val hashed = occ.withColumn("h", xxhash64(col("w")))
+    // pass 1: 8-byte-key shuffle over every window in the corpus
+    val dupHash = hashed.groupBy(col("h"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1).select("h")
+    val cand = hashed.join(dupHash, Seq("h"), "left_semi")
+    // pass 2: exact string confirm, candidates only
+    val dupWin = cand.groupBy(col("w"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1).select("w")
+    val dupOcc = cand.join(dupWin, Seq("w"), "left_semi")
+      .select(col(idCol), col("off"))
+    // interval merge: with fixed width n and offsets sorted, the merged
+    // span's running end is lag(off)+n, so a new span starts exactly
+    // when off > lag(off)+n (off = lag+n is adjacency — one contiguous
+    // removed range)
+    val byDoc = W.partitionBy(col(idCol)).orderBy(col("off"))
+    dupOcc
+      .withColumn("__prev", lag(col("off"), 1).over(byDoc))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("off") > col("__prev") + n, 1)
+          .otherwise(0))
+      .withColumn("span_id",
+        sum(col("__new"))
+          .over(byDoc.rowsBetween(W.unboundedPreceding, W.currentRow))
+          .cast("int"))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min(col("off")).as("span_start"),
+        (max(col("off")) + n).as("span_end"),
+        (max(col("off")) + n - min(col("off"))).as("span_tokens"))
+  }
+
+  /** Per-doc kept/removed token accounting over [[substringDupSpans]]:
+    * every doc appears (left join) with `n_tokens`, `removed_tokens`
+    * (sum of merged span widths — spans are disjoint after the merge,
+    * so the sum never double-counts), `kept_tokens`, `n_spans`.
+    */
+  def substringDedupSummary(df: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame = {
+    val rem = substringDupSpans(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_tokens")).as("__removed"),
+        count(lit(1)).as("__spans"))
+    df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+      .join(rem, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__removed"), lit(0L)).as("removed_tokens"),
+        (col("n_tokens") - coalesce(col("__removed"), lit(0L)))
+          .as("kept_tokens"),
+        coalesce(col("__spans"), lit(0L)).as("n_spans"))
+  }
+
   def chunkWindows(df: DataFrame, idCol: String, textCol: String,
                    chunkTokens: Int, strideTokens: Int): DataFrame = {
     require(strideTokens > 0 && chunkTokens >= strideTokens,

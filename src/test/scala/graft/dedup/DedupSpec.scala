@@ -192,4 +192,51 @@ class DedupSpec extends SparkSpec {
       maxHamming = 7)
     assert(ungated.where($"id_a" <= 50 && $"id_b" <= 50).count() == 50L * 49 / 2)
   }
+
+  test("substring dedup spans == brute force over the documents corpus") {
+    val n = 8
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val got = TextAnalysis.substringDupSpans(docs, "doc_id", "text", n)
+      .select("doc_id", "span_start", "span_end")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // brute force: count every stride-1 window corpus-wide, mark
+    // duplicated offsets, merge with the same off > prev+n gap rule
+    val corpus = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val winCount = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, toks) <- corpus; i <- 0 to toks.length - n) {
+      val w = toks.slice(i, i + n).mkString(" ")
+      winCount(w) = winCount.getOrElse(w, 0) + 1
+    }
+    val want = scala.collection.mutable.Set.empty[(Long, Int, Int)]
+    for ((id, toks) <- corpus) {
+      val offs = (0 to toks.length - n)
+        .filter(i => winCount(toks.slice(i, i + n).mkString(" ")) > 1)
+      var start = -1; var end = -1
+      for (o <- offs) {
+        if (start < 0) { start = o; end = o + n }
+        else if (o > end) { want += ((id, start, end)); start = o; end = o + n }
+        else end = o + n
+      }
+      if (start >= 0) want += ((id, start, end))
+    }
+    assert(got == want, s"missed=${want -- got}, extra=${got -- want}")
+    assert(got.nonEmpty, "corpus should contain duplicated substrings")
+  }
+
+  test("substring dedup handles within-doc repetition and adjacency merge") {
+    val rep = (0 until 4).map(_ => "a b c d").mkString(" ") // "a b c d" x4
+    val df = Seq((1L, rep), (2L, "unique words only here nothing shared at all"))
+      .toDF("id", "t")
+    val spans = TextAnalysis.substringDupSpans(df, "id", "t", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSet
+    // every 4-token window of the repeated doc recurs within the doc →
+    // one maximal span covering all 16 tokens; doc 2 contributes nothing
+    assert(spans == Set((1L, 0, 16)))
+    val sum = TextAnalysis.substringDedupSummary(df, "id", "t", 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(sum(1L) == ((16, 16L, 0L, 1L)))
+    assert(sum(2L) == ((8, 0L, 8L, 0L)))
+  }
 }

@@ -49,8 +49,7 @@ class BucketingSpec extends SparkSpec {
 
   test("a point lookup on the bucket key prunes to 1 of 8 buckets " +
     "(the serving-path read saving bucketing also buys)") {
-    // reuses ev_bucketed written by the join test when it ran first;
-    // (re)write defensively so the test stands alone too
+    // writes its own ev_pruned bucketed table — standalone by design
     val dir = new java.io.File("/tmp/graft_warehouse/ev_pruned")
     if (dir.exists()) {
       import scala.reflect.io.Directory

@@ -70,4 +70,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Int]("width") === 50)
     assert(out.getAs[Long]("n_bytes") === 250L)
   }
+
+  test("asBinaryMedia synthesizes full-range bytes; checksum matches a " +
+    "hand computation over the hex encoding") {
+    val docs = Seq((7L, "x" * 40)).toDF("doc_id", "text")
+    val media = Multimodal.asBinaryMedia(docs, "doc_id", "text")
+    val row = media.head()
+    val payload = row.getAs[Array[Byte]]("payload")
+    // 40 chars → ceil(40/16) = 3 blocks of 16 bytes
+    assert(payload.length === 48)
+    assert(row.getAs[Long]("n_bytes") === 48L)
+    // true binary: md5 chains contain bytes outside printable ASCII
+    assert(payload.exists(b => (b & 0xff) < 0x20 || (b & 0xff) > 0x7e),
+      "payload should not be printable text")
+    // block i = md5("x"*40 + ":" + i) raw bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = (0 until 3).flatMap(i => md.digest(("x" * 40 + ":" + i)
+      .getBytes("UTF-8")).toSeq).toArray
+    assert(payload.sameElements(expected))
+    // extractFeatures checksum = md5 of the UPPERCASE hex of the payload
+    val feat = Multimodal.extractFeatures(spark, media).head()
+    val hexUpper = payload.map(b => f"${b & 0xff}%02X").mkString
+    val want = md.digest(hexUpper.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(feat.checksum === want)
+  }
 }

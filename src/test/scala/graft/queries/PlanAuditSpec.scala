@@ -285,4 +285,35 @@ class PlanAuditSpec extends SparkSpec {
     // a reference object, or janino compile time explodes past ~64 cells
     assert("nearestcells".r.findAllIn(p.toLowerCase).size <= 1, p)
   }
+
+  test("tpch q12/q16/q9: conditional counts, the NOT IN blacklist, and " +
+    "the 5-table profit join all stay on hash joins") {
+    val q16 = plan("tpch_q16_supplier_part_counts")
+    assert(q16.contains("LeftAnti"),
+      "NOT IN blacklist must execute as an anti hash join\n" + q16)
+    for (q <- Seq("tpch_q12_ship_priority_counts",
+                  "tpch_q16_supplier_part_counts",
+                  "tpch_q9_product_profit")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("text_tfidf_topk folds corpus size in-plan: N is a broadcast " +
+    "1-row cross join, not a driver-side count action") {
+    val p = plan("text_tfidf_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"),
+      "N must enter the plan as a broadcast 1-row aggregate\n" + p)
+    assert(p.contains("FinalTopK"), p)
+  }
+
+  test("dedup_substring_spans: full-corpus exchanges are hash-keyed " +
+    "(8-byte window hash), strings group only on the candidate side") {
+    val p = plan("dedup_substring_spans")
+    // two semi joins: hash-candidate filter, then string-equality confirm
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
