@@ -105,18 +105,36 @@ object Multimodal {
     * SQL engine for the cross-engine oracle, and hex is the lossless
     * encoding both sides produce identically.
     */
+  private val HexUpper = "0123456789ABCDEF".toCharArray
+  private val HexLower = "0123456789abcdef".toCharArray
+
+  private def hexEncode(bytes: Array[Byte], table: Array[Char]): Array[Byte] = {
+    // table-driven, allocation-light (ASCII hex is 1 byte/char): the
+    // per-byte String.format spelling cost ~6× on the bench corpus
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      out(i * 2) = table(v >>> 4).toByte
+      out(i * 2 + 1) = table(v & 0x0f).toByte
+      i += 1
+    }
+    out
+  }
+
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { batch =>
-      // per-partition setup would open the codec/model once here
+      // per-partition setup: the codec/model (here: the digest) opens ONCE
+      val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { rec =>
-        val hexUpper = rec.payload.map(b => f"${b & 0xff}%02X").mkString
+        md.reset()
+        val digest = md.digest(hexEncode(rec.payload, HexUpper))
         MediaFeatures(
           media_id = rec.media_id,
           media_type = rec.media_type,
           n_bytes = rec.n_bytes,
-          checksum = java.security.MessageDigest.getInstance("MD5")
-            .digest(hexUpper.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+          checksum = new String(hexEncode(digest, HexLower), "US-ASCII"),
           features = fakeDecodeFeatures(rec.payload))
       }
     }

@@ -369,6 +369,40 @@ object TpchQueries {
       |GROUP BY nation, o_year
       |ORDER BY nation, o_year DESC""".stripMargin
 
+  /** q2 shape — minimum-cost supplier, reshaped (no partsupp: the
+    * part-supplier relation and its cost are DERIVED — per-(part,
+    * supplier) min l_extendedprice over lineitem, an exact DECIMAL so
+    * the min-equality can't flap). The CTE is consumed twice (joined
+    * into the outer block AND aggregated inside the correlated scalar
+    * min); Catalyst decorrelates the scalar to a per-part aggregate
+    * joined back on p_partkey — with q2 this completes all 22 classic
+    * TPC-H shapes. Dims broadcast; the ps aggregation shuffles lineitem
+    * once on (partkey, suppkey).
+    */
+  private def q2Sql(part: String, lineitem: String, supplier: String,
+                    nation: String, region: String) =
+    s"""WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+      |  FROM $lineitem GROUP BY 1, 2)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      |       CAST(ps_supplycost AS DOUBLE) AS supplycost
+      |FROM $part
+      |JOIN ps ON p_partkey = ps_partkey
+      |JOIN $supplier ON s_suppkey = ps_suppkey
+      |JOIN $nation ON s_nationkey = n_nationkey
+      |JOIN $region ON n_regionkey = r_regionkey
+      |WHERE p_size <= 10 AND p_type = 'LARGE'
+      |  AND r_name = 'ASIA'
+      |  AND ps_supplycost = (
+      |    SELECT min(ps2.ps_supplycost) FROM ps ps2
+      |    JOIN $supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      |    JOIN $nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN $region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
   def defs: Map[String, Q] = Map(
 
     // q3 — shipping priority: unshipped high-value orders for one
@@ -582,6 +616,17 @@ object TpchQueries {
       s.sql(q16Sql("part_sq_v", "lineitem_sq_v", "supplier_sq_v"))
     }),
 
+    // q2 shape — correlated scalar MIN over a twice-consumed CTE
+    "tpch_q2_min_cost_supplier" -> ((s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("part_sq_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sq_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_sq_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_sq_v")
+      Tables.region(s, dir).createOrReplaceTempView("region_sq_v")
+      s.sql(q2Sql("part_sq_v", "lineitem_sq_v", "supplier_sq_v",
+        "nation_sq_v", "region_sq_v"))
+    }),
+
     // q9 shape — profit by nation × year over a 5-table join
     "tpch_q9_product_profit" -> ((s, dir) => {
       Tables.part(s, dir).createOrReplaceTempView("part_sq_v")
@@ -682,6 +727,8 @@ object TpchQueries {
     "tpch_q12_ship_priority_counts" -> q12Sql("orders", "lineitem"),
     "tpch_q16_supplier_part_counts" -> q16Sql("part", "lineitem", "supplier"),
     "tpch_q9_product_profit" ->
-      q9Sql("part", "lineitem", "supplier", "orders", "nation")
+      q9Sql("part", "lineitem", "supplier", "orders", "nation"),
+    "tpch_q2_min_cost_supplier" ->
+      q2Sql("part", "lineitem", "supplier", "nation", "region")
   )
 }

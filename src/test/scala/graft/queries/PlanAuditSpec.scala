@@ -286,12 +286,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("nearestcells".r.findAllIn(p.toLowerCase).size <= 1, p)
   }
 
-  test("tpch q12/q16/q9: conditional counts, the NOT IN blacklist, and " +
-    "the 5-table profit join all stay on hash joins") {
+  test("tpch q2/q12/q16/q9: correlated min, conditional counts, the NOT " +
+    "IN blacklist, and the 5-table profit join all stay on hash joins") {
     val q16 = plan("tpch_q16_supplier_part_counts")
     assert(q16.contains("LeftAnti"),
       "NOT IN blacklist must execute as an anti hash join\n" + q16)
-    for (q <- Seq("tpch_q12_ship_priority_counts",
+    // q2's correlated scalar MIN must decorrelate to a per-part
+    // aggregate joined back — an aggregate beyond the ps CTE's own
+    val q2 = plan("tpch_q2_min_cost_supplier")
+    assert("HashAggregate".r.findAllIn(q2).size >= 2,
+      "correlated scalar min must rewrite to an aggregate\n" + q2)
+    for (q <- Seq("tpch_q2_min_cost_supplier",
+                  "tpch_q12_ship_priority_counts",
                   "tpch_q16_supplier_part_counts",
                   "tpch_q9_product_profit")) {
       val p = plan(q)
