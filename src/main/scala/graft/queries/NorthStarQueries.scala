@@ -196,6 +196,13 @@ object NorthStarQueries {
         Tables.documents(s, dir).select("doc_id", "text"),
         "doc_id", "text", n = 8)),
 
+    // the APPLY step: the cleaned corpus itself (duplicated spans cut
+    // out of every document, full corpus preserved via left join)
+    "dedup_substring_apply" -> ((s, dir) =>
+      TextAnalysis.substringDedupApply(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", n = 8)),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.dedupExact(Tables.documents(s, dir), "text", "doc_id")
         .select(md5(col("text").cast("binary")).as("text_hash"),
@@ -782,6 +789,32 @@ object NorthStarQueries {
         |    AS kept_tokens,
         |  coalesce(rem.n_spans, 0) AS n_spans
         |FROM toks t LEFT JOIN rem USING (doc_id)""".stripMargin,
+
+    // apply step: token i kept iff no duplicated window offset covers
+    // it (1-based lambda index → i-1); same window/dup CTEs as above
+    "dedup_substring_apply" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS off,
+        |         array_to_string(list_slice(t, i + 1, i + 8), ' ') AS w
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(0, greatest(len(t) - 7, 0))) AS i FROM toks)),
+        |dup AS (SELECT w FROM win GROUP BY w HAVING count(*) > 1),
+        |occ AS (SELECT doc_id, off FROM win WHERE w IN (SELECT w FROM dup)),
+        |sl AS (SELECT doc_id, list(off) AS offs FROM occ GROUP BY 1)
+        |SELECT t.doc_id,
+        |  coalesce(array_to_string(
+        |    list_filter(t.t, (x, i) ->
+        |      len(list_filter(coalesce(sl.offs, []),
+        |          o -> o <= i - 1 AND i - 1 < o + 8)) = 0), ' '), '')
+        |    AS clean_text,
+        |  CAST(len(list_filter(t.t, (x, i) ->
+        |      len(list_filter(coalesce(sl.offs, []),
+        |          o -> o <= i - 1 AND i - 1 < o + 8)) = 0))
+        |    AS INTEGER) AS n_kept
+        |FROM toks t LEFT JOIN sl ON t.doc_id = sl.doc_id""".stripMargin,
 
     // nearest-centroid assignment re-derived from the materialized
     // model, then the SemDeDup drop rule as a correlated NOT EXISTS

@@ -349,21 +349,8 @@ object TextAnalysis {
     */
   def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame = {
-    require(n > 0, "need n > 0")
-    import graft.functions.VectorExprs.token_ngrams
     val W = org.apache.spark.sql.expressions.Window
-    val occ = df.select(col(idCol),
-      posexplode(token_ngrams(tokens(col(textCol)), n)).as(Seq("off", "w")))
-    val hashed = occ.withColumn("h", xxhash64(col("w")))
-    // pass 1: 8-byte-key shuffle over every window in the corpus
-    val dupHash = hashed.groupBy(col("h"))
-      .agg(count(lit(1)).as("__c")).where(col("__c") > 1).select("h")
-    val cand = hashed.join(dupHash, Seq("h"), "left_semi")
-    // pass 2: exact string confirm, candidates only
-    val dupWin = cand.groupBy(col("w"))
-      .agg(count(lit(1)).as("__c")).where(col("__c") > 1).select("w")
-    val dupOcc = cand.join(dupWin, Seq("w"), "left_semi")
-      .select(col(idCol), col("off"))
+    val dupOcc = substringDupOcc(df, idCol, textCol, n)
     // interval merge: with fixed width n and offsets sorted, the merged
     // span's running end is lag(off)+n, so a new span starts exactly
     // when off > lag(off)+n (off = lag+n is adjacency — one contiguous
@@ -382,6 +369,53 @@ object TextAnalysis {
       .agg(min(col("off")).as("span_start"),
         (max(col("off")) + n).as("span_end"),
         (max(col("off")) + n - min(col("off"))).as("span_tokens"))
+  }
+
+  /** Duplicated-window occurrences (id, off) — the shared core of the
+    * substring-dedup family. Pass 1 shuffles one 8-byte xxhash64 per
+    * window corpus-wide; pass 2 confirms string equality on the
+    * hash-duplicate candidates only (collisions can only ADD
+    * candidates, the confirm removes them — bit-identical to grouping
+    * raw strings at a fraction of the shuffle).
+    */
+  private def substringDupOcc(df: DataFrame, idCol: String, textCol: String,
+                              n: Int): DataFrame = {
+    require(n > 0, "need n > 0")
+    import graft.functions.VectorExprs.token_ngrams
+    val occ = df.select(col(idCol),
+      posexplode(token_ngrams(tokens(col(textCol)), n)).as(Seq("off", "w")))
+    val hashed = occ.withColumn("h", xxhash64(col("w")))
+    val dupHash = hashed.groupBy(col("h"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1).select("h")
+    val cand = hashed.join(dupHash, Seq("h"), "left_semi")
+    val dupWin = cand.groupBy(col("w"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1).select("w")
+    cand.join(dupWin, Seq("w"), "left_semi")
+      .select(col(idCol), col("off"))
+  }
+
+  /** The removal APPLY step of exact substring dedup — the cleaned
+    * corpus. Token index j of a doc is removed iff SOME duplicated
+    * window offset o covers it (o ≤ j < o+n); the union of covered
+    * indices equals the union of the merged spans, so this path needs
+    * no interval merge and no range join: per-doc duplicate offsets
+    * aggregate into one small array (≤ tokens-per-doc ints),
+    * equi-joined back on the id, and the removal is a single
+    * nested-HOF filter pass over the token array — map-side, codegen.
+    */
+  def substringDedupApply(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val offs = substringDupOcc(df, idCol, textCol, n)
+      .groupBy(col(idCol)).agg(collect_list(col("off")).as("__offs"))
+    def kept(t: Column, os: Column): Column =
+      filter(t, (_, i) => !exists(os, o => o <= i && i < o + n))
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .join(offs, Seq(idCol), "left")
+      .withColumn("__offs",
+        coalesce(col("__offs"), array().cast("array<int>")))
+      .select(col(idCol),
+        concat_ws(" ", kept(col("__t"), col("__offs"))).as("clean_text"),
+        size(kept(col("__t"), col("__offs"))).as("n_kept"))
   }
 
   /** Per-doc kept/removed token accounting over [[substringDupSpans]]:

@@ -224,6 +224,23 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus should contain duplicated substrings")
   }
 
+  test("substring apply's cleaned corpus agrees with the span accounting") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+    val kept = TextAnalysis.substringDedupApply(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val summary = TextAnalysis
+      .substringDedupSummary(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(kept.keySet == summary.keySet)
+    for ((id, (text, n)) <- kept) {
+      assert(n.toLong == summary(id),
+        s"doc $id: apply kept $n, summary says ${summary(id)}")
+      // the emitted text really has n tokens (empty → zero)
+      val toks = if (text.isEmpty) 0 else text.split("\\s+").length
+      assert(toks == n, s"doc $id: clean_text has $toks tokens, n_kept=$n")
+    }
+  }
+
   test("substring dedup handles within-doc repetition and adjacency merge") {
     val rep = (0 until 4).map(_ => "a b c d").mkString(" ") // "a b c d" x4
     val df = Seq((1L, rep), (2L, "unique words only here nothing shared at all"))
