@@ -203,6 +203,21 @@ object NorthStarQueries {
         Tables.documents(s, dir).select("doc_id", "text"),
         "doc_id", "text", n = 8)),
 
+    // the ingest-cycle form: new-batch docs (doc_id%10==7) deduplicated
+    // against the PERSISTED bucketed window index of the rest of the
+    // corpus — the batch side is the only exchange (plan-audited)
+    "dedup_substring_incremental" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val wins = TextAnalysis.windowFingerprints(docs, "doc_id", "text", 8)
+      graft.etl.Bucketing.writeBucketed(
+        wins.where(col("doc_id") % 10 =!= 7).select("w").distinct(),
+        s"graft_win_index_$sfx", OracleAux.dir(dir, "win_index"), "w", 8)
+      TextAnalysis.substringDedupIncremental(
+        wins.where(col("doc_id") % 10 === 7),
+        s.table(s"graft_win_index_$sfx"), "doc_id", n = 8)
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.dedupExact(Tables.documents(s, dir), "text", "doc_id")
         .select(md5(col("text").cast("binary")).as("text_hash"),
@@ -789,6 +804,36 @@ object NorthStarQueries {
         |    AS kept_tokens,
         |  coalesce(rem.n_spans, 0) AS n_spans
         |FROM toks t LEFT JOIN rem USING (doc_id)""".stripMargin,
+
+    // incremental: batch windows (doc_id%10==7) found in the corpus
+    // window set, merged into spans with the same lag rule
+    "dedup_substring_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS off,
+        |         array_to_string(list_slice(t, i + 1, i + 8), ' ') AS w
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(0, greatest(len(t) - 7, 0))) AS i FROM toks)),
+        |corpus AS (SELECT DISTINCT w FROM win WHERE doc_id % 10 <> 7),
+        |occ AS (SELECT doc_id, off FROM win
+        |        WHERE doc_id % 10 = 7 AND w IN (SELECT w FROM corpus)),
+        |flagged AS (
+        |  SELECT doc_id, off,
+        |    CASE WHEN lag(off) OVER (PARTITION BY doc_id ORDER BY off) IS NULL
+        |           OR off > lag(off) OVER (PARTITION BY doc_id ORDER BY off) + 8
+        |         THEN 1 ELSE 0 END AS new_span
+        |  FROM occ),
+        |spans AS (
+        |  SELECT doc_id, off,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY off
+        |                        ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM flagged)
+        |SELECT doc_id, CAST(span_id AS INTEGER) AS span_id,
+        |  min(off) AS span_start, max(off) + 8 AS span_end,
+        |  max(off) + 8 - min(off) AS span_tokens
+        |FROM spans GROUP BY 1, 2""".stripMargin,
 
     // apply step: token i kept iff no duplicated window offset covers
     // it (1-based lambda index → i-1); same window/dup CTEs as above

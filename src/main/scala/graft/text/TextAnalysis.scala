@@ -348,13 +348,19 @@ object TextAnalysis {
     * generate over the scan, no UDF.
     */
   def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
-                        n: Int): DataFrame = {
+                        n: Int): DataFrame =
+    mergeOffsetSpans(substringDupOcc(df, idCol, textCol, n), idCol, n)
+
+  /** Interval-merge duplicated window offsets (id, off) into maximal
+    * per-doc spans. With fixed width n and offsets sorted, the merged
+    * span's running end is lag(off)+n, so a new span starts exactly
+    * when off > lag(off)+n (off = lag+n is adjacency — one contiguous
+    * removed range). Runs over duplicate occurrences only, never the
+    * corpus.
+    */
+  def mergeOffsetSpans(dupOcc: DataFrame, idCol: String,
+                       n: Int): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val dupOcc = substringDupOcc(df, idCol, textCol, n)
-    // interval merge: with fixed width n and offsets sorted, the merged
-    // span's running end is lag(off)+n, so a new span starts exactly
-    // when off > lag(off)+n (off = lag+n is adjacency — one contiguous
-    // removed range)
     val byDoc = W.partitionBy(col(idCol)).orderBy(col("off"))
     dupOcc
       .withColumn("__prev", lag(col("off"), 1).over(byDoc))
@@ -371,6 +377,39 @@ object TextAnalysis {
         (max(col("off")) + n - min(col("off"))).as("span_tokens"))
   }
 
+  /** Per-doc stride-1 window fingerprints (id, off, w, h) — the unit
+    * the substring-dedup family shuffles and indexes.
+    */
+  def windowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    require(n > 0, "need n > 0")
+    import graft.functions.VectorExprs.token_ngrams
+    df.select(col(idCol),
+        posexplode(token_ngrams(tokens(col(textCol)), n)).as(Seq("off", "w")))
+      .withColumn("h", xxhash64(col("w")))
+  }
+
+  /** Incremental exact substring dedup — the ingest-cycle form: a new
+    * batch is deduplicated against the PERSISTED window index of the
+    * existing corpus (the distinct window strings, bucketed on the
+    * window itself), not against a re-shuffled corpus. Each ingest
+    * exchanges ONLY the batch windows into the index's bucketing; the
+    * corpus side is a bucketed scan with zero exchange — the property
+    * that matters when the index is petabyte-scale and the batch is
+    * not. (Joining on the string, not the xxhash64, keeps the single
+    * join key equal to the bucket key — a two-key (h, w) join would
+    * defeat bucketed co-partitioning — and string equality needs no
+    * collision confirm.) Output = the batch docs' spans already
+    * present in the corpus, merged per doc.
+    */
+  def substringDedupIncremental(batchWins: DataFrame, corpusIndex: DataFrame,
+                                idCol: String, n: Int): DataFrame =
+    mergeOffsetSpans(
+      batchWins.hint("merge")
+        .join(corpusIndex, Seq("w"), "left_semi")
+        .select(col(idCol), col("off")),
+      idCol, n)
+
   /** Duplicated-window occurrences (id, off) — the shared core of the
     * substring-dedup family. Pass 1 shuffles one 8-byte xxhash64 per
     * window corpus-wide; pass 2 confirms string equality on the
@@ -380,11 +419,7 @@ object TextAnalysis {
     */
   private def substringDupOcc(df: DataFrame, idCol: String, textCol: String,
                               n: Int): DataFrame = {
-    require(n > 0, "need n > 0")
-    import graft.functions.VectorExprs.token_ngrams
-    val occ = df.select(col(idCol),
-      posexplode(token_ngrams(tokens(col(textCol)), n)).as(Seq("off", "w")))
-    val hashed = occ.withColumn("h", xxhash64(col("w")))
+    val hashed = windowFingerprints(df, idCol, textCol, n)
     val dupHash = hashed.groupBy(col("h"))
       .agg(count(lit(1)).as("__c")).where(col("__c") > 1).select("h")
     val cand = hashed.join(dupHash, Seq("h"), "left_semi")

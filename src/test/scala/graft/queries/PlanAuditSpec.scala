@@ -314,6 +314,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("FinalTopK"), p)
   }
 
+  test("dedup_substring_incremental: the persisted window index never " +
+    "re-shuffles — exchanges land on the batch side and the span merge") {
+    val p = plan("dedup_substring_incremental")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("Bucketed: true"), p)
+    // the index scan must not sit under an Exchange: top-down print
+    // shows the batch side first, so every exchange appears BEFORE the
+    // bucketed index scan
+    val idxAt = p.indexOf("graft_win_index")
+    assert(idxAt >= 0, p)
+    assert(p.lastIndexOf("Exchange hashpartitioning") < idxAt,
+      "an exchange below/after the index scan means the corpus side " +
+        "re-shuffled\n" + p)
+  }
+
   test("dedup_substring_spans: full-corpus exchanges are hash-keyed " +
     "(8-byte window hash), strings group only on the candidate side") {
     val p = plan("dedup_substring_spans")
