@@ -148,6 +148,11 @@ object NorthStarQueries {
     "text_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
+    // order-1 LM (add-1-smoothed bigrams): catches shuffled/wrong-order
+    // text the unigram filter scores as fluent
+    "text_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
+
     // sequence packing: docs → fixed-token-budget training sequences,
     // contiguously in (source, doc_id) order — pack assignment is a
     // total function of the corpus (reproducible data order); output is
@@ -721,6 +726,32 @@ object NorthStarQueries {
         |SELECT doc_id, count(*) AS n_toks,
         |  round(CAST(sum(lp6) AS DOUBLE) / (1000000.0 * count(*)), 6) AS avg_logprob
         |FROM toks JOIN lp USING (tok)
+        |GROUP BY doc_id""".stripMargin,
+
+    // add-1-smoothed bigram LM: same micro-nat decimal discipline; the
+    // ratio is a double division on both engines (DuckDB int/int is
+    // true division), ln of the same double
+    "text_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i+1] AS w1, t[i+1] || ' ' || t[i+2] AS bigram
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(0, greatest(len(t) - 1, 0))) AS i FROM toks)),
+        |v AS (SELECT count(DISTINCT tok) AS vsz
+        |      FROM (SELECT unnest(t) AS tok FROM toks)),
+        |cb AS (SELECT w1, bigram, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(cb) AS ctx FROM cb GROUP BY 1),
+        |lp AS (
+        |  SELECT bigram,
+        |    CAST(round(ln((cb + 1) / (ctx + (SELECT vsz FROM v))) * 1000000, 0)
+        |         AS DECIMAL(18,0)) AS lp6
+        |  FROM cb JOIN ctx USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp6) AS DOUBLE) / (1000000.0 * count(*)), 6)
+        |    AS avg_logprob
+        |FROM bg JOIN lp USING (bigram)
         |GROUP BY doc_id""".stripMargin,
 
     // same 3-token lines from the same regex split; duplicate set =

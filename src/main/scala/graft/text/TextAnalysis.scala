@@ -205,6 +205,49 @@ object TextAnalysis {
           (lit(1e6) * count(lit(1))), 6).as("avg_logprob"))
   }
 
+  /** Bigram language-model quality score — [[unigramLogProb]] raised to
+    * order 1 (one step toward CCNet's 5-gram KenLM): p(w_i | w_{i-1})
+    * with add-1 smoothing over the corpus vocabulary,
+    * `(c(w_{i-1} w_i) + 1) / (c(w_{i-1}·) + V)`, scored as the mean
+    * log-probability over a doc's bigram positions. Catches
+    * wrong-order/shuffled text that a unigram model scores as fluent.
+    *
+    * Same scale shape and FP discipline as the unigram: the model is
+    * bigram-vocabulary-sized (≪ corpus), V is driver model state (one
+    * long), per-bigram log-probs round to integer micro-nats and sum
+    * as DECIMAL — partition-order-invariant and engine-portable; one
+    * double division at the end. Bigrams come from the codegen'd
+    * stride-1 [[graft.functions.VectorExprs.TokenNGrams]] at n=2.
+    * Docs with fewer than two tokens have no bigram positions and are
+    * absent from the output (same on both engines).
+    *
+    * Broadcast caveat: bigram vocabularies grow faster than unigram
+    * (Heaps' law squared-ish); the broadcast holds while the model fits
+    * an executor (harness corpora, and most natural-language corpora
+    * after min-count pruning). Past that, drop the broadcast hint —
+    * the scoring join's key (bigram) is the model's own group-by key,
+    * so the sort-merge fallback reuses the model-side exchange.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.VectorExprs.token_ngrams
+    val bg = df.select(col(idCol),
+        explode(token_ngrams(tokens(col(textCol)), 2)).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val vocabSize = df
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    val cb = bg.groupBy(col("w1"), col("bigram")).agg(count(lit(1)).as("cb"))
+    val ctx = cb.groupBy(col("w1")).agg(sum(col("cb")).as("ctx"))
+    val model = cb.join(ctx, "w1").select(col("bigram"),
+      round(log((col("cb") + 1) / (col("ctx") + lit(vocabSize))) * 1e6, 0)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("lp6"))
+    bg.join(broadcast(model), "bigram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp6")).cast("double") /
+          (lit(1e6) * count(lit(1))), 6).as("avg_logprob"))
+  }
+
   /** Sequence packing — assign documents to fixed-token-budget training
     * sequences ("packs"), contiguously in (stratum, id) order: a doc's
     * pack is `floor(exclusive-prefix-token-sum / budget)`. The rule is

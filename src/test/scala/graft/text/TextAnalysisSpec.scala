@@ -61,4 +61,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.contains((1L, 1, "aaa bbb ccc")) &&
       out.contains((2L, 1, "xxx yyy zzz")))
   }
+
+  test("bigram LM scores shuffled text below fluent text (the signal " +
+    "the unigram model cannot see)") {
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val shuffled = "mat the on dog sat the rug cat the and on sat the"
+    // corpus: many fluent repetitions establish the bigram statistics;
+    // one shuffled doc uses the SAME unigram distribution
+    val docs = ((1L to 10L).map(i => (i, fluent)) :+ (99L, shuffled))
+      .toDF("doc_id", "text")
+    val bi = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bi(99L) < bi(1L) - 1.0,
+      s"shuffled ${bi(99L)} should score well below fluent ${bi(1L)}")
+    val uni = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // same token multiset → (near-)identical unigram score: the
+    // contrast that justifies the order-1 model
+    assert(math.abs(uni(99L) - uni(1L)) < 0.2,
+      s"unigram should NOT separate them: ${uni(99L)} vs ${uni(1L)}")
+  }
 }
