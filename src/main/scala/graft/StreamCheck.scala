@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.Trigger
   *    the identical batch join.
   *
   * Usage: `runMain graft.StreamCheck [sfDir]
-  * [--check=fraud|stateful|streamjoin|session|dedup|all]`
+  * [--check=fraud|stateful|streamjoin|session|dedup|staticjoin|all]`
   * (defaults: sf0.01, all). Exit 1 if any selected check fails.
   */
 object StreamCheck {
@@ -43,7 +43,8 @@ object StreamCheck {
       "stateful" -> (() => checkStateful(spark, sfDir)),
       "streamjoin" -> (() => checkStreamJoin(spark, sfDir)),
       "session" -> (() => checkSession(spark, sfDir)),
-      "dedup" -> (() => checkDedup(spark, sfDir)))
+      "dedup" -> (() => checkDedup(spark, sfDir)),
+      "staticjoin" -> (() => checkStaticJoin(spark, sfDir)))
     val selected = checks.filter { case (n, _) => mode == "all" || mode == n }
     require(selected.nonEmpty, s"unknown --check=$mode")
     val ok = selected.map { case (_, f) => f() }.forall(identity)
@@ -213,6 +214,31 @@ object StreamCheck {
     * younger than watermark + interval — the state bound that makes the
     * join viable on unbounded streams.
     */
+  /** Stream-static broadcast join — the production dim-enrichment
+    * shape: the streaming fact joined to a bounded dimension (events ⋈
+    * customer on user_id = c_custkey), dim broadcast per micro-batch,
+    * NO state and no watermark (the static side is bounded, so nothing
+    * buffers). Parity: the identical batch join. At 100 TB the stream's
+    * partitioning is untouched — the dim ships to the executors, the
+    * fact never shuffles.
+    */
+  private def checkStaticJoin(spark: SparkSession, sfDir: String): Boolean = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
+    val t0 = System.nanoTime()
+    val dim = graft.model.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def enrich(events: DataFrame) = events
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        col("event_type"), col("c_mktsegment"))
+    runToParquet(enrich(eventsStream(spark, sfDir)), ckpt, outDir)
+    val batch = enrich(graft.model.Tables.events(spark, sfDir))
+    parityLine("streaming_static_join", sfDir, outDir, batch, "",
+      (System.nanoTime() - t0) / 1e9, extraOk = true)
+  }
+
   private def checkStreamJoin(spark: SparkSession, sfDir: String): Boolean = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
