@@ -44,4 +44,33 @@ object Sampling {
     df.withColumn("strat_bucket", hashBucket(col(keyCol), salt))
       .where(col("strat_bucket") < rate)
   }
+
+  /** Token-budget corpus mixing — rate-based sampling controls DOC
+    * share, but training mixes are specified in TOKENS: keep documents
+    * of each stratum, in deterministic md5-of-id order (a reproducible
+    * shuffle — same properties as [[hashBucket]]: partition-,
+    * cluster-, and rerun-invariant), until the stratum's token budget
+    * is met. A doc is kept iff its EXCLUSIVE prefix token sum is below
+    * the budget, so the doc that crosses the boundary is included and
+    * every stratum with ≥ budget tokens yields at least `budget` kept
+    * tokens (budgets are floors, standard for mixture specs).
+    *
+    * Scale shape: one window per stratum — the [[graft.text.TextAnalysis.packSequences]]
+    * trade; for few giant strata the same two-pass distributed prefix
+    * sum ([[graft.text.TextAnalysis.packSequencesScalable]]) computes
+    * the identical ordering without a single-task stratum sort.
+    */
+  def tokenBudgetMix(df: DataFrame, idCol: String, textCol: String,
+                     strataCol: String, budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(strataCol), col(idCol),
+        graft.text.TextAnalysis.tokenCount(col(textCol)).as("n_toks"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .withColumn("__before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .where(col("__before") < budgetTokens)
+      .select(col(strataCol), col(idCol), col("n_toks"))
+  }
 }

@@ -33,6 +33,14 @@ object NorthStarQueries {
         rates = Map("src0" -> 80, "src1" -> 60, "src2" -> 40),
         defaultRate = 20, salt = "mix1")),
 
+    // token-budget mixing: training mixes are specified in TOKENS, not
+    // docs — per-source deterministic-shuffle order, kept while the
+    // exclusive prefix token sum is under the budget
+    "sample_token_budget" -> ((s, dir) =>
+      graft.etl.Sampling.tokenBudgetMix(
+        Tables.documents(s, dir).select("doc_id", "source", "text"),
+        "doc_id", "text", "source", budgetTokens = 600L)),
+
     // Gopher-style repetition filters (token-level): top-bigram
     // coverage + duplicated-trigram fraction per document
     "text_repetition_stats" -> ((s, dir) =>
@@ -942,6 +950,21 @@ object NorthStarQueries {
         |  CAST(len(list_slice(toks, i*24 + 1, i*24 + 32)) AS INTEGER) AS n_chunk_tokens,
         |  md5(array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ')) AS chunk_hash
         |FROM e""".stripMargin,
+
+    // same md5-of-id order, same exclusive window prefix sum, same
+    // floor-semantics cutoff
+    "sample_token_budget" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_toks,
+        |    coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t)
+        |SELECT source, doc_id, n_toks FROM c WHERE before < 600""".stripMargin,
 
     "sample_stratified_mix" ->
       """WITH b AS (

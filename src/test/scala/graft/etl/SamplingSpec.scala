@@ -58,4 +58,22 @@ class SamplingSpec extends SparkSpec {
     val clickFrac = counts("click").toDouble / totals("click")
     assert(clickFrac > 0.3 && clickFrac < 0.7, s"click fraction $clickFrac")
   }
+
+  test("tokenBudgetMix keeps a deterministic per-stratum prefix meeting " +
+    "the token floor, invariant to input partitioning") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+      .select("doc_id", "source", "text")
+    val kept = Sampling.tokenBudgetMix(docs, "doc_id", "text", "source", 600L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    for ((src, rows) <- kept.groupBy(_._1)) {
+      val total = rows.map(_._3).sum
+      assert(total >= 600, s"$src kept only $total tokens (budget floor)")
+    }
+    assert(kept.length < docs.count(), "budget must be selective here")
+    // reproducible shuffle: a repartition must not change the sample
+    val kept2 = Sampling.tokenBudgetMix(
+      docs.repartition(13), "doc_id", "text", "source", 600L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(kept2 == kept.toSet)
+  }
 }
