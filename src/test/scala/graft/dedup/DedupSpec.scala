@@ -241,6 +241,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substring dedup degenerates safely when n exceeds every doc") {
+    val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("id", "t")
+    // n=8 > 3 tokens: no windows exist, so no spans — and apply returns
+    // the corpus untouched
+    assert(TextAnalysis.substringDupSpans(df, "id", "t", 8).count() == 0)
+    val kept = TextAnalysis.substringDedupApply(df, "id", "t", 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(kept(1L) == (("a b c", 3)) && kept(2L) == (("a b c", 3)))
+    // at n=3 the two identical docs are one duplicated window each →
+    // fully removed
+    val gone = TextAnalysis.substringDedupApply(df, "id", "t", 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(gone(1L) == 0 && gone(2L) == 0)
+  }
+
   test("substring dedup handles within-doc repetition and adjacency merge") {
     val rep = (0 until 4).map(_ => "a b c d").mkString(" ") // "a b c d" x4
     val df = Seq((1L, rep), (2L, "unique words only here nothing shared at all"))
