@@ -73,4 +73,53 @@ object Sampling {
       .where(col("__before") < budgetTokens)
       .select(col(strataCol), col(idCol), col("n_toks"))
   }
+
+  /** [[tokenBudgetMix]] at 100 TB — the same two-pass distributed
+    * prefix sum as `TextAnalysis.packSequencesScalable`, over the
+    * (stratum, md5-hash, id) order: pass 1 range-partitions so one
+    * stratum spans many partitions (each locally sorted) and computes
+    * per-partition local exclusive sums; pass 2 broadcasts the tiny
+    * per-(partition, stratum) subtotals back as offsets. No stratum is
+    * ever sorted on a single task — the window form's failure mode
+    * when a stratum is 10 TB. Bit-equal to the window form
+    * (SamplingSpec).
+    */
+  def tokenBudgetMixScalable(df: DataFrame, idCol: String, textCol: String,
+                             strataCol: String, budgetTokens: Long,
+                             numParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val toks = df.select(col(strataCol), col(idCol),
+        graft.text.TextAnalysis.tokenCount(col(textCol)).as("n_toks"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .repartitionByRange(numParts, col(strataCol), col("__h"), col(idCol))
+      .sortWithinPartitions(col(strataCol), col("__h"), col(idCol))
+    val withPid = toks.withColumn("__pid", spark_partition_id())
+    val schema = StructType(withPid.schema.fields :+
+      StructField("__local_excl", LongType, nullable = false))
+    val local = spark.createDataFrame(
+      withPid.rdd.mapPartitions { it =>
+        var stratum: Any = null
+        var running = 0L
+        it.map { r =>
+          if (r.get(0) != stratum) { stratum = r.get(0); running = 0L }
+          val excl = running
+          running += r.getInt(2)
+          Row(r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), excl)
+        }
+      }, schema)
+    val subtotal = local.groupBy(col("__pid"), col(strataCol))
+      .agg(sum(col("n_toks")).as("__part_total"))
+    val offsetW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = subtotal
+      .withColumn("__offset",
+        coalesce(sum(col("__part_total")).over(offsetW), lit(0L)))
+      .select(col("__pid"), col(strataCol), col("__offset"))
+    local.join(broadcast(offsets), Seq("__pid", strataCol))
+      .where(col("__local_excl") + col("__offset") < budgetTokens)
+      .select(col(strataCol), col(idCol), col("n_toks"))
+  }
 }

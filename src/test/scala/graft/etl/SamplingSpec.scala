@@ -75,5 +75,11 @@ class SamplingSpec extends SparkSpec {
       docs.repartition(13), "doc_id", "text", "source", 600L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     assert(kept2 == kept.toSet)
+    // the two-pass distributed prefix sum is bit-equal to the window
+    // form (the packSequencesScalable proof, for the mix order)
+    val scalable = Sampling.tokenBudgetMixScalable(
+      docs, "doc_id", "text", "source", 600L, numParts = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(scalable == kept.toSet)
   }
 }
