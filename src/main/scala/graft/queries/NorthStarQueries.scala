@@ -35,9 +35,11 @@ object NorthStarQueries {
 
     // token-budget mixing: training mixes are specified in TOKENS, not
     // docs — per-source deterministic-shuffle order, kept while the
-    // exclusive prefix token sum is under the budget
+    // exclusive prefix token sum is under the budget. Registered form
+    // is the two-pass distributed prefix sum (no single-task stratum
+    // sort); the window twin stays spec-equal in SamplingSpec
     "sample_token_budget" -> ((s, dir) =>
-      graft.etl.Sampling.tokenBudgetMix(
+      graft.etl.Sampling.tokenBudgetMixScalable(
         Tables.documents(s, dir).select("doc_id", "source", "text"),
         "doc_id", "text", "source", budgetTokens = 600L)),
 
@@ -190,6 +192,38 @@ object NorthStarQueries {
       TextAnalysis.lineDedup(
         Tables.documents(s, dir).select("doc_id", "text"),
         "doc_id", "text", lineWords = 3)),
+
+    // per-DOMAIN boilerplate removal (the within-site C4 rule): a line
+    // in ≥2 distinct docs of the SAME source is that site's
+    // header/footer and removed there; the same line across different
+    // sources survives
+    "text_boilerplate_lines" -> ((s, dir) =>
+      TextAnalysis.boilerplateLineDedup(
+        Tables.documents(s, dir).select("doc_id", "source", "text"),
+        "doc_id", "source", "text", lineWords = 3, minDocs = 2)),
+
+    // character-entropy band signal: repeated-char padding scores low,
+    // base64-ish noise high — micro-bit decimal sums, order-invariant
+    "text_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text")),
+
+    // DSIR importance weights: log-likelihood ratio of the lang='en'
+    // target slice over the raw corpus on hashed bigram features —
+    // classifier-free "looks like the target" data selection
+    "text_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirLogRatio(
+        Tables.documents(s, dir).select("doc_id", "lang", "text"),
+        "doc_id", "text", col("lang") === "en", numBuckets = 4096)),
+
+    // per-domain quota capping: keep the top-5 docs per source by
+    // (n_chars desc, doc_id asc) on the TopKPerKey heap operator — the
+    // "no domain may dominate the mix" web-corpus rule
+    "sample_domain_quota" -> ((s, dir) =>
+      graft.plans.TopKPerKey.topKPerKey(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        Seq("source"), Seq("n_chars" -> true, "doc_id" -> false), 5)),
 
     // ---- dedup ----
     // exact substring dedup (Lee et al. ExactSubstr): stride-1 8-token
@@ -965,6 +999,80 @@ object NorthStarQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         |  FROM t)
         |SELECT source, doc_id, n_toks FROM c WHERE before < 600""".stripMargin,
+
+    // same 3-token lines; boilerplate set = (source, line) pairs with
+    // ≥2 distinct docs; anti join is per-domain (NOT EXISTS on both keys)
+    "text_boilerplate_lines" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, source, CAST(i AS INTEGER) AS line_idx,
+        |    array_to_string(list_slice(toks, i*3 + 1, i*3 + 3), ' ') AS line
+        |  FROM (SELECT doc_id, source, toks,
+        |          unnest(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT))) AS i
+        |        FROM t)),
+        |d AS (SELECT source, line FROM l GROUP BY source, line
+        |      HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, source, line_idx, line FROM l
+        |WHERE NOT EXISTS (SELECT 1 FROM d
+        |                  WHERE d.source = l.source AND d.line = l.line)""".stripMargin,
+
+    // same explode(sequence)+substr character stream, same micro-bit
+    // decimal sums — -p·log2(p) terms rounded before summation
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    substr(text, CAST(i AS INTEGER), 1) AS ch
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents WHERE length(text) > 0)),
+        |c AS (SELECT doc_id, len, ch, count(*) AS cnt FROM ch GROUP BY 1, 2, 3),
+        |e AS (
+        |  SELECT doc_id, len,
+        |    CAST(round(-(cnt / CAST(len AS DOUBLE))
+        |               * log2(cnt / CAST(len AS DOUBLE)) * 1000000, 0)
+        |         AS DECIMAL(18,0)) AS e6
+        |  FROM c)
+        |SELECT doc_id, CAST(len AS BIGINT) AS n_text_chars,
+        |  round(CAST(sum(e6) AS DOUBLE) / 1000000.0, 6) AS entropy_bits
+        |FROM e GROUP BY doc_id, len""".stripMargin,
+
+    // same md5-hex bucket, same add-1 smoothing over 4096 buckets, same
+    // micro-nat log-ratio model joined back to every bigram occurrence
+    "text_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |bb AS (
+        |  SELECT doc_id, tgt,
+        |    CAST(CAST(('0x' || substr(md5(t[i+1] || ' ' || t[i+2]), 1, 8))
+        |      AS UBIGINT) % 4096 AS BIGINT) AS b
+        |  FROM (SELECT doc_id, tgt, t,
+        |          unnest(range(0, greatest(len(t) - 1, 0))) AS i FROM toks)),
+        |c AS (SELECT b, count(*) AS cr,
+        |        sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        |      FROM bb GROUP BY b),
+        |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM c),
+        |m AS (
+        |  SELECT b,
+        |    CAST(round((ln((ct + 1) / (nt + 4096))
+        |              - ln((cr + 1) / (nr + 4096))) * 1000000, 0)
+        |         AS DECIMAL(18,0)) AS lr6
+        |  FROM c, tot)
+        |SELECT doc_id, count(*) AS n_feats,
+        |  round(CAST(sum(lr6) AS DOUBLE) / 1000000.0, 6) AS log_weight
+        |FROM bb JOIN m USING (b) GROUP BY doc_id""".stripMargin,
+
+    // row_number twin of the TopKPerKey heap operator
+    "sample_domain_quota" ->
+      """SELECT doc_id, source, n_chars, rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM documents)
+        |WHERE rank <= 5""".stripMargin,
 
     "sample_stratified_mix" ->
       """WITH b AS (

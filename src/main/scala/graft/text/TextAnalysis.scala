@@ -367,6 +367,122 @@ object TextAnalysis {
       .select(col(idCol), col("line_idx"), col("line"))
   }
 
+  /** Per-domain boilerplate line removal — the WITHIN-SITE variant of
+    * [[lineDedup]]: a line repeated across `minDocs`+ distinct
+    * documents of the SAME domain (site header/footer, nav, licence
+    * blurb) is boilerplate FOR THAT DOMAIN and removed there, while the
+    * same line appearing once each on many different domains survives —
+    * the C4/RefinedWeb boilerplate rule is per-site, not corpus-global,
+    * precisely so cross-site common phrases aren't destroyed.
+    *
+    * Scale shape: identical to [[lineDedup]] with the domain prepended
+    * to the one shuffle key — (domain, line) drives both the
+    * distinct-doc count and the anti join, so the key is reused across
+    * the two stages and no stage ever keys on the bare (hot) line.
+    */
+  def boilerplateLineDedup(df: DataFrame, idCol: String, domainCol: String,
+                           textCol: String, lineWords: Int,
+                           minDocs: Int): DataFrame = {
+    require(lineWords > 0, "need lineWords > 0")
+    require(minDocs > 1, "need minDocs > 1")
+    val nLines = ceil(size(col("__t")) / lit(lineWords.toDouble)).cast("int")
+    val lined = df.select(col(idCol), col(domainCol), tokens(col(textCol)).as("__t"))
+      .withColumn("line_idx", explode(sequence(lit(0), nLines - 1)))
+      .select(col(idCol), col(domainCol), col("line_idx"),
+        concat_ws(" ",
+          slice(col("__t"), col("line_idx") * lineWords + 1, lit(lineWords)))
+          .as("line"))
+    val bp = lined.groupBy(col(domainCol), col("line"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col(domainCol), col("line"))
+    lined.join(bp, Seq(domainCol, "line"), "left_anti")
+      .select(col(idCol), col(domainCol), col("line_idx"), col("line"))
+  }
+
+  /** Character-entropy quality signal — Shannon entropy (bits) of the
+    * per-document character distribution. Low entropy flags repeated-
+    * char padding, single-token spam, and base64-ish uniform noise
+    * reads HIGH — so the signal is used as a band filter (keep docs in
+    * a [lo, hi] entropy window), the Gopher-style complement to the
+    * token-level repetition stats.
+    *
+    * Map-only + one hash agg keyed by (doc, char): characters come from
+    * an `explode(sequence)` + `substr` (engine-portable — identical in
+    * DuckDB; `split(text, "")` trailing-empty semantics differ across
+    * engines so it is avoided). FP discipline as [[unigramLogProb]]:
+    * each `-p·log2(p)` term rounds to integer micro-bits and sums as
+    * DECIMAL — partition-order-invariant; one double division at the
+    * end. Empty documents have no characters and are absent from the
+    * output (same on both engines).
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df
+      .where(length(col(textCol)) > 0)
+      .select(col(idCol), length(col(textCol)).as("__len"),
+        explode(sequence(lit(1), length(col(textCol)))).as("__i"),
+        col(textCol).as("__txt"))
+      .select(col(idCol), col("__len"),
+        col("__txt").substr(col("__i"), lit(1)).as("__ch"))
+    val p = col("__cnt") / col("__len")
+    chars.groupBy(col(idCol), col("__len"), col("__ch"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col(idCol), col("__len"),
+        round(-p * log2(p) * 1e6, 0)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("e6"))
+      .groupBy(col(idCol), col("__len"))
+      .agg(round(sum(col("e6")).cast("double") / 1e6, 6).as("entropy_bits"))
+      .select(col(idCol), col("__len").cast("long").as("n_text_chars"),
+        col("entropy_bits"))
+  }
+
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by the log-likelihood ratio of a TARGET distribution (docs where
+    * `isTarget`, e.g. a trusted high-quality slice) over the RAW corpus
+    * distribution, both modeled as add-1-smoothed multinomials over
+    * HASHED bigram features (`numBuckets` buckets). Downstream
+    * selection keeps the top docs by `log_weight` — upsampling raw data
+    * that "looks like" the target without training a classifier.
+    *
+    * Hashing uses the first 8 md5 hex digits of the bigram mod
+    * `numBuckets` — the [[graft.etl.Sampling.hashBucket]] recipe:
+    * engine-portable (the DuckDB oracle computes the identical bucket)
+    * and partition/rerun-invariant, unlike JVM `hashCode`.
+    *
+    * Scale shape: bigrams come from the codegen'd stride-1
+    * [[graft.functions.VectorExprs.TokenNGrams]]; the model is exactly
+    * `numBuckets` rows (feature totals fold IN-PLAN via a 1-row agg
+    * cross-joined back — no driver-side count, one corpus pass for the
+    * model and one for scoring, each a broadcast join on the bucket
+    * id). The corpus never shuffles on a raw-text key. FP discipline as
+    * [[unigramLogProb]]: per-feature log-ratios in integer micro-nats,
+    * DECIMAL sums, one double division at the end. Docs with no bigram
+    * positions are absent from the output (same on both engines).
+    */
+  def dsirLogRatio(df: DataFrame, idCol: String, textCol: String,
+                   isTarget: Column, numBuckets: Int = 4096): DataFrame = {
+    import graft.functions.VectorExprs.token_ngrams
+    require(numBuckets > 0, "need numBuckets > 0")
+    val bg = df.select(col(idCol), isTarget.as("__tgt"),
+        explode(token_ngrams(tokens(col(textCol)), 2)).as("__bigram"))
+      .select(col(idCol), col("__tgt"),
+        (conv(substring(md5(col("__bigram")), 1, 8), 16, 10).cast("long")
+          % numBuckets).as("__b"))
+    val counts = bg.groupBy(col("__b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val model = counts.crossJoin(broadcast(totals)).select(col("__b"),
+      round((log((col("ct") + 1) / (col("nt") + lit(numBuckets))) -
+             log((col("cr") + 1) / (col("nr") + lit(numBuckets)))) * 1e6, 0)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("lr6"))
+    bg.join(broadcast(model), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("lr6")).cast("double") / 1e6, 6).as("log_weight"))
+  }
+
   /** Exact substring dedup — the Lee et al. 2022 ("Deduplicating
     * Training Data Makes Language Models Better") ExactSubstr mode:
     * find token spans duplicated anywhere in the corpus at ARBITRARY

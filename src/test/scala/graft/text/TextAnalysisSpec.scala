@@ -62,6 +62,59 @@ class TextAnalysisSpec extends SparkSpec {
       out.contains((2L, 1, "xxx yyy zzz")))
   }
 
+  test("boilerplateLineDedup removes a line only within the domain that " +
+    "repeats it; the same line on another domain survives") {
+    val docs = Seq(
+      (1L, "siteA", "footer legal text aaa bbb ccc"),
+      (2L, "siteA", "footer legal text ddd eee fff"), // siteA boilerplate
+      (3L, "siteB", "footer legal text ggg hhh iii"), // once on siteB → kept
+      (4L, "siteB", "normal content here")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.boilerplateLineDedup(
+        docs, "doc_id", "source", "text", lineWords = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+    assert(!out.exists(t => t._2 == "siteA" && t._3 == "footer legal text"),
+      "siteA's repeated footer removed from both siteA docs")
+    assert(out.contains((3L, "siteB", "footer legal text")),
+      "identical line, different domain — NOT boilerplate there")
+    assert(out.contains((1L, "siteA", "aaa bbb ccc")) &&
+      out.contains((2L, "siteA", "ddd eee fff")), "unique lines kept")
+  }
+
+  test("charEntropy: repeated single char → 0 bits; uniform 4-char text " +
+    "→ 2 bits; empty text absent; partitioning-invariant") {
+    val docs = Seq((1L, "aaaaaaaa"), (2L, "abcdabcd"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((8L, 0.0)))
+    assert(out(2L) == ((8L, 2.0)), "4 equiprobable chars = exactly 2 bits")
+    assert(!out.contains(3L), "empty doc has no character distribution")
+    val repart = TextAnalysis.charEntropy(
+        docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(repart(2L) == out(2L)._2, "micro-bit decimal sums are order-invariant")
+  }
+
+  test("dsirLogRatio weights target-like docs above off-target docs, and " +
+    "weights are partitioning-invariant") {
+    // target slice: English-looking bigram statistics; raw adds noise docs
+    val en = "the cat sat on the mat and the dog ran to the gate"
+    val noise = "zz qq xx vv kk jj ww zz qq xx vv kk"
+    val docs = ((1L to 8L).map(i => (i, "en", en)) ++
+      Seq((50L, "xx", noise), (51L, "xx", noise), (60L, "xx", en)))
+      .toDF("doc_id", "lang", "text")
+    val w = TextAnalysis.dsirLogRatio(docs, "doc_id", "text",
+        col("lang") === "en", numBuckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(60L) > w(50L) + 1.0,
+      s"en-like text ${w(60L)} should outrank noise ${w(50L)} even though " +
+        "doc 60 is NOT in the target slice")
+    val repart = TextAnalysis.dsirLogRatio(docs.repartition(5), "doc_id",
+        "text", col("lang") === "en", numBuckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(repart == w, "micro-nat decimal sums are order-invariant")
+  }
+
   test("bigram LM scores shuffled text below fluent text (the signal " +
     "the unigram model cannot see)") {
     val fluent = "the cat sat on the mat and the dog sat on the rug"
