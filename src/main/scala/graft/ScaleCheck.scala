@@ -8,6 +8,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
+    // optional args: comma/space-separated probe-name substrings — run
+    // one operator in an isolated fresh JVM (same rationale as
+    // [[ScaleCheck128]]: late-in-run numbers carry accumulated JVM
+    // state, so isolation gives the honest reading)
+    val pats = args.flatMap(_.split(',')).filter(_.nonEmpty)
+    val only: String => Boolean =
+      if (pats.isEmpty) _ => true else n => pats.exists(n.contains)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -27,7 +34,7 @@ object ScaleCheck {
     val ev = spark.read.parquet("/tmp/events_x32.parquet")
     println(s"rows=${ev.count()}")
 
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => Long): Unit = if (only(name)) {
       val t0 = System.nanoTime()
       val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
@@ -218,6 +225,15 @@ object ScaleCheck {
           graft.text.TextAnalysis.substringDupSpans(
             d.select("doc_id", "text"), "doc_id", "text", 8).count()
         }
+        // DSIR weights: two linear corpus passes (model counts, then
+        // scoring) + a 4096-row broadcast model — the ratio must track
+        // the corpus with no vocabulary-sized term (features are
+        // hashed into a FIXED bucket space, unlike the LM models)
+        time(s"text_dsir_$tag") {
+          graft.text.TextAnalysis.dsirLogRatio(
+            d.select("doc_id", "lang", "text"), "doc_id", "text",
+            col("lang") === "en", numBuckets = 4096).count()
+        }
       }
       textProbes("x1", d0)
       textProbes("x32", docs)
@@ -278,7 +294,16 @@ object ScaleCheck {
   * the ratio staying ≈4× (the corpus ratio), not ≈16× (a df² term).
   */
 object ScaleCheck128 {
+  /** Optional args filter by probe-name substring (e.g. `jaccard`) —
+    * lets one operator run in an isolated fresh JVM: the r5/r6 record
+    * shows the exact-Jaccard verify join reads up to ~4× slower late in
+    * a shared probe JVM (accumulated heap/GC state), so cross-operator
+    * in-run numbers are pessimistic, never optimistic.
+    */
   def main(args: Array[String]): Unit = {
+    val pats = args.flatMap(_.split(',')).filter(_.nonEmpty)
+    val only: String => Boolean =
+      if (pats.isEmpty) _ => true else n => pats.exists(n.contains)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -296,7 +321,7 @@ object ScaleCheck128 {
         .parquet(s"/tmp/documents_x$mult.parquet")
       spark.read.parquet(s"/tmp/documents_x$mult.parquet")
     }
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => Long): Unit = if (only(name)) {
       val t0 = System.nanoTime()
       val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
@@ -315,6 +340,24 @@ object ScaleCheck128 {
       time(s"dedup_substring_x$mult") {
         graft.text.TextAnalysis.substringDupSpans(
           d.select("doc_id", "text"), "doc_id", "text", 8).count()
+      }
+      // incremental path, build and probe timed separately: the index
+      // build is the linear one-time cost; the fixed-batch join against
+      // it must stay ~flat as the index grows 4× (bucketed scan, zero
+      // corpus-side exchange). The batch — replica 0's doc_id%10==7
+      // slice — is identical at both sizes, so its output row count is
+      // a cross-size determinism check too.
+      val wins = graft.text.TextAnalysis.windowFingerprints(
+        d.select("doc_id", "text"), "doc_id", "text", 8)
+      time(s"substr_index_build_x$mult") {
+        graft.etl.Bucketing.writeBucketed(wins.select("w").distinct(),
+          s"graft_win_index_sc$mult", s"/tmp/win_index_sc$mult", "w", 32)
+        spark.table(s"graft_win_index_sc$mult").count()
+      }
+      time(s"substr_batch_join_x$mult") {
+        graft.text.TextAnalysis.substringDedupIncremental(
+          wins.where(col("doc_id") < 1000000L && col("doc_id") % 10 === 7),
+          spark.table(s"graft_win_index_sc$mult"), "doc_id", 8).count()
       }
     }
     spark.stop()
