@@ -373,6 +373,42 @@ object NorthStarQueries {
         .select("doc_id", "fp_norm")
     }),
 
+    // paragraph-level exact dedup, keep-first (Dolma-style): recurring
+    // 32-token non-overlapping chunks keep only their first occurrence
+    // in (doc_id, chunk_id) order — partial-mergeable struct-min, no
+    // per-group sort on a potentially hot chunk hash
+    "dedup_chunk_keep_first" -> ((s, dir) =>
+      graft.text.TextAnalysis.chunkKeepFirst(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 32)),
+
+    // incremental AGGREGATE maintenance — the rollup twin of the
+    // incremental dedup family: the persisted agg state (group → count
+    // + exact integer-cent sum) merges with a batch partial via a
+    // second agg; mergeable representations make merged == full
+    // recompute BIT-EXACT, which is precisely what the from-scratch
+    // oracle asserts. At 100 TB the state is group-cardinality-sized
+    // and the corpus is never re-scanned to refresh the rollup.
+    "agg_incremental_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("__cents"))
+      val statePath = OracleAux.dir(dir, "agg_state")
+      o.where(col("o_orderkey") % 10 =!= 7)
+        .groupBy(col("o_orderpriority"), col("o_year"))
+        .agg(count(lit(1)).as("n"), sum(col("__cents")).as("cents"))
+        .write.mode("overwrite").parquet(statePath)
+      s.read.parquet(statePath)
+        .unionByName(
+          o.where(col("o_orderkey") % 10 === 7)
+            .groupBy(col("o_orderpriority"), col("o_year"))
+            .agg(count(lit(1)).as("n"), sum(col("__cents")).as("cents")))
+        .groupBy(col("o_orderpriority"), col("o_year"))
+        .agg(sum(col("n")).as("n_orders"),
+          round(sum(col("cents")) / 100.0, 2).as("total_price"))
+    }),
+
     // exact brute-force n-gram Jaccard on a bounded slice — the oracle-
     // checkable baseline for the LSH path
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -1293,6 +1329,41 @@ object NorthStarQueries {
         |SELECT b.doc_id, b.fp_norm
         |FROM fp b WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
         |  SELECT 1 FROM fp c WHERE c.doc_id % 10 <> 7 AND c.fp_norm = b.fp_norm)""".stripMargin,
+
+    // same 32-token non-overlapping chunks as text_chunk_windows; the
+    // unique (doc_id, chunk_id) order makes row_number()=1 identical to
+    // the struct-min arg-min the Spark side computes
+    "dedup_chunk_keep_first" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 32 THEN 1
+        |         ELSE CAST(ceil((len(toks) - 32) / 32.0) AS INTEGER) + 1 END AS nc
+        |  FROM t),
+        |e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c),
+        |ch AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+        |    CAST(len(list_slice(toks, i*32 + 1, i*32 + 32)) AS INTEGER)
+        |      AS n_chunk_tokens,
+        |    md5(array_to_string(list_slice(toks, i*32 + 1, i*32 + 32), ' '))
+        |      AS chunk_hash
+        |  FROM e)
+        |SELECT doc_id, chunk_id, n_chunk_tokens, chunk_hash,
+        |  row_number() OVER (PARTITION BY chunk_hash
+        |    ORDER BY doc_id, chunk_id) = 1 AS keep
+        |FROM ch""".stripMargin,
+
+    // the oracle IS the from-scratch rollup: a green row asserts the
+    // state+batch merge is bit-equal to recomputing over all orders
+    // (integer-cent sums are order- and merge-invariant)
+    "agg_incremental_merge" ->
+      """SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  count(*) AS n_orders,
+        |  round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+        |    AS total_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
 
     // exact brute-force twin: valid as an oracle because the corpus'
     // similarity gap (j≈0.95 planted dups vs ≈0.04 background) puts the

@@ -649,4 +649,31 @@ object TextAnalysis {
         size(col("__c")).as("n_chunk_tokens"),
         md5(concat_ws(" ", col("__c")).cast("binary")).as("chunk_hash"))
   }
+
+  /** Paragraph-level exact dedup with keep-first semantics (the
+    * Dolma-style middle ground between document dedup and line dedup):
+    * non-overlapping `chunkTokens`-token "paragraphs" (stride = chunk
+    * via [[chunkWindows]]) that recur ANYWHERE in the corpus keep only
+    * their first occurrence in (id, chunk_id) order; every chunk row
+    * comes back with a `keep` flag so the caller can either drop
+    * duplicates or measure them.
+    *
+    * Scale shape: one hash agg on `chunk_hash` computes the arg-min
+    * first occurrence as a partial-mergeable `min(struct(id, chunk))`
+    * — NO per-group sort and no window over a potentially hot hash (a
+    * boilerplate paragraph with millions of occurrences would
+    * single-task a row_number; the struct-min folds map-side). The
+    * join back is hash-sized on one side.
+    */
+  def chunkKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int): DataFrame = {
+    val ch = chunkWindows(df, idCol, textCol, chunkTokens, chunkTokens)
+    val first = ch.groupBy(col("chunk_hash"))
+      .agg(min(struct(col(idCol).as("i"), col("chunk_id").as("c"))).as("__f"))
+    ch.join(first, "chunk_hash")
+      .select(col(idCol), col("chunk_id"), col("n_chunk_tokens"),
+        col("chunk_hash"),
+        (col(idCol) === col("__f.i") &&
+          col("chunk_id") === col("__f.c")).as("keep"))
+  }
 }

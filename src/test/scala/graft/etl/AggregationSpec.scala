@@ -40,4 +40,23 @@ class AggregationSpec extends SparkSpec {
     val out = sparkAggregate(df, Seq("k"), Seq(AggSpec("v", "avg")))
     assert(out.columns.contains("avg_v"))
   }
+
+  test("incremental rollup merge (state + batch re-agg) is bit-equal to " +
+    "the from-scratch rollup — the mergeable-representation invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val o = graft.model.Tables.orders(spark, sf()).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      year(col("o_orderdate")).cast("int").as("o_year"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_orderpriority"), col("o_year"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    val merged = rollup(o.where(col("o_orderkey") % 10 =!= 7))
+      .unionByName(rollup(o.where(col("o_orderkey") % 10 === 7)))
+      .groupBy(col("o_orderpriority"), col("o_year"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+    val full = rollup(o)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
 }

@@ -66,4 +66,23 @@ class PackingSpec extends SparkSpec {
       assert(sumToks == n + (nChunks - 1) * 8, s"n=$n sum=$sumToks chunks=$nChunks")
     }
   }
+
+  test("chunkKeepFirst keeps exactly the first (doc, chunk) occurrence " +
+    "of a repeated paragraph and all unique paragraphs") {
+    import spark.implicits._
+    // 4-token chunks; docs 1 and 2 share paragraph "dup dup dup dup",
+    // doc 2 also repeats it internally at chunk 1
+    val docs = Seq(
+      (1L, "dup dup dup dup aaa bbb ccc ddd"),
+      (2L, "dup dup dup dup dup dup dup dup"),
+      (3L, "all unique words in this one doc")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkKeepFirst(docs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(4)).toMap
+    assert(out((1L, 0)), "first occurrence kept")
+    assert(!out((2L, 0)) && !out((2L, 1)),
+      "cross-doc AND within-doc repeats dropped")
+    assert(out((1L, 1)) && out((3L, 0)) && out((3L, 1)), "unique chunks kept")
+    assert(out.size == 6)
+  }
 }
