@@ -1,0 +1,55 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two corpus snapshots — the
+  * data-quality gate an ingest pipeline runs BEFORE admitting a batch:
+  * a feature whose distribution shifted (scrape source went bad, a
+  * format change truncated documents) should fail loudly at ingest,
+  * not silently skew the training mix.
+  *
+  * Population Stability Index over fixed-width feature buckets:
+  * `PSI = Σ_b (p_new(b) - p_old(b)) · ln(p_new(b) / p_old(b))`, the
+  * standard industry drift score (PSI < 0.1 stable, > 0.25 shifted).
+  * Buckets are FIXED-WIDTH by spec (width/cap parameters), not
+  * quantile-derived — deterministic across engines and snapshots, so
+  * scores are comparable over time; add-1 smoothing over the bucket
+  * domain keeps empty buckets finite.
+  *
+  * Scale shape: one pass over the union of both snapshots (a flag
+  * column, conditional counts — the DSIR counting pattern), bucket
+  * totals fold IN-PLAN via a 1-row agg broadcast back; output is
+  * bucket-domain-sized. Each PSI term is a single deterministic scalar
+  * expression over exact integer counts (no cross-row float sum), so
+  * the output is partition-order-invariant and engine-portable as-is.
+  */
+object Drift {
+
+  /** Per-bucket PSI contributions between the `isOld` and `isNew`
+    * slices of `df` (a row may belong to neither; flags are disjoint by
+    * contract). `featureCol` buckets as
+    * `least(floor(feature / bucketWidth), maxBucket)`. Returns
+    * (bucket, n_old, n_new, psi_term); total PSI = downstream sum.
+    */
+  def psiByBucket(df: DataFrame, featureCol: String, isOld: Column,
+                  isNew: Column, bucketWidth: Int,
+                  maxBucket: Int): DataFrame = {
+    require(bucketWidth > 0 && maxBucket > 0, "need positive bucket spec")
+    val nB = maxBucket + 1
+    val counts = df
+      .select(least(floor(col(featureCol) / bucketWidth), lit(maxBucket))
+          .cast("int").as("bucket"),
+        isOld.as("__o"), isNew.as("__n"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__o"), lit(1L)).otherwise(lit(0L))).as("n_old"),
+        sum(when(col("__n"), lit(1L)).otherwise(lit(0L))).as("n_new"))
+    val totals = counts.agg(sum(col("n_old")).as("t_old"),
+      sum(col("n_new")).as("t_new"))
+    val pOld = (col("n_old") + 1) / (col("t_old") + lit(nB))
+    val pNew = (col("n_new") + 1) / (col("t_new") + lit(nB))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        round((pNew - pOld) * log(pNew / pOld), 6).as("psi_term"))
+  }
+}

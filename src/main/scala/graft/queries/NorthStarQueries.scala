@@ -217,6 +217,30 @@ object NorthStarQueries {
         Tables.documents(s, dir).select("doc_id", "lang", "text"),
         "doc_id", "text", col("lang") === "en", numBuckets = 4096)),
 
+    // ingest drift gate: PSI over fixed-width n_chars buckets between
+    // the standing corpus (doc_id%10!=7) and the arriving batch slice —
+    // a shifted scrape fails loudly BEFORE joining the training mix
+    "drift_psi_nchars" -> ((s, dir) =>
+      graft.etl.Drift.psiByBucket(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        "n_chars", col("doc_id") % 10 =!= 7, col("doc_id") % 10 === 7,
+        bucketWidth = 50, maxBucket = 19)),
+
+    // adaptive per-language length gate: drop docs under their OWN
+    // language's 10th-percentile token count — fixed global thresholds
+    // over-prune terse languages; the threshold is a per-group exact
+    // percentile broadcast back (group-cardinality-sized model)
+    "text_adaptive_length_gate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks"))
+      val th = d.groupBy(col("lang"))
+        .agg(percentile(col("n_toks"), lit(0.1)).as("__p10"))
+      d.join(broadcast(th), "lang")
+        .where(col("n_toks") >= col("__p10"))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          round(col("__p10"), 6).as("p10"))
+    }),
+
     // per-domain quota capping: keep the top-5 docs per source by
     // (n_chars desc, doc_id asc) on the TopKPerKey heap operator — the
     // "no domain may dominate the mix" web-corpus rule
@@ -1100,6 +1124,40 @@ object NorthStarQueries {
         |SELECT doc_id, count(*) AS n_feats,
         |  round(CAST(sum(lr6) AS DOUBLE) / 1000000.0, 6) AS log_weight
         |FROM bb JOIN m USING (b) GROUP BY doc_id""".stripMargin,
+
+    // same fixed-width buckets, same add-1 smoothing over the 20-bucket
+    // domain, same single-expression PSI term over exact counts
+    "drift_psi_nchars" ->
+      """WITH b AS (
+        |  SELECT least(CAST(floor(n_chars / 50) AS INTEGER), 19) AS bucket,
+        |    doc_id % 10 <> 7 AS o, doc_id % 10 = 7 AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN o THEN 1 ELSE 0 END) AS n_old,
+        |    sum(CASE WHEN n THEN 1 ELSE 0 END) AS n_new
+        |  FROM b GROUP BY bucket),
+        |t AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM c)
+        |SELECT bucket, CAST(n_old AS BIGINT) AS n_old,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  round(((n_new + 1) / (t_new + 20) - (n_old + 1) / (t_old + 20))
+        |    * ln(((n_new + 1) / (t_new + 20)) / ((n_old + 1) / (t_old + 20))),
+        |    6) AS psi_term
+        |FROM c, t""".stripMargin,
+
+    // same linear-interpolation (type-7) percentile per language, same
+    // >= cutoff on the unrounded threshold
+    "text_adaptive_length_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+        |      AS n_toks
+        |  FROM documents),
+        |th AS (SELECT lang, quantile_cont(n_toks, 0.1) AS p10
+        |       FROM d GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_toks, round(th.p10, 6) AS p10
+        |FROM d JOIN th USING (lang)
+        |WHERE d.n_toks >= th.p10""".stripMargin,
 
     // row_number twin of the TopKPerKey heap operator
     "sample_domain_quota" ->

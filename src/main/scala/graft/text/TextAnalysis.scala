@@ -658,12 +658,13 @@ object TextAnalysis {
     * comes back with a `keep` flag so the caller can either drop
     * duplicates or measure them.
     *
-    * Scale shape: one hash agg on `chunk_hash` computes the arg-min
-    * first occurrence as a partial-mergeable `min(struct(id, chunk))`
-    * — NO per-group sort and no window over a potentially hot hash (a
-    * boilerplate paragraph with millions of occurrences would
-    * single-task a row_number; the struct-min folds map-side). The
-    * join back is hash-sized on one side.
+    * Scale shape: the arg-min first occurrence is a partial-mergeable
+    * `min(struct(id, chunk))` aggregate (SortAggregate — structs
+    * aren't hash-aggregable), NOT a row_number window: a boilerplate
+    * paragraph with millions of occurrences would ship every
+    * occurrence to the window's one task, while the aggregate ships at
+    * most one partial min per map partition per hash. The join back is
+    * hash-sized on one side.
     */
   def chunkKeepFirst(df: DataFrame, idCol: String, textCol: String,
                      chunkTokens: Int): DataFrame = {

@@ -1,0 +1,39 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def totalPsi(rows: Seq[(Long, Long)]): Double =
+    Drift.psiByBucket(rows.toDF("id", "f"), "f",
+        col("id") < 1000L, col("id") >= 1000L,
+        bucketWidth = 50, maxBucket = 3)
+      .agg(sum("psi_term")).head().getDouble(0)
+
+  test("PSI is ~0 for an identical split and large for a shifted batch") {
+    val old = (0L until 400L).map(i => (i, (i % 200) * 1L))
+    // matched batch: same distribution, disjoint ids
+    val same = (1000L until 1400L).map(i => (i, (i % 200) * 1L))
+    // shifted batch: all mass lands in the top bucket
+    val shifted = (1000L until 1400L).map(i => (i, 150L + (i % 50)))
+    val psiSame = totalPsi(old ++ same)
+    val psiShift = totalPsi(old ++ shifted)
+    assert(math.abs(psiSame) < 0.01,
+      s"identical distributions must score ~0, got $psiSame")
+    assert(psiShift > 0.25,
+      s"a batch concentrated in one bucket must cross the 0.25 " +
+        s"industry 'shifted' line, got $psiShift")
+  }
+
+  test("PSI terms are partitioning-invariant (exact integer counts, " +
+    "single-expression terms)") {
+    val rows = (0L until 1000L).map(i => (i, i % 337)).toDF("id", "f")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Drift.psiByBucket(df, "f", col("id") % 10 =!= 7, col("id") % 10 === 7,
+          bucketWidth = 50, maxBucket = 6)
+        .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(run(rows) == run(rows.repartition(13)))
+  }
+}

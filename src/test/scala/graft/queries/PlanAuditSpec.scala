@@ -337,4 +337,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("dedup_chunk_keep_first: arg-min by partial-mergeable struct-min " +
+    "aggregate, never a window (row_number over a hot chunk hash would " +
+    "ship every occurrence to one task; partial minima are bounded)") {
+    val p = plan("dedup_chunk_keep_first")
+    assert(!p.contains("WindowExec"), p)
+    // struct-min compiles to SortAggregate (structs aren't hash-
+    // aggregable) — partial + final with only per-partition minima
+    // crossing the exchange is the property that matters
+    assert("SortAggregate".r.findAllIn(p).size >= 2,
+      "partial + final struct-min expected\n" + p)
+  }
+
+  test("text_dsir_weights: the bucket model and its totals broadcast — " +
+    "the corpus never sort-merge-joins or shuffles on a text key") {
+    val p = plan("text_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // totals fold in-plan as a broadcast 1-row cross join, not a
+    // driver-side count
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"), p)
+  }
 }
