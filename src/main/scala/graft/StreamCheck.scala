@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.Trigger
   *    the identical batch join.
   *
   * Usage: `runMain graft.StreamCheck [sfDir]
-  * [--check=fraud|stateful|streamjoin|session|dedup|staticjoin|all]`
+  * [--check=fraud|stateful|streamjoin|session|dedup|staticjoin|drift|all]`
   * (defaults: sf0.01, all). Exit 1 if any selected check fails.
   */
 object StreamCheck {
@@ -44,7 +44,8 @@ object StreamCheck {
       "streamjoin" -> (() => checkStreamJoin(spark, sfDir)),
       "session" -> (() => checkSession(spark, sfDir)),
       "dedup" -> (() => checkDedup(spark, sfDir)),
-      "staticjoin" -> (() => checkStaticJoin(spark, sfDir)))
+      "staticjoin" -> (() => checkStaticJoin(spark, sfDir)),
+      "drift" -> (() => checkDrift(spark, sfDir)))
     val selected = checks.filter { case (n, _) => mode == "all" || mode == n }
     require(selected.nonEmpty, s"unknown --check=$mode")
     val ok = selected.map { case (_, f) => f() }.forall(identity)
@@ -237,6 +238,64 @@ object StreamCheck {
     val batch = enrich(graft.model.Tables.events(spark, sfDir))
     parityLine("streaming_static_join", sfDir, outDir, batch, "",
       (System.nanoTime() - t0) / 1e9, extraOk = true)
+  }
+
+  /** Streaming drift monitor (the per-window form of
+    * [[graft.etl.Drift.psiByBucket]]): each 10-second event-time window
+    * scores the PSI of its `value` histogram against a STATIC baseline
+    * distribution — the data-quality monitor an ingest stream runs so a
+    * shifted source alarms within one window, not at the next batch
+    * audit. ONE windowed aggregation builds the 10-bucket histogram as
+    * conditional counts (a second stateful agg for the PSI sum would
+    * hit the multiple-stateful-operator restrictions); the PSI is then
+    * a stateless per-row expression over those counts, with the
+    * baseline proportions as driver model state (10 longs — the
+    * k-means-centroids precedent). Batch twin = identical expressions
+    * over a batch groupBy; every per-window PSI must match exactly
+    * (per-row scalar arithmetic, no cross-row float sums).
+    */
+  private def checkDrift(spark: SparkSession, sfDir: String): Boolean = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
+    val t0 = System.nanoTime()
+    val nB = 10
+    def bucket = least(floor(col("value") / 20), lit(nB - 1)).cast("int")
+    // static baseline: the batch table's global bucket counts
+    val base = graft.model.Tables.events(spark, sfDir)
+      .groupBy(bucket.as("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val baseTotal = base.values.sum
+    def p0(b: Int): Double = (base.getOrElse(b, 0L) + 1).toDouble / (baseTotal + nB)
+    def hist(df: DataFrame) = {
+      val cs = (0 until nB).map(b =>
+        sum(when(bucket === b, 1L).otherwise(0L)).as(s"c$b"))
+      df.groupBy(window(col("ts"), "10 seconds")).agg(cs.head, cs.tail: _*)
+    }
+    def psi(df: DataFrame) = {
+      val total = (0 until nB).map(b => col(s"c$b")).reduce(_ + _)
+      val terms = (0 until nB).map { b =>
+        val pn = (col(s"c$b") + 1) / (total + lit(nB))
+        (pn - lit(p0(b))) * log(pn / lit(p0(b)))
+      }
+      df.select(col("window.end").as("wend"),
+        round(terms.reduce(_ + _), 6).as("psi"))
+    }
+    runToParquet(
+      psi(hist(eventsStream(spark, sfDir).withWatermark("ts", "10 seconds"))),
+      ckpt, outDir)
+    // append mode emits a window once the watermark (max ts - 10 s)
+    // passes its end, so the final window is correctly still open —
+    // parity runs over the closeable set, open remainder counted
+    val ev = graft.model.Tables.events(spark, sfDir)
+    val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val batch = psi(hist(ev))
+    val closeable = batch.where(unix_timestamp(col("wend")) <= maxTs - 10)
+    val open = batch.count() - closeable.count()
+    val maxPsi = spark.read.parquet(outDir).agg(max(col("psi")))
+      .head().getDouble(0)
+    parityLine("streaming_drift", sfDir, outDir, closeable,
+      s""""buckets":$nB,"open_windows":$open,"max_window_psi":${js(maxPsi)},""",
+      (System.nanoTime() - t0) / 1e9, extraOk = !maxPsi.isNaN && open <= 2)
   }
 
   private def checkStreamJoin(spark: SparkSession, sfDir: String): Boolean = {
