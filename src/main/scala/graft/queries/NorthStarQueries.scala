@@ -163,6 +163,15 @@ object NorthStarQueries {
     "text_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
+    // held-out trigram LM with stupid backoff: model trained on the
+    // doc_id%10!=7 slice scores the held-out slice — backoff genuinely
+    // fires (unlike corpus-trained LMs), the production crawl-scoring
+    // shape; per-doc backoff counts expose model coverage
+    "text_trigram_backoff" -> ((s, dir) =>
+      TextAnalysis.stupidBackoffLogScore(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", col("doc_id") % 10 =!= 7)),
+
     // sequence packing: docs → fixed-token-budget training sequences,
     // contiguously in (source, doc_id) order — pack assignment is a
     // total function of the corpus (reproducible data order); output is
@@ -229,7 +238,10 @@ object NorthStarQueries {
     // adaptive per-language length gate: drop docs under their OWN
     // language's 10th-percentile token count — fixed global thresholds
     // over-prune terse languages; the threshold is a per-group exact
-    // percentile broadcast back (group-cardinality-sized model)
+    // percentile broadcast back (group-cardinality-sized model).
+    // Exact `percentile` buffers each group's values (fine for the
+    // oracle-checkable harness); at corpus scale swap in
+    // approx_percentile — identical plan shape, bounded sketch memory
     "text_adaptive_length_gate" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.tokenCount(col("text")).as("n_toks"))
@@ -872,6 +884,61 @@ object NorthStarQueries {
         |      HAVING count(DISTINCT doc_id) > 1)
         |SELECT doc_id, line_idx, line FROM l
         |WHERE line NOT IN (SELECT line FROM d)""".stripMargin,
+
+    // same train/score split, same backoff cascade on word-pair joins
+    // (Spark joins concatenated n-gram strings; tokens contain no
+    // whitespace so the keys are equivalent), same micro-nat sums
+    "text_trigram_backoff" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 10 <> 7 AS train,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, train, t[i+1] AS w1, t[i+2] AS w2, t[i+3] AS w3
+        |  FROM (SELECT doc_id, train, t,
+        |          unnest(range(0, greatest(len(t) - 2, 0))) AS i FROM toks)),
+        |bi AS (
+        |  SELECT doc_id, train, t[i+1] AS w1, t[i+2] AS w2
+        |  FROM (SELECT doc_id, train, t,
+        |          unnest(range(0, greatest(len(t) - 1, 0))) AS i FROM toks)),
+        |m3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri WHERE train
+        |       GROUP BY 1, 2, 3),
+        |x2 AS (SELECT w1, w2, count(*) AS c2ctx FROM tri WHERE train
+        |       GROUP BY 1, 2),
+        |m2 AS (SELECT w1 AS v2, w2 AS v3, count(*) AS c2 FROM bi WHERE train
+        |       GROUP BY 1, 2),
+        |x1 AS (SELECT w1 AS v2, count(*) AS c1ctx FROM bi WHERE train
+        |       GROUP BY 1),
+        |m1 AS (SELECT tok AS v3, count(*) AS c1
+        |       FROM (SELECT unnest(t) AS tok FROM toks WHERE train) GROUP BY 1),
+        |nv AS (SELECT count(*) AS n_total, count(DISTINCT tok) AS v_size
+        |       FROM (SELECT unnest(t) AS tok FROM toks WHERE train)),
+        |sc AS (
+        |  SELECT tri.doc_id,
+        |    CAST(round(
+        |      CASE WHEN m3.c3 IS NOT NULL THEN ln(m3.c3 / x2.c2ctx)
+        |           WHEN m2.c2 IS NOT NULL THEN ln(0.4) + ln(m2.c2 / x1.c1ctx)
+        |           ELSE 2 * ln(0.4) +
+        |             ln((coalesce(m1.c1, 0) + 1) / (nv.n_total + nv.v_size))
+        |      END * 1000000, 0) AS DECIMAL(18,0)) AS lp6,
+        |    CASE WHEN m3.c3 IS NOT NULL THEN 0
+        |         WHEN m2.c2 IS NOT NULL THEN 1 ELSE 2 END AS lvl
+        |  FROM tri
+        |  LEFT JOIN m3 USING (w1, w2, w3)
+        |  LEFT JOIN x2 USING (w1, w2)
+        |  LEFT JOIN m2 ON m2.v2 = tri.w2 AND m2.v3 = tri.w3
+        |  LEFT JOIN x1 ON x1.v2 = tri.w2
+        |  LEFT JOIN m1 ON m1.v3 = tri.w3
+        |  CROSS JOIN nv
+        |  WHERE NOT tri.train)
+        |SELECT doc_id, count(*) AS n_positions,
+        |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bi_backoffs,
+        |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_uni_backoffs,
+        |  round(CAST(sum(lp6) AS DOUBLE) / (1000000.0 * count(*)), 6)
+        |    AS avg_logscore
+        |FROM sc GROUP BY doc_id""".stripMargin,
 
     // same window generation via list_slice over range(), same
     // duplicate rule (corpus count > 1), same lag-based interval merge

@@ -248,6 +248,83 @@ object TextAnalysis {
           (lit(1e6) * count(lit(1))), 6).as("avg_logprob"))
   }
 
+  /** Held-out trigram LM with stupid backoff (Brants et al. 2007, the
+    * web-scale scoring CCNet approximates with KenLM): train trigram /
+    * bigram / unigram counts on the `isTrain` slice, score every
+    * held-out document's trigram positions with
+    * `s(w3|w1w2) = c(w1w2w3)/c(w1w2·)` when the trigram was seen in
+    * training, backing off to `α·c(w2w3)/c(w2·)`, then to the add-1
+    * unigram floor `α²·(c(w3)+1)/(N+V)` — unlike the corpus-trained
+    * [[bigramLogProb]], the train/score split makes backoff REAL
+    * (held-out n-grams genuinely miss), which is the production shape:
+    * score crawl text with a model trained on a trusted slice.
+    *
+    * Scale shape: three model tables (trigram / bigram / unigram
+    * counts + their context totals), each n-gram-vocabulary-sized and
+    * broadcast-joined to the scored positions on the n-gram key — the
+    * scored corpus never shuffles on a text key; N and V fold IN-PLAN
+    * as a broadcast 1-row aggregate (no driver count). Past
+    * executor-sized vocabularies drop the broadcast hints — each join
+    * key is its model's own group-by key, so sort-merge reuses the
+    * model-side exchange. FP discipline as [[unigramLogProb]]:
+    * per-position log-scores in integer micro-nats, DECIMAL sums, one
+    * double division at the end. Held-out docs with fewer than three
+    * tokens have no trigram positions and are absent from the output.
+    */
+  def stupidBackoffLogScore(df: DataFrame, idCol: String, textCol: String,
+                            isTrain: Column,
+                            alpha: Double = 0.4): DataFrame = {
+    import graft.functions.VectorExprs.token_ngrams
+    val base = df.select(col(idCol), isTrain.as("__train"),
+      tokens(col(textCol)).as("__t"))
+    def positions(n: Int, train: Boolean) = base
+      .where(if (train) col("__train") else !col("__train"))
+      .select(col(idCol), explode(token_ngrams(col("__t"), n)).as("ng"))
+    val triTrain = positions(3, train = true)
+      .withColumn("w12", substring_index(col("ng"), " ", 2))
+    val biTrain = positions(2, train = true)
+      .withColumn("w1", substring_index(col("ng"), " ", 1))
+    val uniTrain = base.where(col("__train"))
+      .select(explode(col("__t")).as("tok"))
+    val tri = triTrain.groupBy(col("ng")).agg(count(lit(1)).as("c3"))
+    val ctx2 = triTrain.groupBy(col("w12")).agg(count(lit(1)).as("c2ctx"))
+    val bi = biTrain.groupBy(col("ng").as("w23")).agg(count(lit(1)).as("c2"))
+    val ctx1 = biTrain.groupBy(col("w1").as("w2")).agg(count(lit(1)).as("c1ctx"))
+    val uni = uniTrain.groupBy(col("tok").as("w3")).agg(count(lit(1)).as("c1"))
+    val nv = uniTrain.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("tok")).as("v_size"))
+    val test = positions(3, train = false)
+      .withColumn("w12", substring_index(col("ng"), " ", 2))
+      .withColumn("w23", substring_index(col("ng"), " ", -2))
+      .withColumn("w2", substring_index(col("w23"), " ", 1))
+      .withColumn("w3", substring_index(col("ng"), " ", -1))
+    val la = log(lit(alpha))
+    val score =
+      when(col("c3").isNotNull, log(col("c3") / col("c2ctx")))
+        .when(col("c2").isNotNull, la + log(col("c2") / col("c1ctx")))
+        .otherwise(la * 2 +
+          log((coalesce(col("c1"), lit(0L)) + 1) /
+            (col("n_total") + col("v_size"))))
+    test
+      .join(broadcast(tri), Seq("ng"), "left")
+      .join(broadcast(ctx2), Seq("w12"), "left")
+      .join(broadcast(bi), Seq("w23"), "left")
+      .join(broadcast(ctx1), Seq("w2"), "left")
+      .join(broadcast(uni), Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col(idCol),
+        round(score * 1e6, 0)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("lp6"),
+        when(col("c3").isNotNull, 0)
+          .when(col("c2").isNotNull, 1).otherwise(2).as("__lvl"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(when(col("__lvl") === 1, 1L).otherwise(0L)).as("n_bi_backoffs"),
+        sum(when(col("__lvl") === 2, 1L).otherwise(0L)).as("n_uni_backoffs"),
+        round(sum(col("lp6")).cast("double") /
+          (lit(1e6) * count(lit(1))), 6).as("avg_logscore"))
+  }
+
   /** Sequence packing — assign documents to fixed-token-budget training
     * sequences ("packs"), contiguously in (stratum, id) order: a doc's
     * pack is `floor(exclusive-prefix-token-sum / budget)`. The rule is

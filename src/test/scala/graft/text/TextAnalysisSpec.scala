@@ -115,6 +115,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(repart == w, "micro-nat decimal sums are order-invariant")
   }
 
+  test("stupid backoff: trigram hits for in-model text, unigram-floor " +
+    "backoff for unseen words, and held-out fluent text outscores noise") {
+    val fluent = "the cat sat on the mat and the dog ran to the gate"
+    val docs = ((1L to 8L).map(i => (i, fluent)) ++ Seq(
+      (100L, fluent),                        // held-out, fully in-model
+      (101L, "zz qq xx vv kk jj ww pp"),     // held-out, all unseen
+      (102L, "the cat sat on the rug today") // held-out, partial coverage
+    )).toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoffLogScore(
+        docs, "doc_id", "text", col("doc_id") < 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(100L, 101L, 102L), "only held-out docs scored")
+    assert(out(100L)._2 == 0L && out(100L)._3 == 0L,
+      "in-model text never backs off")
+    assert(out(101L)._3 == out(101L)._1,
+      "fully unseen text hits the unigram floor at every position")
+    assert(out(102L)._2 + out(102L)._3 > 0L,
+      "novel trigrams in a covered context must back off")
+    assert(out(100L)._4 > out(101L)._4 + 1.0,
+      s"held-out fluent ${out(100L)._4} must outscore noise ${out(101L)._4}")
+    val repart = TextAnalysis.stupidBackoffLogScore(
+        docs.repartition(5), "doc_id", "text", col("doc_id") < 100L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(repart == out.map { case (k, v) => k -> v._4 },
+      "micro-nat decimal sums are order-invariant")
+  }
+
   test("bigram LM scores shuffled text below fluent text (the signal " +
     "the unigram model cannot see)") {
     val fluent = "the cat sat on the mat and the dog sat on the rug"
