@@ -234,6 +234,15 @@ object ScaleCheck {
             d.select("doc_id", "lang", "text"), "doc_id", "text",
             col("lang") === "en", numBuckets = 4096).count()
         }
+        // held-out trigram backoff: the models GROW with the corpus
+        // (per-replica token remap → vocabulary ×32), so this probes
+        // the documented broadcast caveat — five vocabulary-sized
+        // broadcasts at ×32 measure where the hints stop paying
+        time(s"text_trigram_$tag") {
+          graft.text.TextAnalysis.stupidBackoffLogScore(
+            d.select("doc_id", "text"), "doc_id", "text",
+            col("doc_id") % 10 =!= 7).count()
+        }
       }
       textProbes("x1", d0)
       textProbes("x32", docs)

@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one pass over the union of both snapshots (a flag
   * column, conditional counts — the DSIR counting pattern), bucket
-  * totals fold IN-PLAN via a 1-row agg broadcast back; output is
-  * bucket-domain-sized. Each PSI term is a single deterministic scalar
+  * totals via an unpartitioned window over the aggregated bucket table
+  * (bucket-domain-sized, never the corpus — plan-audited to a single
+  * FileScan); output is bucket-domain-sized. Each PSI term is a
+  * single deterministic scalar
   * expression over exact integer counts (no cross-row float sum), so
   * the output is partition-order-invariant and engine-portable as-is.
   */
@@ -44,11 +46,20 @@ object Drift {
       .groupBy(col("bucket"))
       .agg(sum(when(col("__o"), lit(1L)).otherwise(lit(0L))).as("n_old"),
         sum(when(col("__n"), lit(1L)).otherwise(lit(0L))).as("n_new"))
-    val totals = counts.agg(sum(col("n_old")).as("t_old"),
-      sum(col("n_new")).as("t_new"))
+    // totals as an unpartitioned window over the ALREADY-AGGREGATED
+    // bucket table (≤ nB rows on one task — bucket-domain-sized, never
+    // the corpus): a separate `counts.agg(...)` branch would re-derive
+    // the whole subtree and SCAN THE CORPUS TWICE in the static plan
+    // (PlanAuditSpec pins the single FileScan)
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val withTotals = counts
+      .withColumn("t_old", sum(col("n_old")).over(w))
+      .withColumn("t_new", sum(col("n_new")).over(w))
     val pOld = (col("n_old") + 1) / (col("t_old") + lit(nB))
     val pNew = (col("n_new") + 1) / (col("t_new") + lit(nB))
-    counts.crossJoin(broadcast(totals))
+    withTotals
       .select(col("bucket"), col("n_old"), col("n_new"),
         round((pNew - pOld) * log(pNew / pOld), 6).as("psi_term"))
   }

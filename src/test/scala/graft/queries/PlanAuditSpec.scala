@@ -359,4 +359,21 @@ class PlanAuditSpec extends SparkSpec {
     // driver-side count
     assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"), p)
   }
+
+  test("drift_psi_nchars: ONE corpus scan — conditional sums count both " +
+    "slices in a single pass; totals are a window over the aggregated " +
+    "bucket table, not a second scan branch") {
+    val p = plan("drift_psi_nchars")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "a totals agg branch re-scans the corpus\n" + p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("text_adaptive_length_gate: per-language thresholds broadcast " +
+    "back — the corpus side never shuffles for the join") {
+    val p = plan("text_adaptive_length_gate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
