@@ -174,10 +174,15 @@ object StreamCheck {
     val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
     val batch = SparkEntry.queries("window_session_sum")(spark, sfDir)
     val closeable = batch.where(col("session_end") <= maxTs - 10)
-    val open = batch.count() - closeable.count()
+    val total = batch.count()
+    val open = total - closeable.count()
+    // only sessions whose last event sits within gap+delay of the
+    // corpus max can be open — a fixed cap breaks at larger sf (the
+    // horizon holds ~10× the sessions at sf0.1), so bound the FRACTION
     parityLine("streaming_session_window", sfDir, outDir, closeable,
       s""""open_sessions":$open,""",
-      (System.nanoTime() - t0) / 1e9, extraOk = open <= 5)
+      (System.nanoTime() - t0) / 1e9,
+      extraOk = open <= math.max(5L, total / 1000))
   }
 
   /** Streaming dedup: `dropDuplicatesWithinWatermark` over a
