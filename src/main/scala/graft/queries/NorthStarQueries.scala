@@ -1196,7 +1196,8 @@ object NorthStarQueries {
     // domain, same single-expression PSI term over exact counts
     "drift_psi_nchars" ->
       """WITH b AS (
-        |  SELECT least(CAST(floor(n_chars / 50) AS INTEGER), 19) AS bucket,
+        |  SELECT CAST(least(CAST(floor(n_chars / 50) AS INTEGER), 19)
+        |    AS INTEGER) AS bucket,
         |    doc_id % 10 <> 7 AS o, doc_id % 10 = 7 AS n
         |  FROM documents),
         |c AS (
