@@ -445,6 +445,32 @@ object NorthStarQueries {
           round(sum(col("cents")) / 100.0, 2).as("total_price"))
     }),
 
+    // corpus snapshot diff — the dataset-versioning audit between two
+    // corpus versions: added / removed / changed / unchanged per doc by
+    // content fingerprint, via ONE co-partitioned full outer join on
+    // the doc key (at 100 TB both snapshots shuffle once on doc_id and
+    // nothing else moves — the diff is join-local). Version B is the
+    // %5 slice with every %3 doc's text mutated, so all four statuses
+    // occur; real pipelines pass two real snapshot tables.
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      def fp(d: org.apache.spark.sql.DataFrame) = graft.text.TextAnalysis
+        .fingerprints(d, "text").select(col("doc_id"), col("fp_exact"))
+      val a = fp(docs.where(col("doc_id") % 7 =!= 0))
+        .withColumnRenamed("fp_exact", "fp_a")
+      val b = fp(docs
+          .withColumn("text", when(col("doc_id") % 3 === 0,
+            upper(col("text"))).otherwise(col("text")))
+          .where(col("doc_id") % 5 =!= 0))
+        .withColumnRenamed("fp_exact", "fp_b")
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("fp_a").isNull, "added")
+            .when(col("fp_b").isNull, "removed")
+            .when(col("fp_a") === col("fp_b"), "unchanged")
+            .otherwise("changed").as("status"))
+    }),
+
     // exact brute-force n-gram Jaccard on a bounded slice — the oracle-
     // checkable baseline for the LSH path
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -1455,6 +1481,23 @@ object NorthStarQueries {
         |SELECT b.doc_id, b.fp_norm
         |FROM fp b WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
         |  SELECT 1 FROM fp c WHERE c.doc_id % 10 <> 7 AND c.fp_norm = b.fp_norm)""".stripMargin,
+
+    // same md5 content fingerprints, same slice/mutation rules, same
+    // status cascade over a full outer join
+    "corpus_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |b AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.fp IS NULL THEN 'added'
+        |       WHEN b.fp IS NULL THEN 'removed'
+        |       WHEN a.fp = b.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
 
     // same 32-token non-overlapping chunks as text_chunk_windows; the
     // unique (doc_id, chunk_id) order makes row_number()=1 identical to
