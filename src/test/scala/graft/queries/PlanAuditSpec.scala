@@ -376,4 +376,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("text_trigram_backoff: all five model joins broadcast and N/V " +
+    "fold in-plan — the scored corpus never shuffles on a text key") {
+    val p = plan("text_trigram_backoff")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"),
+      "N and V must enter as a broadcast 1-row aggregate\n" + p)
+  }
 }
