@@ -459,20 +459,26 @@ object Dedup {
     * `maxDf` cap existed for; the cap stays available for
     * stop-shingle-only corpora.
     *
-    * Exactness caveat: the three-filter completeness argument assumes
-    * `maxDf = 0`. With a cap, `__len` (and the prefix/length/positional
-    * bounds built from it) is computed from the post-cap posting sets,
-    * so a capped true pair may be pruned beyond what the cap's own
-    * documented may-miss-pairs contract already allows. The default
-    * (maxDf = 0) is the exact path.
+    * Exactness under the cap: `__len` (and the prefix/length/positional
+    * bounds built from it) is computed from the TRUE per-doc set size
+    * (`size(__sh)`, carried through the explode map-side), not the
+    * post-cap posting list — so the three filters prune exactly as in
+    * the uncapped case and `maxDf > 0` loses precisely the pairs the
+    * cap contract documents (those sharing only over-df shingles),
+    * nothing more. Asserted against that contract in DedupSpec.
     */
   def jaccardCandidates(withSh: DataFrame, threshold: Double,
                         maxDf: Long = 0L,
                         prefixFilter: Boolean = true): DataFrame = {
-    val postings = withSh.select(col("id"), explode(col("__sh")).as("s"))
+    // every posting carries the doc's TRUE set size (size of __sh,
+    // map-side free) so the prefix/length/positional bounds below stay
+    // exact even when the maxDf cap shortens the posting list
+    val postings = withSh.select(col("id"), size(col("__sh")).as("__len"),
+      explode(col("__sh")).as("s"))
     val capped = if (maxDf > 0) {
       val dfs = postings.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-      postings.join(dfs.where(col("__df") <= maxDf), "s").select(col("id"), col("s"))
+      postings.join(dfs.where(col("__df") <= maxDf), "s")
+        .select(col("id"), col("__len"), col("s"))
     } else postings
     if (!prefixFilter) {
       capped.select(col("s"), col("id").as("id_a"))
@@ -486,13 +492,20 @@ object Dedup {
       // the candidate join that follows. Each prefix posting carries
       // the doc's FULL set size and the shingle's 0-based position in
       // the global order, feeding the two per-collision filters below.
+      // Under a maxDf cap the capped shingles have the LARGEST df, so
+      // they occupy the suffix of the global order: dropping them moves
+      // no surviving shingle's position, and slicing the TRUE-length
+      // prefix from the capped order keeps every uncapped shingle of
+      // the true prefix. Hence with maxDf > 0 the candidate set is
+      // exactly "pairs sharing >=1 shingle with df <= maxDf in both
+      // true prefixes" — the cap contract, with no extra pruning.
       val dfs = capped.groupBy(col("s")).agg(count(lit(1)).as("__df"))
       val pre = capped.join(dfs, "s")
-        .groupBy(col("id"))
+        .groupBy(col("id"), col("__len"))
         .agg(sort_array(collect_list(struct(col("__df"), col("s")))).as("__ord"))
-        .select(col("id"), size(col("__ord")).as("__len"),
+        .select(col("id"), col("__len"),
           posexplode(slice(col("__ord"), lit(1),
-            (size(col("__ord")) - ceil(lit(threshold) * size(col("__ord"))) + 1)
+            (col("__len") - ceil(lit(threshold) * col("__len")) + 1)
               .cast("int"))))
         .select(col("id"), col("__len"), col("pos").as("__pos"),
           col("col.s").as("s"))

@@ -96,10 +96,29 @@ class DedupSpec extends SparkSpec {
     val brute = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))
     val inv = pairs(Dedup.jaccardPairsInverted(docs, "doc_id", "text", 3, 0.8))
     assert(inv == brute, "inverted index must be EXACT")
-    // the hot-shingle cap may only lose pairs, never invent or mis-score
-    val capped = pairs(Dedup.jaccardPairsInverted(docs, "doc_id", "text", 3,
-      0.8, maxDf = 3))
-    capped.foreach { case (k, j) => assert(brute.get(k).contains(j)) }
+    // the maxDf cap contract is EXACT (not just "subset"): capped output
+    // == brute pairs sharing >=1 under-cap shingle — the PPJoin bounds
+    // use the TRUE set size, so the cap never over-prunes beyond its
+    // documented may-miss set
+    import org.apache.spark.sql.functions.col
+    val shSets = docs.select(col("doc_id").cast("long"),
+        Dedup.shingles(graft.text.TextAnalysis.tokens(col("text")), 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val dfCount = shSets.values.toSeq.flatten
+      .groupBy(identity).map { case (s, xs) => s -> xs.size }
+    for (maxDf <- Seq(2L, 3L, 5L)) {
+      val capped = pairs(Dedup.jaccardPairsInverted(docs, "doc_id", "text", 3,
+        0.8, maxDf = maxDf))
+      val expected = brute.filter { case ((a, b), _) =>
+        shSets(a).intersect(shSets(b)).exists(s => dfCount(s) <= maxDf) }
+      assert(capped == expected,
+        s"maxDf=$maxDf must equal the cap contract exactly " +
+          s"(got ${capped.size}, want ${expected.size} of ${brute.size})")
+    }
+    // maxDf=1 is the degenerate cap: every shared shingle has df >= 2,
+    // so the contract set — and the output — must be empty
+    assert(pairs(Dedup.jaccardPairsInverted(docs, "doc_id", "text", 3,
+      0.8, maxDf = 1)).isEmpty)
   }
 
   test("PPJoin prefix filter: candidate volume shrinks, candidate set is a " +
