@@ -31,21 +31,37 @@ object Drift {
   /** Per-bucket PSI contributions between the `isOld` and `isNew`
     * slices of `df` (a row may belong to neither; flags are disjoint by
     * contract). `featureCol` buckets as
-    * `least(floor(feature / bucketWidth), maxBucket)`. Returns
-    * (bucket, n_old, n_new, psi_term); total PSI = downstream sum.
+    * `least(greatest(floor(feature / bucketWidth), 0), maxBucket)` —
+    * out-of-range features clamp into the edge buckets, so a negative
+    * value can't silently grow the domain past the `nB` used for add-1
+    * smoothing. Returns (bucket, n_old, n_new, psi_term) for EVERY
+    * bucket 0..maxBucket — empty buckets emit their smoothing-only
+    * term, so the total is the full-domain add-1 PSI and is independent
+    * of rows outside both slices (a bucket fed only by neither-slice
+    * rows scores identically to an absent one). Total PSI = downstream
+    * sum over the fixed nB rows.
     */
   def psiByBucket(df: DataFrame, featureCol: String, isOld: Column,
                   isNew: Column, bucketWidth: Int,
                   maxBucket: Int): DataFrame = {
     require(bucketWidth > 0 && maxBucket > 0, "need positive bucket spec")
     val nB = maxBucket + 1
-    val counts = df
-      .select(least(floor(col(featureCol) / bucketWidth), lit(maxBucket))
-          .cast("int").as("bucket"),
+    val observed = df
+      .select(least(greatest(floor(col(featureCol) / bucketWidth), lit(0)),
+          lit(maxBucket)).cast("int").as("bucket"),
         isOld.as("__o"), isNew.as("__n"))
       .groupBy(col("bucket"))
       .agg(sum(when(col("__o"), lit(1L)).otherwise(lit(0L))).as("n_old"),
         sum(when(col("__n"), lit(1L)).otherwise(lit(0L))).as("n_new"))
+    // complete the bucket domain with zero rows (union + tiny re-agg —
+    // ≤ 2·nB rows, no join operator to disturb the single-scan plan):
+    // all-empty buckets must still contribute their smoothing term
+    val domain = df.sparkSession.range(nB)
+      .select(col("id").cast("int").as("bucket"),
+        lit(0L).as("n_old"), lit(0L).as("n_new"))
+    val counts = observed.unionByName(domain)
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"))
     // totals as an unpartitioned window over the ALREADY-AGGREGATED
     // bucket table (≤ nB rows on one task — bucket-domain-sized, never
     // the corpus): a separate `counts.agg(...)` branch would re-derive

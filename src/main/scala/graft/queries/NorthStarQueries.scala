@@ -1218,19 +1218,25 @@ object NorthStarQueries {
         |  round(CAST(sum(lr6) AS DOUBLE) / 1000000.0, 6) AS log_weight
         |FROM bb JOIN m USING (b) GROUP BY doc_id""".stripMargin,
 
-    // same fixed-width buckets, same add-1 smoothing over the 20-bucket
-    // domain, same single-expression PSI term over exact counts
+    // same fixed-width clamped buckets, same add-1 smoothing over the
+    // FULL 20-bucket domain (empty buckets emit their smoothing-only
+    // term), same single-expression PSI term over exact counts
     "drift_psi_nchars" ->
       """WITH b AS (
-        |  SELECT CAST(least(CAST(floor(n_chars / 50) AS INTEGER), 19)
+        |  SELECT CAST(least(greatest(CAST(floor(n_chars / 50) AS INTEGER), 0), 19)
         |    AS INTEGER) AS bucket,
         |    doc_id % 10 <> 7 AS o, doc_id % 10 = 7 AS n
         |  FROM documents),
-        |c AS (
+        |obs AS (
         |  SELECT bucket,
         |    sum(CASE WHEN o THEN 1 ELSE 0 END) AS n_old,
         |    sum(CASE WHEN n THEN 1 ELSE 0 END) AS n_new
         |  FROM b GROUP BY bucket),
+        |c AS (
+        |  SELECT CAST(d.bucket AS INTEGER) AS bucket,
+        |    coalesce(obs.n_old, 0) AS n_old, coalesce(obs.n_new, 0) AS n_new
+        |  FROM (SELECT unnest(range(0, 20)) AS bucket) d
+        |  LEFT JOIN obs ON obs.bucket = d.bucket),
         |t AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM c)
         |SELECT bucket, CAST(n_old AS BIGINT) AS n_old,
         |  CAST(n_new AS BIGINT) AS n_new,

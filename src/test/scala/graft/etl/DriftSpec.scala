@@ -27,6 +27,31 @@ class DriftSpec extends SparkSpec {
         s"industry 'shifted' line, got $psiShift")
   }
 
+  test("full bucket domain: empty buckets emit smoothing-only terms, " +
+    "negative features clamp to bucket 0, and rows in neither slice " +
+    "never move the score") {
+    def psiMap(rows: Seq[(Long, Long)]) =
+      Drift.psiByBucket(rows.toDF("id", "f"), "f",
+          col("id") < 1000L, col("id") >= 1000L && col("id") < 2000L,
+          bucketWidth = 50, maxBucket = 3)
+        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+    // all mass in bucket 1; buckets 0/2/3 must still appear
+    val base = Seq((1L, 60L), (2L, 70L), (1001L, 60L))
+    val m = psiMap(base)
+    assert(m.keySet == Set(0, 1, 2, 3), m.keySet.toString)
+    assert(m(2)._1 == 0L && m(2)._2 == 0L && m(2)._3 != 0.0,
+      "an empty bucket carries its add-1 smoothing term")
+    // a negative feature lands in bucket 0, not a bucket below the domain
+    val neg = psiMap(base :+ (3L, -120L))
+    assert(neg.keySet == Set(0, 1, 2, 3))
+    assert(neg(0)._1 == 1L)
+    // a row in NEITHER slice (id >= 2000) leaves every term unchanged —
+    // even when it lands in an otherwise-empty bucket
+    assert(psiMap(base :+ (5000L, 170L)) == m,
+      "neither-slice rows must not perturb the full-domain PSI")
+  }
+
   test("PSI terms are partitioning-invariant (exact integer counts, " +
     "single-expression terms)") {
     val rows = (0L until 1000L).map(i => (i, i % 337)).toDF("id", "f")
