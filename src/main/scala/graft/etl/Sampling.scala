@@ -69,6 +69,10 @@ object Sampling {
     df.select(col(strataCol), col(idCol),
         graft.text.TextAnalysis.tokenCount(col(textCol)).as("n_toks"),
         md5(col(idCol).cast("string")).as("__h"))
+      // null token counts (null text) contribute nothing and are never
+      // selected — the same contract the scalable form enforces, so the
+      // two forms stay bit-equal on dirty input too
+      .where(col("n_toks").isNotNull)
       .withColumn("__before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
       .where(col("__before") < budgetTokens)
       .select(col(strataCol), col(idCol), col("n_toks"))
@@ -86,27 +90,50 @@ object Sampling {
     */
   def tokenBudgetMixScalable(df: DataFrame, idCol: String, textCol: String,
                              strataCol: String, budgetTokens: Long,
-                             numParts: Int = 32): DataFrame = {
+                             numParts: Int = 32): DataFrame =
+    exclusivePrefixByStratum(df, idCol, textCol, strataCol, numParts)
+      .where(col("__before") < budgetTokens)
+      .select(col(strataCol), col(idCol), col("n_toks"))
+
+  /** Shared core of the scalable mixers: (stratum, id, n_toks, __before)
+    * where `__before` is the stratum's EXCLUSIVE prefix token sum in the
+    * deterministic (md5-of-id, id) order — the two-pass distributed
+    * prefix sum (range-partition + local sums, then broadcast the tiny
+    * per-(partition, stratum) subtotals back as offsets). No stratum is
+    * ever sorted on a single task. Rows with a null token count (null
+    * text) are excluded up front — they contribute nothing to any
+    * prefix, and skipping them here keeps the window twin, this form,
+    * and the DuckDB oracle agreeing on dirty input instead of one of
+    * them throwing.
+    */
+  private def exclusivePrefixByStratum(df: DataFrame, idCol: String,
+                                       textCol: String, strataCol: String,
+                                       numParts: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val toks = df.select(col(strataCol), col(idCol),
         graft.text.TextAnalysis.tokenCount(col(textCol)).as("n_toks"),
         md5(col(idCol).cast("string")).as("__h"))
+      .where(col("n_toks").isNotNull)
       .repartitionByRange(numParts, col(strataCol), col("__h"), col(idCol))
       .sortWithinPartitions(col(strataCol), col("__h"), col(idCol))
     val withPid = toks.withColumn("__pid", spark_partition_id())
     val schema = StructType(withPid.schema.fields :+
       StructField("__local_excl", LongType, nullable = false))
+    // field positions resolved by NAME from the schema — immune to
+    // upstream select-order edits
+    val iStrat = withPid.schema.fieldIndex(strataCol)
+    val iToks = withPid.schema.fieldIndex("n_toks")
     val local = spark.createDataFrame(
       withPid.rdd.mapPartitions { it =>
         var stratum: Any = null
         var running = 0L
         it.map { r =>
-          if (r.get(0) != stratum) { stratum = r.get(0); running = 0L }
+          if (r.get(iStrat) != stratum) { stratum = r.get(iStrat); running = 0L }
           val excl = running
-          running += r.getInt(2)
-          Row(r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), excl)
+          running += r.getInt(iToks)
+          Row.fromSeq(r.toSeq :+ excl)
         }
       }, schema)
     val subtotal = local.groupBy(col("__pid"), col(strataCol))
@@ -119,7 +146,62 @@ object Sampling {
         coalesce(sum(col("__part_total")).over(offsetW), lit(0L)))
       .select(col("__pid"), col(strataCol), col("__offset"))
     local.join(broadcast(offsets), Seq("__pid", strataCol))
-      .where(col("__local_excl") + col("__offset") < budgetTokens)
-      .select(col(strataCol), col(idCol), col("n_toks"))
+      .select(col(strataCol), col(idCol), col("n_toks"),
+        (col("__local_excl") + col("__offset")).as("__before"))
+  }
+
+  /** Epoch-aware mix EXECUTION — the up-sampling half of corpus mixing
+    * that [[tokenBudgetMix]] (selection up to a budget) doesn't do:
+    * given per-stratum token TARGETS, emit a repeat count per document
+    * so each stratum contributes ≈ its target tokens across epochs —
+    * scarce high-quality sources repeat, oversized sources contribute
+    * a deterministic subset.
+    *
+    * Per stratum with `avail` total tokens and target `T`:
+    * every doc repeats `e = min(floor(T / avail), maxEpochs)` times,
+    * and the docs whose exclusive prefix sum (same md5-of-id order as
+    * [[tokenBudgetMix]]) is below the residual `T − e·avail` repeat
+    * once more — deterministic residual rounding, so emitted tokens
+    * land in [T, T + max_doc_tokens) whenever the cap doesn't bind.
+    * `maxEpochs` bounds duplication (repeating a tiny source 100× hurts
+    * more than missing its share); a capped stratum emits exactly
+    * `maxEpochs · avail` tokens with no residual pick. Strata absent
+    * from `targets` (target 0) are excluded, as are docs with
+    * `n_repeats = 0`.
+    *
+    * Output: (stratum, id, n_toks, n_repeats ≥ 1) — pure integer
+    * arithmetic over the same distributed prefix sums as the budget
+    * mixer (DuckDB-oracle-checkable; no window over a mega-stratum),
+    * with the per-stratum totals a broadcast stratum-cardinality-sized
+    * model. Downstream writers materialize repeats via
+    * `explode(sequence(1, n_repeats))` — map-side, never shuffled.
+    */
+  def epochMix(df: DataFrame, idCol: String, textCol: String,
+               strataCol: String, targets: Map[String, Long],
+               maxEpochs: Int, numParts: Int = 32): DataFrame = {
+    require(maxEpochs >= 1, "need maxEpochs >= 1")
+    val prefix = exclusivePrefixByStratum(df, idCol, textCol, strataCol, numParts)
+    val avail = prefix.groupBy(col(strataCol))
+      .agg(sum(col("n_toks")).as("__avail"))
+    val target = targets.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    prefix.join(broadcast(avail), strataCol)
+      .withColumn("__target", target)
+      .withColumn("__epochs",
+        when(col("__avail") > 0,
+          // integer `div`, not double `/`+cast: exact at any magnitude
+          least(expr("__target div __avail"), lit(maxEpochs.toLong)))
+          .otherwise(lit(0L)))
+      .withColumn("__residual",
+        when(col("__epochs") < maxEpochs,
+          col("__target") - col("__epochs") * col("__avail"))
+          .otherwise(lit(0L)))
+      .withColumn("n_repeats",
+        (col("__epochs") +
+          when(col("__before") < col("__residual"), 1L).otherwise(0L))
+          .cast("int"))
+      .where(col("n_repeats") >= 1)
+      .select(col(strataCol), col(idCol), col("n_toks"), col("n_repeats"))
   }
 }

@@ -261,6 +261,18 @@ object NorthStarQueries {
         Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
         Seq("source"), Seq("n_chars" -> true, "doc_id" -> false), 5)),
 
+    // epoch-aware mix EXECUTION (the up-sampling half of mixing): per-
+    // source token targets → per-doc repeat counts, full epochs capped
+    // at 3 + a deterministic md5-order residual prefix. src1's target
+    // oversubscribes (cap binds), src0/src2 exercise the floor-epochs
+    // and residual-only regimes at harness scales
+    "sample_epoch_mix" -> ((s, dir) =>
+      graft.etl.Sampling.epochMix(
+        Tables.documents(s, dir).select("doc_id", "source", "text"),
+        "doc_id", "text", "source",
+        targets = Map("src0" -> 4000L, "src1" -> 100000L, "src2" -> 700L),
+        maxEpochs = 3)),
+
     // ---- dedup ----
     // exact substring dedup (Lee et al. ExactSubstr): stride-1 8-token
     // sliding-window fingerprints; corpus-duplicated windows merge into
@@ -1258,6 +1270,38 @@ object NorthStarQueries {
         |SELECT d.doc_id, d.lang, d.n_toks, round(th.p10, 6) AS p10
         |FROM d JOIN th USING (lang)
         |WHERE d.n_toks >= th.p10""".stripMargin,
+
+    // same md5-of-id prefix order, same integer epoch/residual
+    // arithmetic over per-source token totals
+    "sample_epoch_mix" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_toks,
+        |    coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t),
+        |a AS (SELECT source, sum(n_toks) AS avail FROM t GROUP BY source),
+        |x AS (
+        |  SELECT c.source, c.doc_id, c.n_toks, c.before, a.avail,
+        |    CASE c.source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 100000
+        |      WHEN 'src2' THEN 700 ELSE 0 END AS target
+        |  FROM c JOIN a USING (source)),
+        |y AS (
+        |  SELECT source, doc_id, n_toks, before, avail, target,
+        |    CASE WHEN avail > 0 THEN least(target // avail, 3) ELSE 0 END AS e
+        |  FROM x),
+        |z AS (
+        |  SELECT source, doc_id, n_toks,
+        |    CAST(e + CASE WHEN before <
+        |        (CASE WHEN e < 3 THEN target - e * avail ELSE 0 END)
+        |      THEN 1 ELSE 0 END AS INTEGER) AS n_repeats
+        |  FROM y)
+        |SELECT source, doc_id, n_toks, n_repeats FROM z
+        |WHERE n_repeats >= 1""".stripMargin,
 
     // row_number twin of the TopKPerKey heap operator
     "sample_domain_quota" ->

@@ -81,5 +81,64 @@ class SamplingSpec extends SparkSpec {
       docs, "doc_id", "text", "source", 600L, numParts = 7)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     assert(scalable == kept.toSet)
+    // null texts contribute nothing and are never selected — and the
+    // window and two-pass forms agree on that instead of one throwing
+    import spark.implicits._
+    val dirty = docs.unionByName(
+      Seq((900001L, "src0", null: String), (900002L, "src1", null: String))
+        .toDF("doc_id", "source", "text"))
+    val dirtyW = Sampling.tokenBudgetMix(dirty, "doc_id", "text", "source", 600L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val dirtyS = Sampling.tokenBudgetMixScalable(
+      dirty, "doc_id", "text", "source", 600L, numParts = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(dirtyW == kept.toSet && dirtyS == kept.toSet,
+      "null-text rows must not change the mix or crash either form")
+  }
+
+  test("epochMix: capped strata repeat exactly maxEpochs times, others " +
+    "land their token target within one doc, residual picks follow the " +
+    "md5 prefix order, and the plan is partitioning-invariant") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+      .select("doc_id", "source", "text")
+    val targets = Map("src0" -> 4000L, "src1" -> 100000L, "src2" -> 700L)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.epochMix(df, "doc_id", "text", "source", targets, maxEpochs = 3)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val out = run(docs)
+    assert(run(docs.repartition(13)).toSet == out.toSet)
+    assert(out.map(_._1).toSet == Set("src0", "src1", "src2"),
+      "only targeted strata appear")
+    val toks = docs
+      .select(col("source"), col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val avail = toks.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    for ((src, target) <- targets) {
+      val rows = out.filter(_._1 == src)
+      val emitted = rows.map(r => r._3.toLong * r._4).sum
+      val eFloor = target / avail(src)
+      if (eFloor >= 3) {
+        // cap binds: every doc exactly 3 times, no residual
+        assert(rows.forall(_._4 == 3), s"$src must cap at 3 epochs")
+        assert(emitted == 3L * avail(src))
+        assert(rows.length.toLong == docs.where(col("source") === src).count())
+      } else {
+        val maxDoc = toks.filter(_._1._1 == src).values.max
+        assert(emitted >= target && emitted < target + maxDoc,
+          s"$src emitted $emitted for target $target (max doc $maxDoc)")
+        // the +1 picks are a prefix of the same deterministic order the
+        // budget mixer uses
+        val budgetIds = Sampling.tokenBudgetMix(
+          docs.where(col("source") === src), "doc_id", "text", "source",
+          target - eFloor * avail(src) max 1L)
+          .collect().map(_.getLong(1)).toSet
+        val plusOne = rows.filter(_._4 == eFloor + 1).map(_._2).toSet
+        if (target - eFloor * avail(src) > 0)
+          assert(plusOne == budgetIds,
+            s"$src residual picks must equal the budget-mix prefix")
+      }
+    }
   }
 }
