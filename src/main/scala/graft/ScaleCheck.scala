@@ -199,6 +199,16 @@ object ScaleCheck {
             d.where(col("doc_id") % 97 =!= 0), d.where(col("doc_id") % 97 === 0),
             "doc_id", "text", n = 4).count()
         }
+        // fuzzy decontamination: the eval posting broadcast grows ×32
+        // with the corpus here (worst case — real eval suites are
+        // fixed-size), while the corpus side stays map-only until the
+        // candidate-bounded pair aggregation; growth must track the
+        // corpus, never corpus × eval
+        time(s"text_decontam_fuzzy_$tag") {
+          graft.text.TextAnalysis.contaminationFuzzy(
+            d.where(col("doc_id") % 40 =!= 0), d.where(col("doc_id") % 40 === 0),
+            "doc_id", "text", shingleSize = 3, threshold = 0.5).count()
+        }
         time(s"dedup_minhash_$tag") {
           graft.dedup.Dedup.minhashNearDups(d, "doc_id", "text",
             shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.8).count()

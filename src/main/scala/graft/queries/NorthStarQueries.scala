@@ -62,6 +62,19 @@ object NorthStarQueries {
         "doc_id", "text", n = 4)
     }),
 
+    // fuzzy decontamination: training docs whose 3-gram shingle Jaccard
+    // vs ANY eval doc (the deterministic doc_id%40 slice — it splits
+    // known near-dup pairs at every harness scale) reaches 0.5 — the
+    // paraphrase hole exact gram matching leaves. Eval postings
+    // broadcast; intersection is counted, never re-joined as arrays
+    "text_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      TextAnalysis.contaminationFuzzy(
+        docs.where(col("doc_id") % 40 =!= 0),
+        docs.where(col("doc_id") % 40 === 0),
+        "doc_id", "text", shingleSize = 3, threshold = 0.5)
+    }),
+
     "text_quality_stats" -> ((s, dir) =>
       TextAnalysis.qualityStats(
         Tables.documents(s, dir).select("doc_id", "text"), "text")
@@ -1368,6 +1381,36 @@ object NorthStarQueries {
         |FROM g JOIN bench USING (g)
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY 1""".stripMargin,
+
+    // same shingle sets, same posting-join intersection counts, same
+    // round-before-threshold Jaccard as dedup_jaccard_inverted
+    "text_decontaminate_fuzzy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id AS id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks
+        |), sizes AS (
+        |  SELECT id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.id AS tid, b.id AS eid, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.id % 40 <> 0 AND b.id % 40 = 0
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT tid,
+        |    round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jac
+        |  FROM inter
+        |  JOIN sizes sa ON sa.id = tid
+        |  JOIN sizes sb ON sb.id = eid
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5)
+        |SELECT tid AS doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+        |  max(jac) AS max_jaccard
+        |FROM j GROUP BY 1""".stripMargin,
 
     "text_quality_stats" ->
       """WITH t AS (

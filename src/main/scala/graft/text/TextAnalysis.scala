@@ -175,6 +175,51 @@ object TextAnalysis {
       .agg(countDistinct(col("__g")).as("n_shared_grams"))
   }
 
+  /** Fuzzy (near-duplicate) decontamination — the paraphrase-robust
+    * sibling of [[contamination]]: exact n-gram overlap misses an eval
+    * item lightly rewritten into the training set (one word changed per
+    * window kills every long gram), while shingle-set JACCARD against
+    * each eval item degrades gracefully — threshold ~0.5 means "half
+    * the shingles survived the edit". Returns
+    * (id, n_eval_matches, max_jaccard) for training docs scoring
+    * `>= threshold` against at least one eval doc.
+    *
+    * Scale/exactness shape: eval suites are tiny vs a 100 TB corpus, so
+    * this asymmetric join needs no LSH — the eval POSTING list
+    * (shingle → eval id + eval set size) broadcasts; the corpus side is
+    * a map-only explode carrying its true set size; the broadcast join
+    * emits one row per shared (train, eval, shingle); and ONE partial-
+    * aggregable groupBy counts the intersection per pair, giving
+    * `J = |∩| / (|a| + |b| − |∩|)` with no array re-join and no corpus
+    * shuffle before the candidate-bounded aggregation. Recall is
+    * COMPLETE (any J > 0 pair shares a shingle) — MinHash banding
+    * exists to avoid an n² SELF-join and would pay probabilistic recall
+    * for nothing here. For an eval set too big to broadcast, the same
+    * plan runs as a shuffle join with [[graft.etl.BloomPrune]] traffic
+    * bounds.
+    */
+  def contaminationFuzzy(train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, shingleSize: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    def sh(df: DataFrame): DataFrame = df.select(col(idCol),
+      graft.dedup.Dedup.shingles(tokens(col(textCol)), shingleSize).as("__sh"))
+    val evalPost = sh(eval).select(col(idCol).as("__eval_id"),
+      size(col("__sh")).as("__lb"), explode(col("__sh")).as("__g"))
+    val trainPost = sh(train).select(col(idCol),
+      size(col("__sh")).as("__la"), explode(col("__sh")).as("__g"))
+    val inter = trainPost.join(broadcast(evalPost), "__g")
+      .groupBy(col(idCol), col("__eval_id"), col("__la"), col("__lb"))
+      .agg(count(lit(1)).as("__inter"))
+    // round BEFORE the threshold, like the set-similarity join — an
+    // ulp-level division difference can't flip an at-threshold pair
+    val j = round(col("__inter").cast("double") /
+      (col("__la") + col("__lb") - col("__inter")), 6)
+    inter.select(col(idCol), j.as("__j"))
+      .where(col("__j") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("__j")).as("max_jaccard"))
+  }
+
   /** Unigram language-model quality score (the CCNet/RedPajama-style
     * "LM perplexity" filter, reduced to its order-0 form): train a
     * unigram model ON the corpus (token → count / total), then score

@@ -105,6 +105,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!streamed.contains("Exchange hashpartitioning"), p)
   }
 
+  test("text_decontaminate_fuzzy: eval postings broadcast; the corpus side " +
+    "is map-only until the partial-aggregated pair count") {
+    val p = plan("text_decontaminate_fuzzy")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val streamed = p.substring(p.indexOf("BroadcastHashJoin"),
+      p.indexOf("BroadcastExchange"))
+    assert(!streamed.contains("Exchange hashpartitioning"),
+      "the corpus may only exchange AFTER the broadcast join:\n" + p)
+    // the intersection count must combine map-side — a pair-agg without
+    // a partial pass would shuffle every shared-shingle collision row
+    assert(p.contains("partial_count"), p)
+  }
+
   test("text_repetition_stats: gram counting aggregates partially before " +
     "every exchange (within-doc repetition combines map-side)") {
     val p = plan("text_repetition_stats")

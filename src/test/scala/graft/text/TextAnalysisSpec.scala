@@ -35,6 +35,47 @@ class TextAnalysisSpec extends SparkSpec {
       s"expected ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("contaminationFuzzy == brute-force train×eval Jaccard on a corpus " +
+    "slice, and catches a paraphrase exact gram matching misses") {
+    val docs = graft.model.Tables.documents(spark, sf())
+      .select("doc_id", "text")
+    val train = docs.where($"doc_id" % 40 =!= 0)
+    val eval = docs.where($"doc_id" % 40 === 0)
+    val got = TextAnalysis.contaminationFuzzy(train, eval, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // brute force: every train×eval pair scored from the collected
+    // shingle sets (rounding discipline identical to the operator)
+    def sets(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id",
+        graft.dedup.Dedup.shingles(TextAnalysis.tokens($"text"), 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val expected = (for {
+      (ta, sa) <- sets(train)
+      (_, sb) <- sets(eval)
+      inter = (sa intersect sb).size
+      j = math.rint(inter.toDouble / (sa.size + sb.size - inter) * 1e6) / 1e6
+      if j >= 0.5
+    } yield ta -> j).groupBy(_._1)
+      .map { case (id, xs) => id -> (xs.length.toLong, xs.map(_._2).max) }
+    assert(got == expected, "fuzzy decontamination must be EXACT vs brute force")
+    assert(got.nonEmpty, "the %40 eval slice must flag at least one doc here")
+    // the paraphrase hole: one word swapped every 7 tokens puts a swap
+    // inside EVERY 8-token window (exact contamination finds nothing)
+    // yet kills only ~3/7 of the 3-gram shingles, leaving J ≈ 0.42 —
+    // the threshold knob trades recall against edit density
+    val evalDoc = ("q0", (1 to 49).map(i => s"tok$i").mkString(" "))
+    val para = ("t0", (1 to 49).map(i =>
+      if (i % 7 == 0) s"swap$i" else s"tok$i").mkString(" "))
+    val evalDf = Seq(evalDoc).toDF("doc_id", "text")
+    val trainDf = Seq(para).toDF("doc_id", "text")
+    assert(TextAnalysis.contamination(trainDf, evalDf, "doc_id", "text", n = 8)
+      .count() == 0, "exact 8-gram matching must MISS the paraphrase")
+    val fuzzy = TextAnalysis.contaminationFuzzy(trainDf, evalDf,
+      "doc_id", "text", shingleSize = 3, threshold = 0.4).collect()
+    assert(fuzzy.length == 1 && fuzzy(0).getString(0) == "t0",
+      "fuzzy decontamination must CATCH the paraphrase")
+  }
+
   test("fingerprints: fp_norm is whitespace-insensitive, fp_exact is not") {
     val df = Seq(("a b c"), ("a  b   c")).toDF("text")
     val fps = TextAnalysis.fingerprints(df, "text")
