@@ -20,6 +20,31 @@ object NorthStarQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Deterministic adversarial URL per document: within each group of 4
+    * doc_ids, variants 0/1/2 spell the SAME page (host/scheme case,
+    * default port, fragment, tracking params, param order, trailing
+    * slash, www) and variant 3 is a genuinely different page (http on a
+    * non-default port, another path) — the worked fixture for
+    * [[graft.text.Urls]]. Mirrored string-for-string in the oracles.
+    */
+  private def syntheticUrls(s: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("https://Example"), g, lit(".COM/Path"), g,
+          lit("/a/?b=2&a=1&utm_source=x")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://example"), g, lit(".com:443/Path"), g,
+          lit("/a?a=1&b=2#frag")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("HTTPS://www.example"), g, lit(".com/Path"), g,
+          lit("/a/?a=1&gclid=abc&b=2")))
+      .otherwise(
+        concat(lit("http://example"), g, lit(".com:8080/Path"), g,
+          lit("/b?a=1")))
+      .as("url"))
+  }
+
   def defs: Map[String, Q] = Map(
     // ---- text analysis ----
     // deterministic stratified sampling (corpus mixing): md5-bucket
@@ -79,6 +104,19 @@ object NorthStarQueries {
       TextAnalysis.qualityStats(
         Tables.documents(s, dir).select("doc_id", "text"), "text")
         .drop("text")),
+
+    // URL canonicalization (crawl step zero): deterministic adversarial
+    // URLs — per group of 4 docs, three spellings of the same page
+    // (case host/scheme, default port, fragment, tracking params,
+    // param order, trailing slash, www) plus one genuinely distinct
+    // URL (other scheme/port/path) that must NOT collapse
+    "url_canonicalize" -> ((s, dir) =>
+      syntheticUrls(s, dir)
+        .withColumn("url_canon", graft.text.Urls.canonicalizeUrl(col("url")))),
+
+    // exact dedup on the canonical URL: 4 spellings → 2 survivors/group
+    "url_dedup" -> ((s, dir) =>
+      graft.text.Urls.urlDedup(syntheticUrls(s, dir), "doc_id", "url")),
 
     "text_lang_guess" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -679,6 +717,45 @@ object NorthStarQueries {
     * the identical expression trees (see TextAnalysis scaladoc) so IEEE
     * arithmetic matches bitwise.
     */
+  /** DuckDB twin of [[syntheticUrls]] (same strings, `//` = `div`). */
+  private val UrlFixtureSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN 'https://Example' || g || '.COM/Path' || g ||
+      |      '/a/?b=2&a=1&utm_source=x'
+      |    WHEN 1 THEN 'https://example' || g || '.com:443/Path' || g ||
+      |      '/a?a=1&b=2#frag'
+      |    WHEN 2 THEN 'HTTPS://www.example' || g || '.com/Path' || g ||
+      |      '/a/?a=1&gclid=abc&b=2'
+      |    ELSE 'http://example' || g || '.com:8080/Path' || g ||
+      |      '/b?a=1' END AS url
+      |FROM (SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS g FROM documents)""".stripMargin
+
+  /** DuckDB twin of [[graft.text.Urls.canonicalizeUrl]] over a column
+    * named `url` — identical regexps, tracking-param list, sort, and
+    * trailing-slash/empty-path rules.
+    */
+  private val UrlCanonSql: String = {
+    val noFrag = "regexp_replace(url, '#.*$', '')"
+    val scheme = s"lower(regexp_extract($noFrag, '^([^:/?#]+)://', 1))"
+    val noWww = "regexp_replace(lower(regexp_extract(" + noFrag +
+      ", '^[^:/?#]+://([^/?#]*)', 1)), '^www\\.', '')"
+    val host = s"""CASE WHEN $scheme = 'http'
+      THEN regexp_replace($noWww, ':80$$', '')
+      WHEN $scheme = 'https' THEN regexp_replace($noWww, ':443$$', '')
+      ELSE $noWww END"""
+    val trimmed =
+      s"regexp_replace(regexp_extract($noFrag, '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/+$$', '')"
+    val path = s"CASE WHEN $trimmed = '' THEN '/' ELSE $trimmed END"
+    val params = s"""list_sort(list_filter(
+      string_split(regexp_extract($noFrag, '\\?([^#]*)', 1), '&'),
+      p -> p <> '' AND NOT regexp_matches(lower(p),
+        '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)=')))"""
+    s"""($scheme || '://' || $host || $path ||
+      CASE WHEN len($params) > 0
+        THEN '?' || array_to_string($params, '&') ELSE '' END)"""
+  }
+
   def oracles: Map[String, String] = Map(
     // pair step over the materialized fingerprints (written by the query
     // itself immediately before the check reads it)
@@ -1381,6 +1458,18 @@ object NorthStarQueries {
         |FROM g JOIN bench USING (g)
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY 1""".stripMargin,
+
+    // same synthesized URL strings, same regexp/list canonical chain
+    "url_canonicalize" ->
+      s"""WITH u AS ($UrlFixtureSql)
+         |SELECT doc_id, url, $UrlCanonSql AS url_canon FROM u""".stripMargin,
+
+    "url_dedup" ->
+      s"""WITH u AS ($UrlFixtureSql),
+         |c AS (SELECT doc_id, $UrlCanonSql AS url_canon FROM u)
+         |SELECT url_canon, min(doc_id) AS doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_copies
+         |FROM c GROUP BY 1""".stripMargin,
 
     // same shingle sets, same posting-join intersection counts, same
     // round-before-threshold Jaccard as dedup_jaccard_inverted
