@@ -193,23 +193,58 @@ object StreamCheck {
     * row survives depends on arrival order, so parity compares the KEY
     * SET: stream output == batch `distinct` — dedup complete (no key
     * missing) and never over-dropping (no key lost).
+    *
+    * The source is REBUILT as three event-time-sliced files streamed
+    * with `maxFilesPerTrigger=1`, so three real micro-batches run:
+    * a fingerprint recurring in a later slice sits far past the 10 s
+    * watermark, its state is already evicted, and the key legitimately
+    * RE-EMITS — the multiset and the key set genuinely differ
+    * (`reemitted_keys` must be > 0 or the check fails), which is
+    * exactly the scenario the KEY-SET contract exists for. A
+    * single-file single-batch source would pass even under a multiset
+    * compare and prove nothing.
     */
   private def checkDedup(spark: SparkSession, sfDir: String): Boolean = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sc_src")
     val t0 = System.nanoTime()
+    val ev = graft.model.Tables.events(spark, sfDir)
+    val bounds = ev.agg(min(unix_timestamp(col("ts"))),
+      max(unix_timestamp(col("ts")))).head()
+    val (tMin, tMax) = (bounds.getLong(0), bounds.getLong(1))
+    val nFiles = 3
+    (0 until nFiles).foreach { i =>
+      val lo = tMin + (tMax - tMin + 1) * i / nFiles
+      val hi = tMin + (tMax - tMin + 1) * (i + 1) / nFiles
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sc_slice").toString
+      ev.where(unix_timestamp(col("ts")) >= lo &&
+          unix_timestamp(col("ts")) < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = srcDir.resolve(f"slice$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      // strictly increasing mtimes pin the micro-batch order to the
+      // event-time order (FileStreamSource takes oldest files first)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
     def keyed(df: DataFrame) = df.select(col("ts"),
       concat_ws(":", col("user_id"), col("event_type"),
         round(col("value"), 0).cast("long")).as("fp"))
-    val stream = keyed(eventsStream(spark, sfDir))
+    val stream = keyed(spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
       .withWatermark("ts", "10 seconds")
       .dropDuplicatesWithinWatermark("fp")
       .select("fp")
     runToParquet(stream, ckpt, outDir)
-    val batch = keyed(graft.model.Tables.events(spark, sfDir))
-      .select("fp").distinct()
-    parityLine("streaming_dedup", sfDir, outDir, batch, "",
-      (System.nanoTime() - t0) / 1e9, extraOk = true, distinctStream = true)
+    val raw = spark.read.parquet(outDir)
+    val reemitted = raw.count() - raw.distinct().count()
+    val batch = keyed(ev).select("fp").distinct()
+    parityLine("streaming_dedup", sfDir, outDir, batch,
+      s""""src_files":$nFiles,"reemitted_keys":$reemitted,""",
+      (System.nanoTime() - t0) / 1e9, extraOk = reemitted > 0,
+      distinctStream = true)
   }
 
   /** Watermarked stream-stream interval join: purchases within 1 h of a
@@ -296,11 +331,16 @@ object StreamCheck {
     val batch = psi(hist(ev))
     val closeable = batch.where(unix_timestamp(col("wend")) <= maxTs - 10)
     val open = batch.count() - closeable.count()
-    val maxPsi = spark.read.parquet(outDir).agg(max(col("psi")))
-      .head().getDouble(0)
+    // the max over zero closed windows aggregates to NULL (tiny sf /
+    // short event span) — read it as an Option so the check reports a
+    // clean parity failure instead of an NPE
+    val maxRow = spark.read.parquet(outDir).agg(max(col("psi"))).head()
+    val maxPsi = if (maxRow.isNullAt(0)) None else Some(maxRow.getDouble(0))
     parityLine("streaming_drift", sfDir, outDir, closeable,
-      s""""buckets":$nB,"open_windows":$open,"max_window_psi":${js(maxPsi)},""",
-      (System.nanoTime() - t0) / 1e9, extraOk = !maxPsi.isNaN && open <= 2)
+      s""""buckets":$nB,"open_windows":$open,""" +
+        s""""max_window_psi":${maxPsi.map(js(_).toString).getOrElse("null")},""",
+      (System.nanoTime() - t0) / 1e9,
+      extraOk = maxPsi.exists(!_.isNaN) && open <= 2)
   }
 
   private def checkStreamJoin(spark: SparkSession, sfDir: String): Boolean = {
