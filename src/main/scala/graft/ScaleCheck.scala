@@ -356,6 +356,16 @@ object ScaleCheck128 {
         graft.text.TextAnalysis.lineDedup(
           d.select("doc_id", "text"), "doc_id", "text", 3).count()
       }
+      // per-domain line dedup: the df spectrum is PER SOURCE (one hot
+      // domain = one hot stratum), spikier than the corpus-wide
+      // sibling's — replicas multiply each domain's line frequencies,
+      // so a super-linear ratio here would expose a within-domain df²
+      // term the corpus-wide probe can't see
+      time(s"text_boilerplate_x$mult") {
+        graft.text.TextAnalysis.boilerplateLineDedup(
+          d.select("doc_id", "source", "text"),
+          "doc_id", "source", "text", 3, minDocs = 2).count()
+      }
       time(s"dedup_substring_x$mult") {
         graft.text.TextAnalysis.substringDupSpans(
           d.select("doc_id", "text"), "doc_id", "text", 8).count()
