@@ -14,7 +14,7 @@ errors = doc.get("errors", {})
 sf = doc.get("sf", "?")
 if isinstance(sf, str) and "sf" in sf:
     sf = sf.rstrip("/").split("sf")[-1]
-config = f"local[32], shuffle=32, UTC"
+config = doc.get("config", "local[32], shuffle=32, UTC")
 print("| Query | sf | sec | Config | Status |")
 print("|---|---|---|---|---|")
 for name in sorted(set(qs) | set(errors)):

@@ -73,8 +73,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = ms(med.map(_._2).sum)
+    // the session config, recorded so baseline_table.py renders what
+    // actually ran instead of assuming the default
+    val config = s"local[$cpus], shuffle=$cpus, UTC"
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"sf":"$sfDir","config":"$config"}"""
     // The harness captures a bounded stdout TAIL: the full per-query map
     // has been head-truncated two rounds running. So (a) persist the full
     // JSON to a file, and (b) make the LAST stdout line a compact summary
