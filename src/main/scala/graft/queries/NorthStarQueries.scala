@@ -1801,7 +1801,7 @@ object NorthStarQueries {
         |       ELSE 'video' END AS media_type,
         |  CAST(nb * 16 AS BIGINT) AS n_bytes,
         |  md5(upper(hx)) AS checksum,
-        |  1.0 AS feature_l1
+        |  CAST(1.0 AS DOUBLE) AS feature_l1
         |FROM m""".stripMargin
   )
 }
