@@ -118,6 +118,35 @@ object NorthStarQueries {
     "url_dedup" -> ((s, dir) =>
       graft.text.Urls.urlDedup(syntheticUrls(s, dir), "doc_id", "url")),
 
+    // domain-blocklist filter: hosts exploded into their dot-suffix
+    // chains, broadcast-semi-joined against the blocklist on EQUALITY
+    // (www.example2.com falls to the blocked apex example2.com via its
+    // suffix — no LIKE non-equi join anywhere), anti-joined back
+    "url_domain_filter" -> ((s, dir) => {
+      import s.implicits._
+      val blocked = Seq("example2.com", "example7.com", "blocked.test")
+        .toDF("domain")
+      graft.text.Urls.domainFilter(
+        syntheticUrls(s, dir), "doc_id", "url", blocked)
+    }),
+
+    // Gopher-rules battery (Rae et al. 2021): each raw signal plus the
+    // conjunction flag, thresholds scaled to the harness corpus
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(
+        Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text")),
+
+    // CCNet perplexity terciles: bigram-LM scores labeled head/middle/
+    // tail against cutoffs fit on the bounded doc_id%5 sample and
+    // broadcast — the full corpus only sees a map-only comparison
+    "text_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.pplBuckets(
+        TextAnalysis.bigramLogProb(
+          Tables.documents(s, dir).select("doc_id", "text"),
+          "doc_id", "text")
+          .select(col("doc_id"), col("avg_logprob")),
+        "doc_id", "avg_logprob")),
+
     "text_lang_guess" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
@@ -996,6 +1025,83 @@ object NorthStarQueries {
         |FROM bg JOIN lp USING (bigram)
         |GROUP BY doc_id""".stripMargin,
 
+    // same bigram-LM scores as text_bigram_logprob; cutoffs =
+    // quantile_cont over the same doc_id%5 sample, rounded to 6 dp on
+    // both sides BEFORE the boundary comparison
+    "text_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i+1] AS w1, t[i+1] || ' ' || t[i+2] AS bigram
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(0, greatest(len(t) - 1, 0))) AS i FROM toks)),
+        |v AS (SELECT count(DISTINCT tok) AS vsz
+        |      FROM (SELECT unnest(t) AS tok FROM toks)),
+        |cb AS (SELECT w1, bigram, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(cb) AS ctx FROM cb GROUP BY 1),
+        |lp AS (
+        |  SELECT bigram,
+        |    CAST(round(ln((cb + 1) / (ctx + (SELECT vsz FROM v))) * 1000000, 0)
+        |         AS DECIMAL(18,0)) AS lp6
+        |  FROM cb JOIN ctx USING (w1)),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(lp6) AS DOUBLE) / (1000000.0 * count(*)), 6)
+        |      AS avg_logprob
+        |  FROM bg JOIN lp USING (bigram)
+        |  GROUP BY doc_id),
+        |cuts AS (
+        |  SELECT round(quantile_cont(avg_logprob, 1.0/3), 6) AS c_tail,
+        |         round(quantile_cont(avg_logprob, 2.0/3), 6) AS c_mid
+        |  FROM sc WHERE doc_id % 5 = 0)
+        |SELECT doc_id, avg_logprob,
+        |  CASE WHEN avg_logprob <= c_tail THEN 'tail'
+        |       WHEN avg_logprob <= c_mid THEN 'middle'
+        |       ELSE 'head' END AS ppl_bucket
+        |FROM sc, cuts""".stripMargin,
+
+    // same integer character counts and list ops; thresholds applied to
+    // the ROUNDED signals on both engines
+    "text_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(list_sum(list_transform(toks, tk -> strlen(tk))) AS DOUBLE)
+        |      AS sum_len,
+        |    CAST(strlen(text) - strlen(replace(text, '#', '')) AS DOUBLE)
+        |      + (strlen(text) - strlen(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
+        |      AS n_symbols,
+        |    CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))
+        |      AS DOUBLE) AS n_alpha,
+        |    CAST(list_contains(toks, 'the') AS INTEGER)
+        |      + CAST(list_contains(toks, 'a') AS INTEGER)
+        |      + CAST(list_contains(toks, 'of') AS INTEGER)
+        |      + CAST(list_contains(toks, 'and') AS INTEGER)
+        |      + CAST(list_contains(toks, 'to') AS INTEGER)
+        |      + CAST(list_contains(toks, 'in') AS INTEGER)
+        |      + CAST(list_contains(toks, 'is') AS INTEGER)
+        |      + CAST(list_contains(toks, 'it') AS INTEGER) AS n_stop_hits
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    round(sum_len / n_tokens, 6) AS mean_tok_len,
+        |    round(n_symbols / n_tokens, 6) AS symbol_ratio,
+        |    round(n_alpha / n_tokens, 6) AS alpha_frac,
+        |    n_stop_hits
+        |  FROM m)
+        |SELECT doc_id, n_tokens, mean_tok_len, symbol_ratio, alpha_frac,
+        |  n_stop_hits,
+        |  CAST(CASE WHEN n_tokens BETWEEN 10 AND 2000
+        |    AND mean_tok_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_ratio <= 0.1
+        |    AND alpha_frac >= 0.8
+        |    AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS INTEGER) AS gopher_pass
+        |FROM r""".stripMargin,
+
     // same 3-token lines from the same regex split; duplicate set =
     // lines in >1 distinct doc; NOT IN removes them corpus-wide
     "text_line_dedup" ->
@@ -1470,6 +1576,21 @@ object NorthStarQueries {
          |SELECT url_canon, min(doc_id) AS doc_id,
          |  CAST(count(*) AS BIGINT) AS n_copies
          |FROM c GROUP BY 1""".stripMargin,
+
+    // same host extraction, same suffix-chain explosion, same equality
+    // blocklist semantics as Urls.domainFilter
+    "url_domain_filter" ->
+      s"""WITH u AS ($UrlFixtureSql),
+         |h AS (SELECT doc_id, url,
+         |  regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*$$', ''),
+         |    '^[^:/?#]+://([^/?#]*)', 1)), ':[0-9]+$$', '') AS host FROM u),
+         |sfx AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, len(string_split(host, '.')) + 1),
+         |    i -> array_to_string(string_split(host, '.')[i:], '.'))) AS domain
+         |  FROM h)
+         |SELECT doc_id, url, host FROM h
+         |WHERE doc_id NOT IN (SELECT doc_id FROM sfx
+         |  WHERE domain IN ('example2.com', 'example7.com', 'blocked.test'))""".stripMargin,
 
     // same shingle sets, same posting-join intersection counts, same
     // round-before-threshold Jaccard as dedup_jaccard_inverted

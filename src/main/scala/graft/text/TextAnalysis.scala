@@ -77,6 +77,48 @@ object TextAnalysis {
           6))
   }
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021 §A1.1 — the
+    * published filter set most LLM-data pipelines start from), the
+    * document-level rules whose signals this corpus carries, with
+    * thresholds scaled to the harness documents:
+    *  - token count within [10, 2000] (paper: [50, 100k] words);
+    *  - mean token length within [3, 10] characters;
+    *  - symbol-to-token ratio (`#` and `...` occurrences per token)
+    *    at most 0.1;
+    *  - at least 80% of tokens contain an alphabetic character;
+    *  - at least 2 distinct stopwords present (paper's "hard stop
+    *    word" rule).
+    * Emits each raw signal plus the conjunction `gopher_pass` (int
+    * 0/1), so downstream can re-threshold without recomputing.
+    *
+    * Scale shape: map-only column expressions over the scan — no
+    * shuffle, no UDF; the integer character counts and list ops are the
+    * same arithmetic DuckDB evaluates, so the oracle matches bitwise.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val n = size(toks)
+    val sumLen = aggregate(toks, lit(0L), (acc, tk) => acc + length(tk))
+    val nHash = length(t) - length(translate(t, "#", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val nAlpha = size(filter(toks, tk => tk.rlike("[A-Za-z]")))
+    val stopHits = StopwordsEn.map(w => array_contains(toks, w).cast("int"))
+      .reduce(_ + _)
+    df.select(col(idCol),
+        n.as("n_tokens"),
+        round(sumLen.cast("double") / n, 6).as("mean_tok_len"),
+        round((nHash + nEllipsis).cast("double") / n, 6).as("symbol_ratio"),
+        round(nAlpha.cast("double") / n, 6).as("alpha_frac"),
+        stopHits.as("n_stop_hits"))
+      .withColumn("gopher_pass",
+        (col("n_tokens").between(10, 2000) &&
+          col("mean_tok_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("alpha_frac") >= 0.8 &&
+          col("n_stop_hits") >= 2).cast("int"))
+  }
+
   /** Heuristic language ID: score = stopword hits per language list,
     * argmax with a fixed tie-break order (en > de > es > fr > unknown).
     * Deterministic, SQL-expressible, and honest about its nature — real
@@ -228,8 +270,8 @@ object TextAnalysis {
     * downstream threshold on `avg_logprob`.
     *
     * Scale shape: the model is vocabulary-sized (≪ corpus) — counts are
-    * one hash agg, the normalizing total is DRIVER MODEL STATE (one
-    * long — the k-means-centroids precedent), and scoring re-joins the
+    * one hash agg, the normalizing total folds in-plan as a broadcast
+    * 1-row aggregate (no driver collect), and scoring re-joins the
     * model to the exploded corpus via broadcast, so the corpus never
     * shuffles. FP discipline: per-token log-probs round to integer
     * micro-nats and sum as DECIMAL — order-insensitive, so the score is
@@ -239,9 +281,12 @@ object TextAnalysis {
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
-    val model = vocab.select(col("tok"),
-      round(log(col("cnt") / lit(total.toDouble)) * 1e6, 0)
+    // corpus token total folded IN-PLAN as a broadcast 1-row aggregate
+    // (same shape as the trigram LM's N/V) — no driver-side collect, so
+    // model build + scoring is one job at 100 TB
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("n_total"))
+    val model = vocab.crossJoin(broadcast(total)).select(col("tok"),
+      round(log(col("cnt") / col("n_total")) * 1e6, 0)
         .cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("lp6"))
     toks.join(broadcast(model), "tok")
       .groupBy(col(idCol))
@@ -258,8 +303,8 @@ object TextAnalysis {
     * wrong-order/shuffled text that a unigram model scores as fluent.
     *
     * Same scale shape and FP discipline as the unigram: the model is
-    * bigram-vocabulary-sized (≪ corpus), V is driver model state (one
-    * long), per-bigram log-probs round to integer micro-nats and sum
+    * bigram-vocabulary-sized (≪ corpus), V folds in-plan as a broadcast
+    * 1-row aggregate, per-bigram log-probs round to integer micro-nats and sum
     * as DECIMAL — partition-order-invariant and engine-portable; one
     * double division at the end. Bigrams come from the codegen'd
     * stride-1 [[graft.functions.VectorExprs.TokenNGrams]] at n=2.
@@ -278,19 +323,50 @@ object TextAnalysis {
     val bg = df.select(col(idCol),
         explode(token_ngrams(tokens(col(textCol)), 2)).as("bigram"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    // vocabulary size folded IN-PLAN as a broadcast 1-row aggregate
+    // (same shape as the trigram LM's N/V) — no driver-side collect
     val vocabSize = df
       .select(explode(tokens(col(textCol))).as("tok"))
-      .agg(countDistinct(col("tok"))).head().getLong(0)
+      .agg(countDistinct(col("tok")).as("vsz"))
     val cb = bg.groupBy(col("w1"), col("bigram")).agg(count(lit(1)).as("cb"))
     val ctx = cb.groupBy(col("w1")).agg(sum(col("cb")).as("ctx"))
-    val model = cb.join(ctx, "w1").select(col("bigram"),
-      round(log((col("cb") + 1) / (col("ctx") + lit(vocabSize))) * 1e6, 0)
-        .cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("lp6"))
+    val model = cb.join(ctx, "w1").crossJoin(broadcast(vocabSize))
+      .select(col("bigram"),
+        round(log((col("cb") + 1) / (col("ctx") + col("vsz"))) * 1e6, 0)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("lp6"))
     bg.join(broadcast(model), "bigram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp6")).cast("double") /
           (lit(1e6) * count(lit(1))), 6).as("avg_logprob"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): label every
+    * scored document `head` / `middle` / `tail` by where its LM score
+    * falls against tercile cutoffs — CCNet keeps `head`+`middle` and
+    * drops `tail` as likely boilerplate/noise. Cutoffs are learned on a
+    * deterministic sample (`idCol % sampleMod == 0`) exactly as CCNet
+    * fits its cutoffs offline on a language sample, then broadcast, so
+    * labeling the full corpus is a map-only comparison — the exact
+    * percentile never runs over the 100 TB corpus, only over the
+    * bounded sample. Both the sample scores and the cutoffs are rounded
+    * to 6 dp before the comparison, so a sub-ulp interpolation
+    * difference between engines cannot flip a boundary document.
+    *
+    * `scores` is any (id, score) frame — compose with [[bigramLogProb]]
+    * or [[stupidBackoffLogScore]]; callers persist it when the lineage
+    * is expensive, since cutoff fit + labeling traverse it twice.
+    */
+  def pplBuckets(scores: DataFrame, idCol: String, scoreCol: String,
+                 sampleMod: Int = 5): DataFrame = {
+    val cuts = scores.where(col(idCol) % sampleMod === 0)
+      .agg(round(expr(s"percentile($scoreCol, 1.0/3)"), 6).as("__c_tail"),
+        round(expr(s"percentile($scoreCol, 2.0/3)"), 6).as("__c_mid"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col(idCol), col(scoreCol),
+        when(col(scoreCol) <= col("__c_tail"), lit("tail"))
+          .when(col(scoreCol) <= col("__c_mid"), lit("middle"))
+          .otherwise(lit("head")).as("ppl_bucket"))
   }
 
   /** Held-out trigram LM with stupid backoff (Brants et al. 2007, the

@@ -60,4 +60,42 @@ object Urls {
     graft.dedup.Dedup.dedupExact(
       df.withColumn("url_canon", canonicalizeUrl(col(urlCol))),
       "url_canon", idCol)
+
+  /** Host of a raw URL — lowercased, port stripped, `www.` PRESERVED
+    * (domain rules must see the real host; suffix matching below makes
+    * `www.` irrelevant anyway).
+    */
+  def hostOf(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(regexp_replace(url, "#.*$", ""),
+        "^[^:/?#]+://([^/?#]*)", 1)),
+      ":[0-9]+$", "")
+
+  /** Domain-blocklist filter — drop documents whose host IS a blocked
+    * domain or is any SUBDOMAIN of one (`ads.example.com` falls to a
+    * blocked `example.com`). Suffix semantics are implemented the
+    * scalable way: explode each host into its dot-suffix chain
+    * (`a.b.com` → `a.b.com`, `b.com`, `com`) and broadcast-SEMI-join
+    * the suffixes against the blocklist on EQUALITY — never a
+    * `LIKE '%.d'` non-equi join, which would plan as a nested loop. A
+    * host of `s` labels explodes to `s+1` rows, a constant factor; the
+    * blocklist (even a few million domains) broadcasts. Returns the
+    * surviving rows with their `host` attached.
+    *
+    * `blocked` is a one-column (`domain`) frame of lowercase apex or
+    * subdomain entries — a frame, not a literal, because production
+    * blocklists are datasets (URIBL dumps, policy tables), not code.
+    */
+  def domainFilter(df: DataFrame, idCol: String, urlCol: String,
+                   blocked: DataFrame): DataFrame = {
+    val withHost = df.withColumn("host", hostOf(col(urlCol)))
+    val parts = split(col("host"), "\\.")
+    val suffixes = transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+    val hits = withHost
+      .select(col(idCol), explode(suffixes).as("domain"))
+      .join(broadcast(blocked), Seq("domain"), "left_semi")
+      .select(col(idCol)).distinct()
+    withHost.join(hits, Seq(idCol), "left_anti")
+  }
 }

@@ -21,6 +21,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(get("n_punct") == 2)     // comma + bang
   }
 
+  test("gopherRules: each rule fails on its crafted violator and the " +
+    "clean doc passes all five") {
+    val docs = Seq(
+      // 0: clean — 12 tokens, sane lengths, no symbols, alpha, stopwords
+      (0L, "the quick brown fox is jumping over a lazy dog of note"),
+      // 1: too short (< 10 tokens)
+      (1L, "the cat is on a mat"),
+      // 2: symbol-heavy — a '#' or '...' per token
+      (2L, "the # tag # is # a # of # it # in # to # markup # heavy ..."),
+      // 3: non-alpha tokens dominate (> 20% numeric)
+      (3L, "the 1 2 3 4 5 6 7 8 is of a"),
+      // 4: fewer than 2 distinct stopwords
+      (4L, "quick brown foxes jump over lazy dogs near quiet rivers today"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getInt(r.fieldIndex("gopher_pass"))).toMap
+    assert(out == Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0))
+  }
+
+  test("pplBuckets splits known scores into terciles with <= boundaries") {
+    // 9 docs, scores 1..9, all sampled (mod 1): cutoffs at the exact
+    // 1/3 and 2/3 interpolated percentiles of 1..9 — 3.666667, 6.333333
+    val scores = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "s")
+    val out = TextAnalysis.pplBuckets(scores, "doc_id", "s", sampleMod = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((1 to 3).forall(i => out(i.toLong) == "tail"))
+    assert((4 to 6).forall(i => out(i.toLong) == "middle"))
+    assert((7 to 9).forall(i => out(i.toLong) == "head"))
+  }
+
   test("langGuess picks the list with most hits; unknown when none") {
     val rows = Seq(
       ("the cat is in the bag", "en"),

@@ -49,4 +49,20 @@ class UrlsSpec extends SparkSpec {
       "https://example.com/x" -> (1L, 3L),
       "https://example.com/y" -> (4L, 1L)))
   }
+
+  test("domainFilter drops blocked domains and their subdomains, " +
+    "keeps siblings and superstrings") {
+    val df = Seq(
+      (1L, "https://bad.com/a"),            // exact blocked apex
+      (2L, "https://Ads.BAD.com:8443/b"),   // subdomain + case + port
+      (3L, "https://notbad.com/c"),         // superstring is NOT a subdomain
+      (4L, "https://bad.com.evil.org/d"),   // blocked apex mid-host is fine
+      (5L, "https://good.com/e")).toDF("doc_id", "url")
+    val blocked = Seq("bad.com").toDF("domain")
+    val out = Urls.domainFilter(df, "doc_id", "url", blocked)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(3L, 4L, 5L))
+    val hosts = out.select("host").as[String].collect().toSet
+    assert(hosts == Set("notbad.com", "bad.com.evil.org", "good.com"),
+      s"host is lowercased and port-stripped: $hosts")
+  }
 }
