@@ -210,6 +210,61 @@ object NorthStarQueries {
           substring(lpad(col("o_orderkey").cast("string"), 16, "0"), 13, 4))
           .as("card_masked"))),
 
+    // text normalization (the pre-hash cleanup pass): control chars →
+    // space, whitespace-run collapse, trim. The corpus is already clean
+    // ASCII, so both engines first build the SAME deterministically
+    // dirty string (tabs/CR/LF/BEL + double spaces) and normalize it —
+    // the dirt the operator exists to remove is actually present
+    "text_normalize" -> ((s, dir) => {
+      val dirty = concat(lit("\t "), col("text"), lit("  \r\n"),
+        substring(col("text"), 1, 10), lit("\u0007"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.ctrlCount(dirty).as("n_ctrl"),
+        length(dirty).as("raw_len"),
+        length(TextAnalysis.normalize(dirty)).as("norm_len"),
+        md5(TextAnalysis.normalize(dirty).cast("binary")).as("norm_md5"))
+    }),
+
+    // PII scan battery: email / phone / IPv4 regex detection plus
+    // Luhn-checked 16-digit card validation and a full redaction pass.
+    // The corpus carries no PII, so both engines synthesize the same
+    // deterministic contact blob per row (one valid Luhn card, one
+    // corrupted) — the detectors then have real positives AND a
+    // discriminating negative to find. Map-only codegen expressions.
+    "text_pii_scan" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val base15 = lpad(id, 15, "4")
+      val cardGood = concat(base15,
+        TextAnalysis.luhnCheckDigit(base15, 15).cast("string"))
+      val cardBad = concat(base15,
+        ((TextAnalysis.luhnCheckDigit(base15, 15) + 5) % 10).cast("string"))
+      val blob = concat(col("text"), lit(" contact user"), id, lit("@"),
+        col("source"), lit(".example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"),
+        lit(" card "), cardGood, lit(" alt "), cardBad)
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val cardRe = "\\b[0-9]{16}\\b"
+      val cards = regexp_extract_all(blob, lit(cardRe), lit(0))
+      val masked = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(blob, emailRe, "[EMAIL]"),
+        "\\b555-[0-9]{4}\\b", "[PHONE]"), cardRe, "[CARD]"),
+        "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "[IP]")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(blob, lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(blob, lit("\\b555-[0-9]{4}\\b"), lit(0)))
+          .as("n_phones"),
+        size(regexp_extract_all(blob,
+          lit("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"), lit(0))).as("n_ipv4"),
+        size(cards).as("n_cards"),
+        size(filter(cards, c => TextAnalysis.luhnValid(c, 16)))
+          .as("n_luhn_valid"),
+        md5(masked.cast("binary")).as("masked_md5"))
+    }),
+
     // the quality gate a training-data pipeline actually runs: language
     // + quality score + token-count bounds in one filter
     "text_quality_gate" -> ((s, dir) => {
@@ -1680,6 +1735,70 @@ object NorthStarQueries {
         |  regexp_replace(o_orderpriority, '[0-9]+', '#', 'g') AS prio_masked,
         |  '************' || substring(lpad(CAST(o_orderkey AS VARCHAR), 16, '0'), 13, 4) AS card_masked
         |FROM orders""".stripMargin,
+
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    chr(9) || ' ' || text || '  ' || chr(13) || chr(10)
+        |      || substr(text, 1, 10) || chr(7) AS dirty
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, dirty,
+        |    trim(regexp_replace(regexp_replace(dirty, '[[:cntrl:]]', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  CAST(length(dirty) - length(regexp_replace(dirty, '[[:cntrl:]]', '', 'g')) AS INTEGER) AS n_ctrl,
+        |  CAST(length(dirty) AS INTEGER) AS raw_len,
+        |  CAST(length(norm) AS INTEGER) AS norm_len,
+        |  md5(norm) AS norm_md5
+        |FROM n""".stripMargin,
+
+    "text_pii_scan" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, source,
+        |    lpad(CAST(doc_id AS VARCHAR), 15, '4') AS base15
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, text, source, base15,
+        |    CAST((10 - list_sum(list_transform(range(1, 16), i ->
+        |      CASE WHEN (16 - i) % 2 = 1 THEN
+        |        CASE WHEN 2 * CAST(substr(base15, i, 1) AS INTEGER) > 9
+        |          THEN 2 * CAST(substr(base15, i, 1) AS INTEGER) - 9
+        |          ELSE 2 * CAST(substr(base15, i, 1) AS INTEGER) END
+        |      ELSE CAST(substr(base15, i, 1) AS INTEGER) END)) % 10) % 10
+        |      AS INTEGER) AS chk
+        |  FROM b
+        |), blob AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source
+        |      || '.example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |      || CAST(doc_id % 100 AS VARCHAR)
+        |      || ' card ' || base15 || CAST(chk AS VARCHAR)
+        |      || ' alt ' || base15 || CAST((chk + 5) % 10 AS VARCHAR) AS s
+        |  FROM c
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(s, '\b555-[0-9]{4}\b')) AS INTEGER) AS n_phones,
+        |  CAST(len(regexp_extract_all(s, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(s, '\b[0-9]{16}\b')) AS INTEGER) AS n_cards,
+        |  CAST(len(list_filter(regexp_extract_all(s, '\b[0-9]{16}\b'), cd ->
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      CASE WHEN (17 - i) % 2 = 0 THEN
+        |        CASE WHEN 2 * CAST(substr(cd, i, 1) AS INTEGER) > 9
+        |          THEN 2 * CAST(substr(cd, i, 1) AS INTEGER) - 9
+        |          ELSE 2 * CAST(substr(cd, i, 1) AS INTEGER) END
+        |      ELSE CAST(substr(cd, i, 1) AS INTEGER) END)) % 10 = 0))
+        |    AS INTEGER) AS n_luhn_valid,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b555-[0-9]{4}\b', '[PHONE]', 'g'),
+        |    '\b[0-9]{16}\b', '[CARD]', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g')) AS masked_md5
+        |FROM blob""".stripMargin,
 
     "text_quality_gate" ->
       """WITH t AS (

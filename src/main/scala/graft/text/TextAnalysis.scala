@@ -875,4 +875,54 @@ object TextAnalysis {
         (col(idCol) === col("__f.i") &&
           col("chunk_id") === col("__f.c")).as("keep"))
   }
+
+  /** Text normalization — the cleanup pass a crawl pipeline runs before
+    * any hashing or tokenization (fingerprints, dedup keys, and token
+    * counts are all whitespace/control-char sensitive, so normalization
+    * must happen exactly once, up front): control characters become
+    * spaces, whitespace runs collapse to one space, ends trim.
+    * `\p{Cntrl}` is the same class DuckDB's `[[:cntrl:]]` matches, so
+    * the oracle twin is bit-identical.
+    *
+    * Scale shape: one codegen'd Project over the scan — map-only, no
+    * shuffle, no UDF.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "\\p{Cntrl}", " "), "\\s+", " "))
+
+  /** Control characters in `text` (the "how dirty was it" counter
+    * emitted alongside [[normalize]]). */
+  def ctrlCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "\\p{Cntrl}", ""))
+
+  /** Luhn digit sum of a fixed-width all-digit string, doubling digits
+    * whose 1-based position FROM THE RIGHT satisfies the standard
+    * alternation: for a full card number (check digit rightmost) the
+    * doubled positions are the even ones; for a check-digit-less
+    * payload they are the odd ones (each payload digit sits one
+    * position further left once the check digit is appended).
+    * Pure integer arithmetic over `sequence`/`transform`/`aggregate` —
+    * codegen'd, and the same `list_transform`/`list_sum` tree DuckDB
+    * evaluates.
+    */
+  private def luhnSum(s: Column, len: Int, doubleOddFromRight: Boolean): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(len)), i => {
+        val d = s.substr(i, lit(1)).cast("int")
+        val posFromRight = lit(len + 1) - i
+        val doubled = if (doubleOddFromRight) posFromRight % 2 === 1
+                      else posFromRight % 2 === 0
+        when(doubled, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+
+  /** Luhn check digit for a `len`-digit payload (ISO/IEC 7812 — public
+    * arithmetic; e.g. payload "7992739871" → 3). */
+  def luhnCheckDigit(payload: Column, len: Int): Column =
+    (lit(10) - luhnSum(payload, len, doubleOddFromRight = true) % 10) % 10
+
+  /** True iff a full `len`-digit number (check digit included)
+    * satisfies the Luhn checksum. */
+  def luhnValid(card: Column, len: Int): Column =
+    luhnSum(card, len, doubleOddFromRight = false) % 10 === 0
 }

@@ -233,4 +233,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(uni(99L) - uni(1L)) < 0.2,
       s"unigram should NOT separate them: ${uni(99L)} vs ${uni(1L)}")
   }
+
+  test("normalize strips control chars, collapses whitespace, trims") {
+    val out = Seq("\t a\u0007b\r\n  c  ").toDF("t")
+      .select(TextAnalysis.normalize($"t"), TextAnalysis.ctrlCount($"t"))
+      .as[(String, Int)].head()
+    assert(out._1 == "a b c") // BEL becomes a space, runs collapse
+    assert(out._2 == 4)       // tab, BEL, CR, LF
+  }
+
+  test("Luhn check digit and validation match the ISO 7812 example") {
+    // public worked example: payload 7992739871 → check digit 3
+    val (chk, okGood, okBad) = Seq(("7992739871", "79927398713", "79927398714"))
+      .toDF("p", "good", "bad")
+      .select(TextAnalysis.luhnCheckDigit($"p", 10),
+        TextAnalysis.luhnValid($"good", 11), TextAnalysis.luhnValid($"bad", 11))
+      .as[(Int, Boolean, Boolean)].head()
+    assert(chk == 3 && okGood && !okBad)
+  }
+
+  test("luhnCheckDigit always yields a luhnValid card (property)") {
+    val ids = (0L until 200L).toDF("id")
+      .select(lpad($"id".cast("string"), 15, "4").as("p"))
+      .select(concat($"p", TextAnalysis.luhnCheckDigit($"p", 15).cast("string"))
+        .as("card"))
+    val nValid = ids.where(TextAnalysis.luhnValid($"card", 16)).count()
+    assert(nValid == 200L)
+  }
 }
