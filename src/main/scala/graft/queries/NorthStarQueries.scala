@@ -287,6 +287,18 @@ object NorthStarQueries {
         TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
 
+    // tokenizer-vocabulary building: top-k tokens with rank + cumulative
+    // coverage fraction (the vocab-size curve); bounded-heap top-k, no
+    // global sort
+    "text_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(Tables.documents(s, dir), "text", 25)),
+
+    // one distributed BPE-training step: adjacent char-pair counts
+    // weighted by word frequency, over the distinct-word vocabulary —
+    // rank 1 is the next merge
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir), "text", 25)),
+
     // unigram LM quality score (CCNet-style perplexity filter, order-0):
     // model trained on the corpus, scored by mean token log-prob —
     // micro-nat decimal sums keep it partition-order-invariant
@@ -1037,6 +1049,43 @@ object NorthStarQueries {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    "text_vocab_topk" ->
+      """WITH v AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), c AS (
+        |  SELECT term, COUNT(*) AS cnt FROM v GROUP BY term
+        |), t AS (
+        |  SELECT SUM(cnt) AS n_total FROM c
+        |), top AS (
+        |  SELECT term, cnt FROM c ORDER BY cnt DESC, term ASC LIMIT 25
+        |)
+        |SELECT term, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS INTEGER) AS rank,
+        |  round(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term ASC) AS DOUBLE)
+        |    / (SELECT n_total FROM t), 6) AS cum_frac
+        |FROM top""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH v AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT w, COUNT(*) AS wc FROM v GROUP BY w
+        |), p AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, wc
+        |  FROM c WHERE length(w) >= 2
+        |), pc AS (
+        |  SELECT pair, SUM(wc) AS pair_count FROM p GROUP BY pair
+        |), top AS (
+        |  SELECT pair, pair_count FROM pc
+        |  ORDER BY pair_count DESC, pair ASC LIMIT 25
+        |)
+        |SELECT pair, pair_count,
+        |  CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS INTEGER) AS rank
+        |FROM top""".stripMargin,
 
     "text_unigram_logprob" ->
       """WITH toks AS (

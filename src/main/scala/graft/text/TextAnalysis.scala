@@ -925,4 +925,56 @@ object TextAnalysis {
     * satisfies the Luhn checksum. */
   def luhnValid(card: Column, len: Int): Column =
     luhnSum(card, len, doubleOddFromRight = false) % 10 === 0
+
+  /** Tokenizer-vocabulary builder: the corpus' top-`k` tokens by
+    * frequency with rank and the cumulative coverage fraction — the
+    * curve a tokenizer team reads to pick a vocab size ("top 32k tokens
+    * cover 99.x% of occurrences").
+    *
+    * Scale shape: explode → partial-aggregable hash agg shrinks the
+    * corpus to vocabulary size; the top-k is `TakeOrderedAndProject`
+    * (per-partition bounded heaps, one k-row merge — never a global
+    * sort); the corpus total folds in-plan as a broadcast 1-row
+    * aggregate; the rank/cumsum window runs over the k surviving rows
+    * only.
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+    vocab.orderBy(col("cnt").desc, col("term").asc).limit(k)
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("cnt"),
+        row_number().over(w).cast("int").as("rank"),
+        round(sum(col("cnt")).over(w).cast("double") / col("n_total"), 6)
+          .as("cum_frac"))
+  }
+
+  /** One distributed BPE-training step (Sennrich et al. 2016 — the
+    * merge-candidate count): adjacent character-pair frequencies over
+    * the corpus, weighted by word frequency; the rank-1 row is the pair
+    * BPE would merge next.
+    *
+    * Scale shape: the pair scan runs over the DISTINCT-word vocabulary
+    * (Heaps-law-sized, ≪ corpus — each word's count rides along as the
+    * weight), so the per-iteration cost of BPE training is a
+    * vocabulary-sized map + hash agg, not a corpus pass; top-k is a
+    * bounded-heap `TakeOrderedAndProject`.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val pairs = vocab.where(length(col("w")) >= 2)
+      .select(col("wc"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("pair_count"))
+    val w = Window.orderBy(col("pair_count").desc, col("pair").asc)
+    pairs.orderBy(col("pair_count").desc, col("pair").asc).limit(k)
+      .select(col("pair"), col("pair_count"),
+        row_number().over(w).cast("int").as("rank"))
+  }
 }

@@ -252,6 +252,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(chk == 3 && okGood && !okBad)
   }
 
+  test("vocabTopK ranks by (count desc, term asc) with exact coverage") {
+    val out = TextAnalysis.vocabTopK(
+        Seq("a a a b", "b c").toDF("text"), "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toList
+    assert(out == List(("a", 3L, 1, 0.5), ("b", 2L, 2, 0.833333)))
+  }
+
+  test("bpePairCounts counts adjacent char pairs weighted by word freq") {
+    val out = TextAnalysis.bpePairCounts(
+        Seq("abab ab", "cd").toDF("text"), "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toList
+    // abab: ab,ba,ab; ab: ab → ab=3, ba=1, cd=1 (ties break on pair asc)
+    assert(out == List(("ab", 3L, 1), ("ba", 1L, 2), ("cd", 1L, 3)))
+  }
+
   test("luhnCheckDigit always yields a luhnValid card (property)") {
     val ids = (0L until 200L).toDF("id")
       .select(lpad($"id".cast("string"), 15, "4").as("p"))
