@@ -536,4 +536,68 @@ object Dedup {
         .select(col("id_a"), col("id_b")).distinct()
     }
   }
+
+  /** EXACT asymmetric containment pairs via the inverted shingle index:
+    * `C(a→b) = |S_a ∩ S_b| / |S_a| ≥ t` — "a is t-contained in b", the
+    * quote/excerpt/superset relation Jaccard misses (a 50-token excerpt
+    * of a 5000-token doc has J ≈ 0.01 but C = 1.0). Output is
+    * directional: `(id_a, id_b, containment)` with `id_a` the contained
+    * side; both directions of a pair can appear.
+    *
+    * Candidate pruning (the containment variant of the PPJoin prefix
+    * filter, cf. Bayardo et al. WWW'07): order shingles by the global
+    * (df asc, value asc) order; `C(a→b) ≥ t` forces
+    * `|a∩b| ≥ ⌈t·|a|⌉`, so SOME shared shingle lands in a's first
+    * `|a| − ⌈t·|a|⌉ + 1` (pigeonhole) — only that prefix is indexed on
+    * the contained side. The containing side must index EVERY posting
+    * (containment puts no lower bound on b's share), so the one
+    * remaining prune is the length filter `|b| ≥ t·|a|` (from
+    * `|a∩b| ≤ |b|`). Verification scores the full sets, so the `maxDf`
+    * cap (candidate generation only) can only miss pairs whose every
+    * shared shingle is over-cap — same contract as
+    * [[jaccardPairsInverted]].
+    *
+    * 100 TB notes: the candidate shuffle is A-prefix × B-full postings
+    * on the shingle key — the B side is the full posting list, so the
+    * df-ranked prefix on A is what keeps Σ df·prefix_df well under the
+    * Jaccard join's Σ df² when excerpts are small (the common case:
+    * quotes against a big corpus).
+    */
+  def containmentPairsInverted(df: DataFrame, idCol: String, textCol: String,
+                               shingleSize: Int, threshold: Double,
+                               maxDf: Long = 0L): DataFrame = {
+    val withSh = df.select(col(idCol).cast("long").as("id"),
+      shingles(graft.text.TextAnalysis.tokens(col(textCol)), shingleSize)
+        .as("__sh"))
+    val postings = withSh.select(col("id"), size(col("__sh")).as("__len"),
+      explode(col("__sh")).as("s"))
+    val capped = if (maxDf > 0) {
+      val dfs = postings.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+      postings.join(dfs.where(col("__df") <= maxDf), "s")
+        .select(col("id"), col("__len"), col("s"))
+    } else postings
+    val dfs = capped.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val pre = capped.join(dfs, "s")
+      .groupBy(col("id"), col("__len"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("s")))).as("__ord"))
+      .select(col("id"), col("__len"),
+        explode(slice(col("__ord"), lit(1),
+          (col("__len") - ceil(lit(threshold) * col("__len")) + 1)
+            .cast("int"))).as("__p"))
+      .select(col("id"), col("__len"), col("__p.s").as("s"))
+    val a = pre.select(col("s"), col("id").as("id_a"), col("__len").as("__la"))
+    val b = capped.select(col("s"), col("id").as("id_b"), col("__len").as("__lb"))
+    val cands = a.join(b, "s")
+      .where(col("id_a") =!= col("id_b"))
+      .where(col("__lb") >= col("__la") * lit(threshold) - lit(1e-6))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(withSh.select(col("id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("containment",
+        round(size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(col("__sh_a")), 6))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
 }

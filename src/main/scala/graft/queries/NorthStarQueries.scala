@@ -533,6 +533,20 @@ object NorthStarQueries {
       Dedup.jaccardPairsInverted(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, threshold = 0.8)),
 
+    // EXACT directional containment pairs (quote/excerpt detection):
+    // |Sa∩Sb|/|Sa| >= t — the asymmetric relation Jaccard misses; A-side
+    // prefix filter + B-side full postings + length prune, full-set verify
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairsInverted(Tables.documents(s, dir), "doc_id",
+        "text", shingleSize = 3, threshold = 0.5)),
+
+    // corpus-level n-gram novelty: share of a doc's distinct trigram
+    // shingles with corpus df=1 — posting-LENGTH read, no df² join
+    "text_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(
+        Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
+        n = 3)),
+
     // incremental ingest dedup: only the NEW batch's fingerprints shuffle
     // against the existing corpus (left_anti) — at 100 TB the corpus
     // side is a bucketed fingerprint index and the new batch is the
@@ -1930,6 +1944,49 @@ object NorthStarQueries {
         |JOIN sizes sa ON sa.id = id_a
         |JOIN sizes sb ON sb.id = id_b
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id AS id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks
+        |), sizes AS (
+        |  SELECT id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+        |FROM inter JOIN sizes sa ON sa.id = id_a
+        |WHERE round(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.5""".stripMargin,
+
+    "text_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks
+        |), dfs AS (
+        |  SELECT g, count(*) AS df FROM sh GROUP BY 1
+        |)
+        |SELECT doc_id,
+        |  count(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM sh JOIN dfs USING (g)
+        |GROUP BY doc_id""".stripMargin,
 
     "dedup_incremental_novel" ->
       """WITH fp AS (

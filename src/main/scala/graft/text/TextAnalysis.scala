@@ -977,4 +977,29 @@ object TextAnalysis {
       .select(col("pair"), col("pair_count"),
         row_number().over(w).cast("int").as("rank"))
   }
+
+  /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    * `n`-gram shingles that occur in NO other document (corpus df = 1)
+    * — high novelty marks genuinely fresh content, low novelty marks
+    * remix/boilerplate even when no single pair crosses a dedup
+    * threshold (the corpus-level complement of pairwise near-dup).
+    *
+    * Scale shape: explode distinct shingles → df hash agg keyed on the
+    * gram → join back ON THE SAME KEY (the exchange layout is reused,
+    * one effective shuffle) → per-doc partial-aggregable count. No df²
+    * term anywhere — this reads the posting LENGTHS, never joins
+    * postings against postings.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(graft.dedup.Dedup.shingles(tokens(col(textCol)), n)).as("g"))
+    val dfs = grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    grams.join(dfs, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
 }

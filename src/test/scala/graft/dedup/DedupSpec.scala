@@ -275,6 +275,34 @@ class DedupSpec extends SparkSpec {
     assert(gone(1L) == 0 && gone(2L) == 0)
   }
 
+  test("containmentPairsInverted == brute force on a corpus slice and " +
+    "catches an excerpt Jaccard misses") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.model.Tables.documents(spark, sf()).where($"doc_id" < 150)
+    val got = Dedup.containmentPairsInverted(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shSets = docs.select(col("doc_id").cast("long"),
+        Dedup.shingles(graft.text.TextAnalysis.tokens(col("text")), 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val brute = (for {
+      (a, sa) <- shSets; (b, sb) <- shSets; if a != b
+      c = math.rint(sa.intersect(sb).size.toDouble / sa.size * 1e6) / 1e6
+      if c >= 0.5
+    } yield (a, b) -> c).toMap
+    assert(got == brute, "containment join must be EXACT vs brute force")
+    // directional semantics: a 10-token excerpt of a 100-token doc is
+    // fully contained (C=1.0) yet far below any Jaccard threshold
+    val big = (1 to 100).map(i => s"w$i").mkString(" ")
+    val excerpt = (21 to 30).map(i => s"w$i").mkString(" ")
+    val two = Seq((1L, excerpt), (2L, big)).toDF("doc_id", "text")
+    val dir = Dedup.containmentPairsInverted(two, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(dir.toSeq == Seq((1L, 2L, 1.0)),
+      "only the excerpt→big direction, at C=1.0")
+    assert(Dedup.ngramJaccardPairs(two, "doc_id", "text", 3, 0.5).count() == 0,
+      "Jaccard misses the excerpt relation")
+  }
+
   test("substring dedup handles within-doc repetition and adjacency merge") {
     val rep = (0 until 4).map(_ => "a b c d").mkString(" ") // "a b c d" x4
     val df = Seq((1L, rep), (2L, "unique words only here nothing shared at all"))
