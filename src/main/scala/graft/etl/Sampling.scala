@@ -204,4 +204,28 @@ object Sampling {
       .where(col("n_repeats") >= 1)
       .select(col(strataCol), col(idCol), col("n_toks"), col("n_repeats"))
   }
+
+  /** Leak-free train/valid/test split: the split is a deterministic
+    * hash of the GROUP key (domain, author, conversation — whatever
+    * unit leaks), never the row, so near-duplicate documents from one
+    * domain can't straddle train and test and inflate eval. Buckets
+    * come from [[hashBucket]] — partition-, cluster-, and
+    * rerun-invariant, and re-derivable by any engine from the same md5
+    * arithmetic. `trainPct`/`validPct` are percentages; the remainder
+    * is test. Emits `split_bucket` so audits can re-check the decision.
+    *
+    * Scale shape: map-only expression over the scan — the group
+    * assignment needs NO join against a group table because the hash
+    * is stateless in the group key.
+    */
+  def leakFreeSplit(df: DataFrame, groupCol: String, salt: String,
+                    trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      "need train + valid < 100 with a nonempty test remainder")
+    df.withColumn("split_bucket", hashBucket(col(groupCol), salt))
+      .withColumn("split",
+        when(col("split_bucket") < trainPct, lit("train"))
+          .when(col("split_bucket") < trainPct + validPct, lit("valid"))
+          .otherwise(lit("test")))
+  }
 }

@@ -485,15 +485,61 @@ object TextAnalysis {
     */
   def packSequencesScalable(df: DataFrame, idCol: String, textCol: String,
                             strataCol: String, budgetTokens: Int,
-                            numParts: Int = 32): DataFrame = {
+                            numParts: Int = 32): DataFrame =
+    prefixAssignScalable(
+      df.select(col(strataCol), col(idCol),
+        tokenCount(col(textCol)).cast("long").as("__w")),
+      strataCol, idCol, budgetTokens.toDouble, "pack_id", numParts)
+      .select(col(strataCol), col(idCol),
+        col("__w").cast("int").as("n_toks"), col("pack_id"))
+
+  /** Output-shard assignment by byte budget — the balanced-file writer
+    * every corpus export needs (training loaders want ~equal shard
+    * sizes, not ~equal row counts): a doc's shard is
+    * `floor(exclusive-prefix-byte-sum / budget)`, contiguously in
+    * (stratum, id) order. Same total-function-of-the-corpus
+    * reproducibility argument as [[packSequences]], same two-pass
+    * distributed prefix sum — no single-task stratum sort at 100 TB,
+    * where this op IS the output stage.
+    */
+  def shardByBytes(df: DataFrame, idCol: String, bytesCol: String,
+                   strataCol: String, budgetBytes: Long,
+                   numParts: Int = 32): DataFrame =
+    prefixAssignScalable(
+      df.select(col(strataCol), col(idCol),
+        col(bytesCol).cast("long").as("__w")),
+      strataCol, idCol, budgetBytes.toDouble, "shard_id", numParts)
+      .select(col(strataCol), col(idCol), col("__w").as("n_bytes"),
+        col("shard_id"))
+
+  /** The shared two-pass distributed prefix-sum assigner behind
+    * [[packSequencesScalable]] (token budgets) and [[shardByBytes]]
+    * (byte budgets). `rows` must be `(strataCol, idCol, __w: long)`;
+    * returns `(strataCol, idCol, __w, outCol)` with
+    * `outCol = floor(exclusive-prefix-sum(__w) / budget)` in
+    * (stratum, id) order.
+    *
+    * Pass 1 range-partitions on (stratum, id) — so one stratum SPANS
+    * many partitions, each locally sorted — and computes per-partition
+    * local running sums plus one (partition, stratum) subtotal row.
+    * Pass 2 broadcasts the subtotals (O(partitions × strata-per-
+    * partition-boundary) rows, ~KB) back as exclusive offsets. No
+    * stratum is ever sorted on a single task, which is exactly the
+    * failure mode of the window form when a stratum is 10 TB.
+    * Deterministic: range partitioning is boundary-based and the local
+    * scan follows the same (stratum, id) order the window form uses —
+    * PackingSpec asserts bit-equality between the two forms.
+    */
+  private def prefixAssignScalable(rows: DataFrame, strataCol: String,
+                                   idCol: String, budget: Double,
+                                   outCol: String, numParts: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val spark = df.sparkSession
-    val toks = df.select(col(strataCol), col(idCol),
-        tokenCount(col(textCol)).as("n_toks"))
+    val spark = rows.sparkSession
+    val sorted = rows
       .repartitionByRange(numParts, col(strataCol), col(idCol))
       .sortWithinPartitions(col(strataCol), col(idCol))
-    val withPid = toks.withColumn("__pid", spark_partition_id())
+    val withPid = sorted.withColumn("__pid", spark_partition_id())
     // pass 1: local exclusive prefix sums (one iterator scan per task —
     // rows are already (stratum, id)-sorted within the partition)
     val schema = StructType(withPid.schema.fields :+
@@ -505,14 +551,14 @@ object TextAnalysis {
         it.map { r =>
           if (r.get(0) != stratum) { stratum = r.get(0); running = 0L }
           val excl = running
-          running += r.getInt(2)
+          running += r.getLong(2)
           Row(r.get(0), r.get(1), r.get(2), r.get(3), excl)
         }
       }, schema)
-    // pass 2: per-(partition, stratum) token totals → exclusive cross-
+    // pass 2: per-(partition, stratum) totals → exclusive cross-
     // partition offsets; tiny (≤ partitions × strata), broadcast back
     val subtotal = local.groupBy(col("__pid"), col(strataCol))
-      .agg(sum(col("n_toks")).as("__part_total"))
+      .agg(sum(col("__w")).as("__part_total"))
     val offsetW = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(col("__pid"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -521,9 +567,9 @@ object TextAnalysis {
         coalesce(sum(col("__part_total")).over(offsetW), lit(0L)))
       .select(col("__pid"), col(strataCol), col("__offset"))
     local.join(broadcast(offsets), Seq("__pid", strataCol))
-      .select(col(strataCol), col(idCol), col("n_toks"),
-        floor((col("__local_excl") + col("__offset")) /
-          lit(budgetTokens.toDouble)).cast("int").as("pack_id"))
+      .select(col(strataCol), col(idCol), col("__w"),
+        floor((col("__local_excl") + col("__offset")) / lit(budget))
+          .cast("int").as(outCol))
   }
 
   /** Overlapping token-window chunking — the context-window splitter: a
