@@ -634,7 +634,18 @@ object BreadthQueries {
         Tables.events(s, dir).select("user_id", "event_id", "value"),
         Seq("user_id"),
         Seq("value" -> true, "event_id" -> false),
-        3))
+        3)),
+
+    // iterative graph rank (graft.graph.PageRank): 5 rounds of fixed-
+    // point PageRank over the supplier↔customer purchase graph. All-
+    // integer update rule → bit-identical across engines and partition
+    // orders; per-iteration cost is two shuffles of the (small) rank
+    // table, unrolled into one declarative plan
+    "graph_pagerank_fixed" -> ((s, dir) =>
+      graft.graph.PageRank.pageRankFixed(
+        graft.graph.PageRank.purchaseGraph(
+          Tables.lineitem(s, dir), Tables.orders(s, dir)),
+        "src", "dst", "w", iterations = 5))
   )
 
   def oracles: Map[String, String] = Map(
@@ -999,6 +1010,42 @@ object BreadthQueries {
         |  SELECT user_id, event_id, value,
         |    CAST(row_number() OVER (PARTITION BY user_id
         |      ORDER BY value DESC, event_id ASC) AS INTEGER) AS rank
-        |  FROM events) WHERE rank <= 3""".stripMargin
+        |  FROM events) WHERE rank <= 3""".stripMargin,
+
+    "graph_pagerank_fixed" -> pagerankOracleSql
   )
+
+  /** Unrolled 5-iteration twin of graph_pagerank_fixed — same all-
+    * integer update rule (`//` is DuckDB's integral division, matching
+    * Spark's `div` on the positive longs here), so values are exact.
+    */
+  private def pagerankOracleSql: String = {
+    val iters = (1 to 5).map { k =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |    CAST(150000 + (85 * COALESCE(c.cin, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ew.dst, SUM((r.pr * ew.w) // ew.ow) AS cin
+         |    FROM ew JOIN r${k - 1} r ON ew.src = r.node
+         |    GROUP BY ew.dst) c
+         |  ON n.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT CAST(l_suppkey AS BIGINT) AS s,
+       |    CAST(o_custkey + 10000000 AS BIGINT) AS c,
+       |    COUNT(*) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT s AS src, c AS dst, w FROM pairs
+       |  UNION ALL
+       |  SELECT c AS src, s AS dst, w FROM pairs),
+       |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+       |ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e JOIN ow o ON e.src = o.src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |$iters
+       |SELECT node, pr FROM r5""".stripMargin
+  }
 }

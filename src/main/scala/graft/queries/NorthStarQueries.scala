@@ -1092,7 +1092,7 @@ object NorthStarQueries {
         |    i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, wc
         |  FROM c WHERE length(w) >= 2
         |), pc AS (
-        |  SELECT pair, SUM(wc) AS pair_count FROM p GROUP BY pair
+        |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count FROM p GROUP BY pair
         |), top AS (
         |  SELECT pair, pair_count FROM pc
         |  ORDER BY pair_count DESC, pair ASC LIMIT 25
