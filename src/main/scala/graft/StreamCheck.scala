@@ -53,15 +53,12 @@ object StreamCheck {
     if (!ok) sys.exit(1)
   }
 
-  /** File-stream over the harness events parquet (nanos → µs rebuild,
-    * same as the batch loader).
+  /** File-stream over the harness events parquet, `ts` normalized to
+    * µs TimestampType whatever the on-disk type (same adaptation as
+    * the batch loader).
     */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(graft.streaming.StreamingFraud.eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.streaming.StreamingFraud.eventsStream(spark, sfDir, "events.parquet")
 
   /** Run a streaming DF to parquet via foreachBatch+AvailableNow (memory
     * sink can't recover checkpoints; b.count() forces every partition so

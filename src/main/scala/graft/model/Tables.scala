@@ -20,30 +20,49 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects by default. Read nanos as long (legacy conf), then
-    * rebuild a microsecond TimestampType column — the same truncation
-    * Spark applies everywhere (µs precision), and harmless to 1s-or-
-    * coarser window boundaries the queries group on.
+  /** Normalize an events frame's `ts` to a µs TimestampType column,
+    * whatever the on-disk representation: INT64 nanos (read via the
+    * nanosAsLong legacy conf — Spark's vectorized reader rejects
+    * TIMESTAMP(NANOS) otherwise), TIMESTAMP_NTZ µs (plain parquet
+    * timestamps; cast through the UTC session zone, value-identical),
+    * or already TimestampType. The µs truncation matches what Spark
+    * applies everywhere, and is harmless to the 1 s-or-coarser window
+    * boundaries the queries group on.
     */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
   /** Events filtered to `ts > watermarkEpochSec`, with the predicate on
-    * the RAW nanos long so it pushes into the parquet scan
+    * the RAW on-disk column so it pushes into the parquet scan
     * (`PushedFilters: GreaterThan(ts, ...)` → row-group/page pruning).
-    * Filtering the rebuilt timestamp column instead would wrap the scan
-    * column in `timestamp_micros(div(...))` and push nothing — at
-    * 100 TB the bookmark predicate MUST prune at the scan.
+    * Filtering the rebuilt/cast timestamp column instead would wrap the
+    * scan column in an expression and push nothing — at 100 TB the
+    * bookmark predicate MUST prune at the scan. The comparison literal
+    * is typed to the physical column: epoch nanos for INT64 data, an
+    * NTZ timestamp (via the UTC session zone) for TIMESTAMP_NTZ data.
     */
   def eventsAfter(spark: SparkSession, sfDir: String, watermarkEpochSec: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .where(col("ts") > watermarkEpochSec * 1000000000L)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val pred = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") > watermarkEpochSec * 1000000000L
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts") > timestamp_seconds(lit(watermarkEpochSec)).cast("timestamp_ntz")
+      case _ => col("ts") > timestamp_seconds(lit(watermarkEpochSec))
+    }
+    normalizeTs(raw.where(pred))
   }
 
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")

@@ -420,6 +420,26 @@ object NorthStarQueries {
         targets = Map("src0" -> 4000L, "src1" -> 100000L, "src2" -> 700L),
         maxEpochs = 3)),
 
+    // leak-free train/valid/test split: the split decision hashes the
+    // GROUP key (source), so near-duplicate docs within one source can
+    // never straddle train and test — map-only, no group table join
+    "sample_leakfree_split" -> ((s, dir) =>
+      graft.etl.Sampling.leakFreeSplit(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "source", salt = "split1", trainPct = 80, validPct = 10)),
+
+    // balanced output sharding by byte budget (the corpus-export
+    // writer): shard = floor(exclusive-prefix-byte-sum / budget) in
+    // (source, doc_id) order via the same two-pass distributed prefix
+    // sum as pack_sequences — no single-task stratum sort at 100 TB
+    "text_shard_by_bytes" -> ((s, dir) =>
+      TextAnalysis.shardByBytes(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "doc_id", "n_chars", "source", budgetBytes = 4000L)
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("shard_bytes"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))),
+
     // ---- dedup ----
     // exact substring dedup (Lee et al. ExactSubstr): stride-1 8-token
     // sliding-window fingerprints; corpus-duplicated windows merge into
@@ -1616,6 +1636,31 @@ object NorthStarQueries {
         |  FROM y)
         |SELECT source, doc_id, n_toks, n_repeats FROM z
         |WHERE n_repeats >= 1""".stripMargin,
+
+    // same md5-of-group-key bucket arithmetic as the stratified mix
+    "sample_leakfree_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(CAST(('0x' || substr(md5(source || ':split1'), 1, 8))
+        |      AS UBIGINT) % 100 AS BIGINT) AS split_bucket
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, split_bucket,
+        |  CASE WHEN split_bucket < 80 THEN 'train'
+        |       WHEN split_bucket < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+
+    // same exclusive window prefix sum as pack_sequences, byte weights
+    "text_shard_by_bytes" ->
+      """WITH p AS (
+        |  SELECT source, doc_id, n_chars AS n_bytes,
+        |    CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_chars) / 4000.0) AS INTEGER) AS shard_id
+        |  FROM documents)
+        |SELECT source, shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY source, shard_id""".stripMargin,
 
     // row_number twin of the TopKPerKey heap operator
     "sample_domain_quota" ->

@@ -28,9 +28,11 @@ import org.apache.spark.sql.types._
   */
 object StreamingFraud {
 
-  /** Schema for reading `events` as a stream. `ts` lands as long nanos
-    * (the parquet is TIMESTAMP(NANOS), which Spark only reads via the
-    * nanosAsLong legacy conf — see [[graft.model.Tables]]).
+  /** Schema for reading `events` as a stream when `ts` is stored as
+    * long nanos (TIMESTAMP(NANOS) parquet, which Spark only reads via
+    * the nanosAsLong legacy conf — see [[graft.model.Tables]]). Test
+    * fixtures that write raw-nanos files use this; driver data may
+    * instead carry plain µs timestamps — [[eventsStream]] adapts.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -39,6 +41,22 @@ object StreamingFraud {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Streaming events reader with on-disk-schema adaptation: a file
+    * stream needs an explicit schema, so peek at the parquet footers
+    * with a one-off batch read (metadata only — no data scan), then
+    * open the stream with that exact physical schema and normalize
+    * `ts` to µs TimestampType ([[graft.model.Tables.normalizeTs]]).
+    * Handles both INT64-nanos and TIMESTAMP(µs) events data.
+    */
+  def eventsStream(spark: SparkSession, dir: String, glob: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val onDisk = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val reader = spark.readStream.schema(onDisk).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    graft.model.Tables.normalizeTs(reader.parquet(dir))
+  }
 
   /** The streaming plan over any streaming DataFrame with
     * (user_id, ts: timestamp, value) — same shape as
@@ -65,15 +83,10 @@ object StreamingFraud {
   def runFileStreamOnce(spark: SparkSession, sfDir: String, queryName: String,
                         windowSec: Int, threshold: Double,
                         checkpoint: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming file source wants a directory; the harness lays the
     // tables out as single files, so glob-filter the directory down to
     // the events table
-    val raw = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream(spark, sfDir, "events.parquet")
     val q = fraudStream(raw, windowSec, threshold)
       .writeStream
       .outputMode("append")
@@ -97,13 +110,7 @@ object StreamingFraud {
                               threshold: Double, checkpoint: String,
                               intervalMs: Long = 500L,
                               maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "*.parquet")
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream(spark, dir, "*.parquet", Some(maxFilesPerTrigger))
     fraudStream(raw, windowSec, threshold)
       .writeStream
       .outputMode("append")
@@ -128,12 +135,7 @@ object StreamingFraud {
   def primeCheckpointAtLatest(spark: SparkSession, dir: String,
                               checkpoint: String, windowSec: Int,
                               threshold: Double): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream(spark, dir, "*.parquet")
     val q = fraudStream(raw, windowSec, threshold)
       .writeStream.outputMode("append")
       // discard backlog output; count() forces every partition so the

@@ -132,10 +132,7 @@ class StreamingFraudSpec extends SparkSpec {
     writeEventsFile(dir, "fresh", Seq(11L, 12L, 13L))
     // memory sink can't recover a checkpoint — collect via foreachBatch
     val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream.schema(StreamingFraud.eventsRawSchema)
-      .option("pathGlobFilter", "*.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = StreamingFraud.eventsStream(spark, dir, "*.parquet")
     val q1 = StreamingFraud.fraudStream(raw, 10, 150.0)
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckptLatest)
@@ -169,13 +166,7 @@ class StreamingFraudSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
     val counter = new java.util.concurrent.atomic.AtomicLong
     def runOnce(): Unit = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.readStream
-        .schema(StreamingFraud.eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf())
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = StreamingFraud.eventsStream(spark, sf(), "events.parquet")
       val q = StreamingFraud.fraudStream(raw, 10, 150.0)
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
