@@ -199,6 +199,16 @@ object NorthStarQueries {
         Seq("tfidf" -> true, "term" -> false), 3)
     }),
 
+    // BM25 top-k retrieval (the RAG/corpus-search primitive): score all
+    // docs against a fixed query term set, keep the global top 20.
+    // Posting lists of |q| terms only; corpus stats fold in-plan as a
+    // broadcast 1-row agg; per-term contributions sum as micro-unit
+    // longs so the score is FP-order-invariant across engines
+    "text_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", Seq("spark", "join", "window", "vector"), 20)),
+
     // PII masking (the redaction sibling of P3's column drop): digit-run
     // scrubbing + keep-last-4 masking, identical regex/concat trees on
     // both engines
@@ -1837,6 +1847,37 @@ object NorthStarQueries {
         |    CAST(row_number() OVER (PARTITION BY doc_id
         |      ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
         |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    // same tokenizer, same Lucene-variant BM25 arithmetic, same
+    // micro-unit long summation for FP-order invariance
+    "text_bm25_topk" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'window', 'vector') GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5)) * tf.tf
+        |      * 2.2 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+        |      * 1e6) AS BIGINT) AS cm
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN s),
+        |g AS (
+        |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms_hit,
+        |    sum(cm) / 1e6 AS bm25
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, bm25, rank FROM (
+        |  SELECT doc_id, n_terms_hit, bm25,
+        |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
+        |      AS rank
+        |  FROM g) WHERE rank <= 20""".stripMargin,
 
     "text_pii_mask" ->
       """SELECT o_orderkey,

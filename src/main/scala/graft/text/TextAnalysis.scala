@@ -1048,4 +1048,57 @@ object TextAnalysis {
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_grams"), 6))
   }
+
+  /** BM25 top-k retrieval (Robertson/Sparck-Jones, the Lucene
+    * `(k1+1)`/`+1`-idf variant): score every document against a FIXED
+    * query term set and keep the global top `k`. The retrieval
+    * primitive behind RAG corpus search and query-based data selection.
+    *
+    * Scale shape: explode tokens → filter to the broadcast query-term
+    * literal set (the posting lists of |q| terms — a vanishing fraction
+    * of the corpus) → per-(doc, term) tf hash agg → broadcast joins for
+    * df (|q| rows) and the 1-row (N, avgdl) corpus stats — the
+    * corpus-stat fold is the same in-plan pattern as one-pass TF-IDF,
+    * no driver count(). Per-term contributions are rounded to micro
+    * units and summed as LONGS, so the per-doc score is exact and
+    * partition-order-invariant (FP sum order would otherwise flip
+    * 6-dp rounding between engines). Final top-k is a sort of |docs
+    * matching ≥1 term| rows — at 100 TB swap the limit for
+    * [[graft.plans.TopKPerKey]] on a constant key, same semantics.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
+    val dl = docs.select(col(idCol),
+      tokenCount(col(textCol)).cast("double").as("__dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
+      avg("__dl").as("__avgdl"))
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__c_micro",
+        round(col("__idf") * col("__tf") * (k1 + 1.0) /
+          (col("__tf") +
+            (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")) * k1)
+          * 1e6).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col(idCol).asc)
+    contrib.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_terms_hit"),
+        (sum("__c_micro") / 1e6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc).limit(k)
+      .select(col(idCol), col("n_terms_hit"), col("bm25"),
+        row_number().over(w).cast("int").as("rank"))
+  }
 }

@@ -268,6 +268,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == List(("ab", 3L, 1), ("ba", 1L, 2), ("cd", 1L, 3)))
   }
 
+  test("bm25TopK scores match the closed form; non-matching docs absent") {
+    val docs = Seq(
+      (1L, "a a b x"), // tf(a)=2, dl=4
+      (2L, "a y"),     // tf(a)=1, dl=2
+      (3L, "z z z")    // no query term → absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("a"), 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getInt(3))).toList
+    // closed form (k1=1.2, b=0.75): idf = ln(1 + (3-2+0.5)/(2+0.5));
+    // per-doc contribution rounded to micro units like the operator
+    val idf = math.log(1.0 + 1.5 / 2.5)
+    val avgdl = 3.0
+    def score(tf: Double, dl: Double): Double =
+      math.round(idf * tf * 2.2 /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) * 1e6) / 1e6
+    assert(out.map(_._1) == List(1L, 2L)) // doc 3 has no query term
+    assert(out == List((1L, 1, score(2, 4), 1), (2L, 1, score(1, 2), 2)))
+  }
+
   test("luhnCheckDigit always yields a luhnValid card (property)") {
     val ids = (0L until 200L).toDF("id")
       .select(lpad($"id".cast("string"), 15, "4").as("p"))
