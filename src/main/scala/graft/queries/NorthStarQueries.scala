@@ -716,6 +716,23 @@ object NorthStarQueries {
         q, emb, "vec_id", "embedding", k = 10)
     }),
 
+    // recall@k evaluation of the SRP-LSH path against brute force — the
+    // index-quality gate. Recomputes its own candidate set (no ordering
+    // dependency on sim_topk_lsh's aux dir); evaluation cost is
+    // |Q|·k-row joins, corpus-size-independent
+    "sim_recall_at_k" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 8)
+      Similarity.lshCandidates(q, emb, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "recall_cands"))
+      val approx = Similarity.rerankTopK(
+        s.read.parquet(OracleAux.dir(dir, "recall_cands")),
+        q, emb, "vec_id", "embedding", k = 10)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        k = 10)
+      Similarity.recallAtK(approx, exact)
+    }),
+
     // per-label embedding centroid via a typed Aggregator (UDAF
     // surface): partial buffers merge across the shuffle, the exchange
     // carries one (dim+1)-double buffer per (label × partition)
@@ -934,6 +951,39 @@ object NorthStarQueries {
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
         |  round(score, 6) AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    // exact top-10 (brute-force CTE) vs the re-ranked materialized
+    // candidate set — per-query hit fraction, same tiebreaks both sides
+    "sim_recall_at_k" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |bf AS (SELECT qe.vec_id AS query_id, ne.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qe.v, ne.v) AS score
+        |  FROM e qe, e ne WHERE qe.vec_id < 8 AND qe.vec_id != ne.vec_id),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id ASC) AS rank FROM bf)
+        |  WHERE rank <= 10),
+        |p AS (SELECT query_id, neighbor_id
+        |  FROM read_parquet('${OracleAux.sqlDir("recall_cands")}/*.parquet')),
+        |sc AS (SELECT p.query_id, p.neighbor_id,
+        |    list_cosine_similarity(qe.v, ne.v) AS score
+        |  FROM p JOIN e qe ON p.query_id = qe.vec_id
+        |         JOIN e ne ON p.neighbor_id = ne.vec_id),
+        |approx AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id ASC) AS rank FROM sc)
+        |  WHERE rank <= 10)
+        |SELECT x.query_id, CAST(count(*) AS INTEGER) AS k,
+        |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS n_hit,
+        |  round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / count(*), 6) AS recall
+        |FROM exact x LEFT JOIN approx a
+        |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        |GROUP BY x.query_id""".stripMargin,
 
     "sim_topk_ivf" ->
       s"""WITH p AS (SELECT query_id, neighbor_id

@@ -225,6 +225,24 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
+  /** Recall@k of an ANN result against the exact brute-force answer —
+    * the evaluation loop every approximate index needs before it ships:
+    * per query, the fraction of true top-k neighbors the ANN path
+    * found. Both inputs carry (query_id, neighbor_id) rows; ties are
+    * deterministic on both sides ((score desc, neighbor_id asc)), so
+    * the metric is stable. Scale shape: a |Q|·k-row join + hash agg —
+    * evaluation cost is query-set-sized, independent of corpus size.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select("query_id", "neighbor_id")
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("k"),
+        sum(coalesce(col("__hit"), lit(0))).cast("int").as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("k"), 6))
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 128, bands: Int = 16,
               seed: Long = 42L): DataFrame =

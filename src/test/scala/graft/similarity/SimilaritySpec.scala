@@ -49,6 +49,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, f"recall $recall%.2f too low")
   }
 
+  test("recallAtK: per-query hit fraction with left-join semantics") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(approx, exact)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3))).sortBy(_._1).toList
+    // q1: found 10 but not 11 → 0.5; q2: both → 1.0; approx-only 99 ignored
+    assert(out == List((1L, 2, 1, 0.5), (2L, 2, 2, 1.0)))
+  }
+
+  test("recallAtK agrees with the set-based recall on the real LSH path") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+    val approx = Similarity.lshTopK(q, emb, "vec_id", "embedding", 10)
+    val perQuery = Similarity.recallAtK(approx, exact)
+    val macroRecall = perQuery.agg(avg($"recall")).head().getDouble(0)
+    val eSet = exact.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val aSet = approx.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val setRecall = (eSet intersect aSet).size.toDouble / eSet.size
+    // equal-k queries make micro == macro recall
+    assert(math.abs(macroRecall - setRecall) < 1e-6,
+      s"recallAtK $macroRecall vs set recall $setRecall")
+  }
+
   test("SRP band buckets are small: max bucket ≪ corpus (the subquadratic guard)") {
     // reproduce the banding exactly as cosineNearDups/lshTopK build it
     // (16 bands × 8-bit keys over the fixed-seed hyperplanes) and assert
