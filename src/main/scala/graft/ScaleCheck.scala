@@ -149,8 +149,12 @@ object ScaleCheck {
             emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 10).count()
         }
       }
-      ivfProbe("x1", emb0)
-      ivfProbe("x32", embX)
+      // build/query (and train/dedup below) share state across time()
+      // calls — gate each probe pair on the name filter as a unit
+      if (only("ivf_build") || only("ivf_query")) {
+        ivfProbe("x1", emb0)
+        ivfProbe("x32", embX)
+      }
       // SemDeDup probe: cells scale with the corpus (constant rows per
       // cell — the paper's discipline), so within-cell pairwise work
       // stays ~linear overall; a fixed cell count would grow ×32² here
@@ -170,8 +174,10 @@ object ScaleCheck {
             .where(!col("keep")).count()
         }
       }
-      semProbe("x1", emb0)
-      semProbe("x32", embX)
+      if (only("semdedup_train") || only("semdedup")) {
+        semProbe("x1", emb0)
+        semProbe("x32", embX)
+      }
     }
     // Text/dedup probe: documents ×32 with per-replica token remapping
     // (prefix every token with the replica id — a bijective vocabulary
@@ -191,6 +197,22 @@ object ScaleCheck {
       val docs = spark.read.parquet("/tmp/documents_x32.parquet")
       println(s"doc rows=${docs.count()}")
       def textProbes(tag: String, d: org.apache.spark.sql.DataFrame): Unit = {
+        // exact containment join (quote/excerpt detection): A-prefix ×
+        // B-full postings — like the Jaccard probe, per-replica token
+        // remapping means candidate volume must track the corpus (no
+        // cross-replica collisions), exposing any df² term
+        time(s"dedup_containment_$tag") {
+          graft.dedup.Dedup.containmentPairsInverted(d, "doc_id", "text",
+            shingleSize = 3, threshold = 0.5).count()
+        }
+        // BM25 with a FIXED query set (replica-0 vocabulary at x32):
+        // the posting-list stage must stay query-sized while only the
+        // corpus-stats pass (N, avgdl) grows with the corpus
+        time(s"text_bm25_$tag") {
+          val pfx = if (tag == "x1") "" else "r0_"
+          graft.text.TextAnalysis.bm25TopK(d, "doc_id", "text",
+            Seq("spark", "join", "window", "vector").map(pfx + _), 20).count()
+        }
         time(s"text_repetition_$tag") {
           graft.text.TextAnalysis.repetitionStats(d, "doc_id", "text").count()
         }
@@ -272,13 +294,18 @@ object ScaleCheck {
         val ok = labels.where(col("label") === 0).count() == n
         println(f"cc_chain_$tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (n=$n rounds=$rounds oneComponent=$ok)")
       }
-      ccProbe("x1", 20000L)
-      ccProbe("x32", 640000L)
+      if (only("cc_chain")) {
+        ccProbe("x1", 20000L)
+        ccProbe("x32", 640000L)
+      }
     }
     // Z-order re-cluster at ×32: one range shuffle (the price of any
     // re-layout); the pruning ratio for a value-only box must hold as
     // data grows — that ratio IS the read saving every later scan gets
-    locally {
+    // the overlap read depends on the timed write — gate the whole
+    // section on the probe filter, not just the time() call, so a
+    // name-filtered run doesn't read a file it never wrote
+    if (only("zorder_write_x32")) {
       time("zorder_write_x32") {
         graft.etl.Layout.writeZOrdered(ev.select("event_id", "user_id", "value"),
           "/tmp/zorder_x32.parquet", "user_id", "value", numFiles = 64)

@@ -546,22 +546,43 @@ object Dedup {
     *
     * Candidate pruning (the containment variant of the PPJoin prefix
     * filter, cf. Bayardo et al. WWW'07): order shingles by the global
-    * (df asc, value asc) order; `C(a→b) ≥ t` forces
+    * (df asc, hash asc) order; `C(a→b) ≥ t` forces
     * `|a∩b| ≥ ⌈t·|a|⌉`, so SOME shared shingle lands in a's first
     * `|a| − ⌈t·|a|⌉ + 1` (pigeonhole) — only that prefix is indexed on
     * the contained side. The containing side must index EVERY posting
-    * (containment puts no lower bound on b's share), so the one
-    * remaining prune is the length filter `|b| ≥ t·|a|` (from
-    * `|a∩b| ≤ |b|`). Verification scores the full sets, so the `maxDf`
-    * cap (candidate generation only) can only miss pairs whose every
+    * (containment puts no lower bound on b's share), so the pruning
+    * work happens per collision row instead:
+    *  - POSITIONAL filter: at a pair's FIRST shared shingle in the
+    *    global order (position `p_b`, 0-based, in b's sorted list),
+    *    every shared shingle sits at a b-position ≥ p_b, so
+    *    `|a∩b| ≤ |b| − p_b`; `C ≥ t` then forces
+    *    `|b| − p_b ≥ t·|a|`. A true pair always has a collision row at
+    *    its first shared shingle (in a's prefix by the pigeonhole
+    *    bound), so OR-over-rows + distinct keeps exactness. This is
+    *    the filter that kills hot-shingle collisions: a high-df
+    *    shingle sorts LATE in every containing doc, so its `|b| − p_b`
+    *    is small and the collision drops unless b is genuinely larger
+    *    than t·|a|. (It subsumes the plain `|b| ≥ t·|a|` length
+    *    filter, since `p_b ≥ 0`.)
+    *  - HASH-FIRST keys: candidate generation runs entirely on
+    *    `xxhash64` longs, never shingle strings — an 8-byte join key
+    *    and a (long, long) per-doc sort instead of string payloads.
+    *    A cross-doc hash collision only ADDS a spurious candidate
+    *    (removed by the exact full-set verify); a within-doc collision
+    *    (two of one doc's shingles on one hash — probability
+    *    ≤ |doc|²/2⁶⁴ per doc) could waste one prefix slot, the sole
+    *    theoretical miss vector, negligible at any realistic scale.
+    * Verification scores the full string sets, so the `maxDf` cap
+    * (candidate generation only) can only miss pairs whose every
     * shared shingle is over-cap — same contract as
-    * [[jaccardPairsInverted]].
+    * [[jaccardPairsInverted]] (capped high-df hashes occupy the order
+    * suffix, so surviving positions/prefixes are unchanged).
     *
     * 100 TB notes: the candidate shuffle is A-prefix × B-full postings
-    * on the shingle key — the B side is the full posting list, so the
-    * df-ranked prefix on A is what keeps Σ df·prefix_df well under the
-    * Jaccard join's Σ df² when excerpts are small (the common case:
-    * quotes against a big corpus).
+    * on the hash key — the df-ranked prefix on A bounds Σ df·prefix_df
+    * well under the Jaccard join's Σ df² when excerpts are small (the
+    * common case: quotes against a big corpus), and the positional
+    * filter above cuts the hot tail of that sum before the distinct.
     */
   def containmentPairsInverted(df: DataFrame, idCol: String, textCol: String,
                                shingleSize: Int, threshold: Double,
@@ -569,27 +590,36 @@ object Dedup {
     val withSh = df.select(col(idCol).cast("long").as("id"),
       shingles(graft.text.TextAnalysis.tokens(col(textCol)), shingleSize)
         .as("__sh"))
-    val postings = withSh.select(col("id"), size(col("__sh")).as("__len"),
-      explode(col("__sh")).as("s"))
+    val postings = withSh
+      .select(col("id"), size(col("__sh")).as("__len"),
+        explode(col("__sh")).as("__s"))
+      .select(col("id"), col("__len"), xxhash64(col("__s")).as("h"))
     val capped = if (maxDf > 0) {
-      val dfs = postings.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-      postings.join(dfs.where(col("__df") <= maxDf), "s")
-        .select(col("id"), col("__len"), col("s"))
+      val dfs0 = postings.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      postings.join(dfs0.where(col("__df") <= maxDf), "h")
+        .select(col("id"), col("__len"), col("h"))
     } else postings
-    val dfs = capped.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-    val pre = capped.join(dfs, "s")
+    val dfs = capped.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    // ONE shared per-doc (df, h) sort feeds both sides (identical
+    // subplan → exchange reuse): a takes the pigeonhole prefix, b
+    // takes every posting plus its position in the same global order
+    val ord = capped.join(dfs, "h")
       .groupBy(col("id"), col("__len"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("s")))).as("__ord"))
-      .select(col("id"), col("__len"),
+      .agg(sort_array(collect_list(struct(col("__df"), col("h")))).as("__ord"))
+    val a = ord.select(col("id"), col("__len"),
         explode(slice(col("__ord"), lit(1),
           (col("__len") - ceil(lit(threshold) * col("__len")) + 1)
             .cast("int"))).as("__p"))
-      .select(col("id"), col("__len"), col("__p.s").as("s"))
-    val a = pre.select(col("s"), col("id").as("id_a"), col("__len").as("__la"))
-    val b = capped.select(col("s"), col("id").as("id_b"), col("__len").as("__lb"))
-    val cands = a.join(b, "s")
+      .select(col("__p.h").as("h"), col("id").as("id_a"),
+        col("__len").as("__la"))
+    val b = ord.select(col("id"), col("__len"),
+        posexplode(col("__ord")).as(Seq("__pb", "__p")))
+      .select(col("__p.h").as("h"), col("id").as("id_b"),
+        col("__len").as("__lb"), col("__pb"))
+    val cands = a.join(b, "h")
       .where(col("id_a") =!= col("id_b"))
-      .where(col("__lb") >= col("__la") * lit(threshold) - lit(1e-6))
+      .where(col("__lb") - col("__pb") >=
+             col("__la") * lit(threshold) - lit(1e-6))
       .select(col("id_a"), col("id_b")).distinct()
     cands
       .join(withSh.select(col("id").as("id_a"), col("__sh").as("__sh_a")), "id_a")

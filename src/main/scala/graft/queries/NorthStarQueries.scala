@@ -570,6 +570,14 @@ object NorthStarQueries {
       Dedup.containmentPairsInverted(Tables.documents(s, dir), "doc_id",
         "text", shingleSize = 3, threshold = 0.5)),
 
+    // cross-source overlap matrix: distinct shared 3-token lines per
+    // source pair + per-side overlap fractions — which sources are
+    // contaminated with each other, BEFORE they join a training mix
+    "text_source_overlap" -> ((s, dir) =>
+      TextAnalysis.sourceOverlapMatrix(
+        Tables.documents(s, dir).select("source", "text"),
+        "source", "text", lineWords = 3)),
+
     // corpus-level n-gram novelty: share of a doc's distinct trigram
     // shingles with corpus df=1 — posting-LENGTH read, no df² join
     "text_novelty" -> ((s, dir) =>
@@ -2102,6 +2110,26 @@ object NorthStarQueries {
         |  round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
         |FROM inter JOIN sizes sa ON sa.id = id_a
         |WHERE round(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.5""".stripMargin,
+
+    // same ceil-segmented lines as text_line_dedup, distinct per
+    // (source, line), pair counts via the same line-key self-join
+    "text_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |l AS (SELECT DISTINCT source,
+        |    array_to_string(list_slice(w, i*3 + 1, i*3 + 3), ' ') AS line
+        |  FROM t, unnest(range(0, CAST(ceil(len(w)/3.0) AS BIGINT))) AS u(i)),
+        |tot AS (SELECT source, count(*) AS n FROM l GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS n_shared
+        |  FROM l a JOIN l b ON a.line = b.line AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |  round(n_shared / ta.n, 6) AS overlap_a,
+        |  round(n_shared / tb.n, 6) AS overlap_b
+        |FROM p JOIN tot ta ON ta.source = src_a
+        |       JOIN tot tb ON tb.source = src_b""".stripMargin,
 
     "text_novelty" ->
       """WITH toks AS (

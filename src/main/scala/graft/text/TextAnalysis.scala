@@ -611,6 +611,43 @@ object TextAnalysis {
       .select(col(idCol), col("line_idx"), col("line"))
   }
 
+  /** Cross-source overlap matrix — the corpus diagnostic that tells you
+    * WHICH sources are contaminated with each other before mixing:
+    * for every source pair, the count of distinct `lineWords`-token
+    * lines (same segmentation as [[lineDedup]]) present in both, plus
+    * the overlap as a fraction of each side's distinct-line count.
+    *
+    * Scale shape: explode → per-(source, line) distinct → self-join on
+    * the line key → pair hash agg. A line shared by s sources costs
+    * s²/2 pair rows — bounded by the (small) source universe, and hot
+    * boilerplate lines are exactly the signal this matrix measures.
+    * The per-source totals broadcast (|sources| rows).
+    */
+  def sourceOverlapMatrix(df: DataFrame, srcCol: String, textCol: String,
+                          lineWords: Int): DataFrame = {
+    require(lineWords > 0, "need lineWords > 0")
+    val nLines = ceil(size(col("__t")) / lit(lineWords.toDouble)).cast("int")
+    val lines = df.select(col(srcCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__i", explode(sequence(lit(0), nLines - 1)))
+      .select(col(srcCol), concat_ws(" ",
+        slice(col("__t"), col("__i") * lineWords + 1, lit(lineWords)))
+        .as("line"))
+      .distinct()
+    val totals = lines.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+    val a = lines.select(col("line"), col(srcCol).as("src_a"))
+    val b = lines.select(col("line"), col(srcCol).as("src_b"))
+    a.join(b, "line").where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col(srcCol).as("src_a"),
+        col("__n").as("__na"))), "src_a")
+      .join(broadcast(totals.select(col(srcCol).as("src_b"),
+        col("__n").as("__nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") / col("__na"), 6).as("overlap_a"),
+        round(col("n_shared") / col("__nb"), 6).as("overlap_b"))
+  }
+
   /** Per-domain boilerplate line removal — the WITHIN-SITE variant of
     * [[lineDedup]]: a line repeated across `minDocs`+ distinct
     * documents of the SAME domain (site header/footer, nav, licence

@@ -268,6 +268,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == List(("ab", 3L, 1), ("ba", 1L, 2), ("cd", 1L, 3)))
   }
 
+  test("sourceOverlapMatrix counts distinct shared lines per source pair") {
+    val docs = Seq(
+      ("s1", "a b c d e f"),   // lines: "a b c", "d e f"
+      ("s1", "a b c"),         // dup line within s1 — distinct-counted once
+      ("s2", "a b c x y z"),   // shares "a b c" with s1
+      ("s3", "q r s")          // shares nothing
+    ).toDF("source", "text")
+    val out = TextAnalysis.sourceOverlapMatrix(docs, "source", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    // s1 has 2 distinct lines, s2 has 2; they share exactly "a b c"
+    assert(out == List(("s1", "s2", 1L, 0.5, 0.5)))
+  }
+
   test("bm25TopK scores match the closed form; non-matching docs absent") {
     val docs = Seq(
       (1L, "a a b x"), // tf(a)=2, dl=4
