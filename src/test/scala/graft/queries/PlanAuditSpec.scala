@@ -22,9 +22,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id"), p)
   }
 
-  test("incremental_high_watermark pushes the range predicate (raw nanos)") {
+  test("incremental_high_watermark pushes the range predicate on the raw " +
+    "scan column (nanos long or NTZ timestamp, per the on-disk schema)") {
     val p = plan("incremental_high_watermark")
     assert(p.contains("GreaterThan(ts,"), p)
+  }
+
+  test("text_bm25_topk: df and corpus stats broadcast; tf aggregates " +
+    "partially before its exchange") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "partial + final aggregation expected for tf and df\n" + p)
+  }
+
+  test("text_source_overlap: per-source totals broadcast onto the pair agg") {
+    val p = plan("text_source_overlap")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("join_broadcast_dims broadcasts both dimension tables") {
