@@ -383,6 +383,20 @@ object ScaleCheck128 {
         graft.text.TextAnalysis.lineDedup(
           d.select("doc_id", "text"), "doc_id", "text", 3).count()
       }
+      // containment join in its intended regime — a FIXED excerpt
+      // batch (replica 0's doc_id%10==7 slice, identical at both
+      // sizes) contained-in the growing corpus: the prefix side stays
+      // batch-sized while the corpus contributes one linear posting
+      // pass, so time must stay ~flat-to-linear and the output is a
+      // cross-size determinism check. (The all-pairs self-containment
+      // worst case is probed at ×32 in ScaleCheck; at ×128 its
+      // candidate spill is disk-bound by design — the aFilter batch
+      // form IS the 100 TB operating mode.)
+      time(s"dedup_containment_batch_x$mult") {
+        graft.dedup.Dedup.containmentPairsInverted(d, "doc_id", "text",
+          shingleSize = 3, threshold = 0.5,
+          aFilter = col("id") < 1000000L && col("id") % 10 === 7).count()
+      }
       // per-domain line dedup: the df spectrum is PER SOURCE (one hot
       // domain = one hot stratum), spikier than the corpus-wide
       // sibling's — replicas multiply each domain's line frequencies,

@@ -584,9 +584,19 @@ object Dedup {
     * common case: quotes against a big corpus), and the positional
     * filter above cuts the hot tail of that sum before the distinct.
     */
+  /** `aFilter` restricts the CONTAINED (`id_a`) side to a subset of
+    * docs — the excerpt-detection regime: "which of these N quotes
+    * appear inside the corpus" runs the prefix side over just the
+    * query batch while the corpus side stays one linear posting pass.
+    * Output equals the unrestricted join filtered to `id_a` in the
+    * batch; at 100 TB this is THE way to run containment (the
+    * unrestricted all-pairs self-join squares the candidate volume —
+    * spill-bound long before CPU-bound).
+    */
   def containmentPairsInverted(df: DataFrame, idCol: String, textCol: String,
                                shingleSize: Int, threshold: Double,
-                               maxDf: Long = 0L): DataFrame = {
+                               maxDf: Long = 0L,
+                               aFilter: Column = lit(true)): DataFrame = {
     val withSh = df.select(col(idCol).cast("long").as("id"),
       shingles(graft.text.TextAnalysis.tokens(col(textCol)), shingleSize)
         .as("__sh"))
@@ -606,7 +616,11 @@ object Dedup {
     val ord = capped.join(dfs, "h")
       .groupBy(col("id"), col("__len"))
       .agg(sort_array(collect_list(struct(col("__df"), col("h")))).as("__ord"))
-    val a = ord.select(col("id"), col("__len"),
+    // aFilter is evaluated against the internal `id` column (idCol
+    // cast to long) — it prunes the prefix side BEFORE the explode, so
+    // a query-sized batch keeps the candidate join batch × corpus
+    val a = ord.where(aFilter)
+      .select(col("id"), col("__len"),
         explode(slice(col("__ord"), lit(1),
           (col("__len") - ceil(lit(threshold) * col("__len")) + 1)
             .cast("int"))).as("__p"))

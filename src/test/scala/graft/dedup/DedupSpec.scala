@@ -303,6 +303,20 @@ class DedupSpec extends SparkSpec {
       "Jaccard misses the excerpt relation")
   }
 
+  test("containment aFilter batch form == unrestricted result filtered " +
+    "to the batch") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.model.Tables.documents(spark, sf()).where($"doc_id" < 150)
+    val full = Dedup.containmentPairsInverted(docs, "doc_id", "text", 3, 0.5)
+      .where(col("id_a") % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.containmentPairsInverted(docs, "doc_id", "text", 3, 0.5,
+        aFilter = col("id") % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch == full, "aFilter must only restrict the contained side")
+    assert(batch.nonEmpty, "fixture must exercise the batch path")
+  }
+
   test("substring dedup handles within-doc repetition and adjacency merge") {
     val rep = (0 until 4).map(_ => "a b c d").mkString(" ") // "a b c d" x4
     val df = Seq((1L, rep), (2L, "unique words only here nothing shared at all"))
