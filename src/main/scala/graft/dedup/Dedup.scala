@@ -146,6 +146,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** MinHash sketch-accuracy evaluation — the calibration loop for the
+    * LSH dedup path: for every LSH candidate pair, the SIGNATURE
+    * jaccard estimate (fraction of agreeing components — what a
+    * sketch-only pipeline would act on) next to the EXACT jaccard over
+    * the full shingle sets, plus the absolute error. Tells you whether
+    * `numHashes` is sized right for the threshold BEFORE trusting the
+    * sketch at corpus scale (E[err] ≈ √(j(1−j)/k)).
+    *
+    * Scale shape: identical to [[minhashNearDups]] (banded bucket join,
+    * signature-sized shuffle) with one extra signature join — the
+    * evaluation costs what the dedup costs, nothing extra.
+    */
+  def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 3, numHashes: Int = 16,
+                           bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withShingles = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shingles(col("__toks"), shingleSize).as("__sh"))
+    val signed = withShingles
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    val pairs = lshCandidatePairs(
+      lshBands(signed, idCol, "__sig", bands, rowsPerBand), idCol)
+    val sigs = signed.select(col(idCol).cast("long"), col("__sig"))
+    val est = pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("__sig").as("__sa")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("__sig").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(zip_with(col("__sa"), col("__sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast("double") / numHashes, 6)
+          .as("est_jaccard"))
+    withJaccard(est, withShingles, idCol, "__sh")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        round(col("jaccard"), 6).as("exact_jaccard"),
+        round(abs(col("est_jaccard") - round(col("jaccard"), 6)), 6)
+          .as("abs_err"))
+  }
+
   /** SimHash (64-bit): majority vote per bit over token hashes. Built as
     * a fold over bit positions of a fold over tokens — all codegen'd.
     */

@@ -563,12 +563,41 @@ object NorthStarQueries {
       Dedup.jaccardPairsInverted(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, threshold = 0.8)),
 
+    // MinHash sketch calibration: per LSH candidate pair, the signature
+    // jaccard ESTIMATE next to the exact jaccard + abs error — sizes
+    // numHashes for the threshold before trusting the sketch at scale.
+    // Estimates materialize to the aux dir (hash-dependent, not
+    // SQL-expressible); the oracle recomputes exact + error from them
+    "dedup_minhash_est_error" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Dedup.minhashEstimatePairs(docs, "doc_id", "text")
+        .select("id_a", "id_b", "est_jaccard")
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "mh_est"))
+      val withSh = docs.select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("__sh"))
+      Dedup.withJaccard(s.read.parquet(OracleAux.dir(dir, "mh_est")),
+          withSh, "doc_id", "__sh")
+        .select(col("id_a"), col("id_b"), col("est_jaccard"),
+          round(col("jaccard"), 6).as("exact_jaccard"),
+          round(abs(col("est_jaccard") - round(col("jaccard"), 6)), 6)
+            .as("abs_err"))
+    }),
+
     // EXACT directional containment pairs (quote/excerpt detection):
     // |Sa∩Sb|/|Sa| >= t — the asymmetric relation Jaccard misses; A-side
     // prefix filter + B-side full postings + length prune, full-set verify
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairsInverted(Tables.documents(s, dir), "doc_id",
         "text", shingleSize = 3, threshold = 0.5)),
+
+    // the batch (excerpt-detection) mode — THE way to run containment
+    // at corpus scale: the prefix side is a fixed query slice, the
+    // corpus contributes one linear posting pass (×128-probed
+    // near-flat); output = the unrestricted join filtered to the batch
+    "dedup_containment_batch" -> ((s, dir) =>
+      Dedup.containmentPairsInverted(Tables.documents(s, dir), "doc_id",
+        "text", shingleSize = 3, threshold = 0.5,
+        aFilter = col("id") % 2 === 1)),
 
     // cross-source overlap matrix: distinct shared 3-token lines per
     // source pair + per-side overlap fractions — which sources are
@@ -2110,6 +2139,56 @@ object NorthStarQueries {
         |  round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
         |FROM inter JOIN sizes sa ON sa.id = id_a
         |WHERE round(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.5""".stripMargin,
+
+    // the unrestricted containment oracle filtered to the odd-id batch
+    "dedup_containment_batch" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id AS id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks
+        |), sizes AS (
+        |  SELECT id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id
+        |  WHERE a.id % 2 = 1
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+        |FROM inter JOIN sizes sa ON sa.id = id_a
+        |WHERE round(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.5""".stripMargin,
+
+    // estimates read from the materialized aux (hash-dependent); exact
+    // jaccard + error recomputed from text — validates the sketch
+    // evaluation arithmetic engine-for-engine
+    "dedup_minhash_est_error" ->
+      s"""WITH p AS (SELECT id_a, id_b, est_jaccard
+        |  FROM read_parquet('${OracleAux.sqlDir("mh_est")}/*.parquet')),
+        |d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                     for i in range(1, len(toks) - 1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s
+        |  FROM d),
+        |e AS (
+        |  SELECT p.id_a, p.id_b, p.est_jaccard,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(a.s || b.s)), 6) AS exact_jaccard
+        |  FROM p JOIN sh a ON a.doc_id = p.id_a
+        |         JOIN sh b ON b.doc_id = p.id_b)
+        |SELECT id_a, id_b, est_jaccard, exact_jaccard,
+        |  round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+        |FROM e""".stripMargin,
 
     // same ceil-segmented lines as text_line_dedup, distinct per
     // (source, line), pair counts via the same line-key self-join

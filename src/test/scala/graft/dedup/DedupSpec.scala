@@ -57,6 +57,31 @@ class DedupSpec extends SparkSpec {
       s"signature agreement $agree should approximate true jaccard $trueJ")
   }
 
+  test("minhashEstimatePairs: estimate == signature agreement, error bounded") {
+    // two docs sharing ~half their shingles (j ≈ 1/3) collide in LSH
+    // at 2-row bands (P ≈ 1-(1-j²)^64 ≈ 1); the estimate must equal
+    // the manual signature-agreement fraction and sit near true jaccard
+    val df = Seq(
+      (1L, (0 until 40).map(i => s"w$i").mkString(" ")),
+      (2L, (20 until 60).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "t")
+    val out = Dedup.minhashEstimatePairs(df, "doc_id", "t",
+        shingleSize = 3, numHashes = 128, bands = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length == 1, "the overlapping pair must be an LSH candidate")
+    val (a, b, est, exact, err) = out.head
+    assert((a, b) == (1L, 2L))
+    val sh = df.select($"doc_id",
+      Dedup.shingles(TextAnalysis.tokens($"t"), 3).as("sh"))
+    val sig = sh.select($"doc_id", Dedup.minhashSignature($"sh", 128).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agree = sig(1L).zip(sig(2L)).count { case (x, y) => x == y } / 128.0
+    assert(est == math.rint(agree * 1e6) / 1e6, s"est $est vs agreement $agree")
+    assert(err == math.rint(math.abs(est - exact) * 1e6) / 1e6)
+    assert(err < 0.15, s"128-hash estimate should be close, err=$err")
+  }
+
   test("simhash: identical docs get identical fingerprints; near-dups within hamming 3") {
     val docs = Tables.documents(spark, sf())
     val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
