@@ -599,6 +599,26 @@ object NorthStarQueries {
         "text", shingleSize = 3, threshold = 0.5,
         aFilter = col("id") % 2 === 1)),
 
+    // classifier-based quality filter (CCNet/fastText shape): logistic
+    // regression over md5-hashed token buckets, trained distributed in
+    // 3 full-batch GD passes with micro-unit-long gradient sums (bit-
+    // identical weights whatever the partitioning), scored map-only.
+    // The trained model materializes to the aux dir (bucket -1 = bias,
+    // micro units); the oracle re-scores every doc from it
+    "text_quality_classifier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      val (w, b) = graft.text.QualityClassifier.train(
+        docs, "text", col("lang") === "en", numBuckets = 256, iters = 3)
+      val model = (-1 -> math.rint(b * 1e9).toLong) +:
+        w.toSeq.zipWithIndex.map { case (wt, i) =>
+          i -> math.rint(wt * 1e9).toLong }
+      import s.implicits._
+      model.toDF("bucket", "w_micro").coalesce(1)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "quality_lr"))
+      graft.text.QualityClassifier.score(docs, "doc_id", "text", w, b,
+        numBuckets = 256, threshold = 0.5)
+    }),
+
     // cross-source overlap matrix: distinct shared 3-token lines per
     // source pair + per-side overlap fractions — which sources are
     // contaminated with each other, BEFORE they join a training mix
@@ -2189,6 +2209,32 @@ object NorthStarQueries {
         |SELECT id_a, id_b, est_jaccard, exact_jaccard,
         |  round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
         |FROM e""".stripMargin,
+
+    // scoring re-derived from the materialized micro-unit model: same
+    // md5 bucket, integer weight sum (order-free), same sigmoid + 6dp
+    "text_quality_classifier" ->
+      s"""WITH wts AS (SELECT bucket, w_micro
+        |  FROM read_parquet('${OracleAux.sqlDir("quality_lr")}/*.parquet')),
+        |bias AS (SELECT w_micro / 1e9 AS b FROM wts WHERE bucket = -1),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM t),
+        |j AS (
+        |  SELECT x.doc_id, x.n, w.w_micro
+        |  FROM x JOIN wts w ON w.bucket =
+        |    CAST(CAST(('0x' || substr(md5(x.tok), 1, 8)) AS UBIGINT) % 256
+        |      AS BIGINT)),
+        |z AS (
+        |  SELECT doc_id, any_value(n) AS n,
+        |    CAST(sum(w_micro) AS BIGINT) AS sm
+        |  FROM j GROUP BY doc_id),
+        |p AS (
+        |  SELECT doc_id,
+        |    round(1.0 / (1.0 + exp(-((SELECT b FROM bias)
+        |      + (sm / 1e9) / n))), 6) AS p_quality
+        |  FROM z)
+        |SELECT doc_id, p_quality, p_quality >= 0.5 AS keep FROM p""".stripMargin,
 
     // same ceil-segmented lines as text_line_dedup, distinct per
     // (source, line), pair counts via the same line-key self-join
