@@ -205,6 +205,17 @@ object ScaleCheck {
           graft.dedup.Dedup.containmentPairsInverted(d, "doc_id", "text",
             shingleSize = 3, threshold = 0.5).count()
         }
+        // quality-classifier training: per GD iteration one broadcast-
+        // weights scoring pass + one bucket-keyed gradient agg — both
+        // linear corpus passes against a FIXED 256-double model, so the
+        // ratio must track the corpus with no vocabulary term (the
+        // gradients hash into fixed buckets, the DSIR discipline)
+        time(s"quality_lr_train_$tag") {
+          val (w, _) = graft.text.QualityClassifier.train(
+            d.select("doc_id", "lang", "text"), "text",
+            col("lang") === "en", numBuckets = 256, iters = 1)
+          w.length.toLong
+        }
         // BM25 with a FIXED query set (replica-0 vocabulary at x32):
         // the posting-list stage must stay query-sized while only the
         // corpus-stats pass (N, avgdl) grows with the corpus
