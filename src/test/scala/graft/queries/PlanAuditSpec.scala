@@ -37,6 +37,13 @@ class PlanAuditSpec extends SparkSpec {
       "partial + final aggregation expected for tf and df\n" + p)
   }
 
+  test("text_quality_classifier scoring is map-only (weights are plan " +
+    "literals, no join and no exchange)") {
+    val p = plan("text_quality_classifier")
+    assert(!p.contains("Exchange"), s"scoring must not shuffle\n$p")
+    assert(!p.contains("Join"), s"weights must be literals, not a table\n$p")
+  }
+
   test("text_source_overlap: per-source totals broadcast onto the pair agg") {
     val p = plan("text_source_overlap")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
