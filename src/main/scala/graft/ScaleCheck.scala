@@ -150,8 +150,13 @@ object ScaleCheck {
         }
       }
       // build/query (and train/dedup below) share state across time()
-      // calls — gate each probe pair on the name filter as a unit
-      if (only("ivf_build") || only("ivf_query")) {
+      // calls — gate each probe pair on the name filter as a unit.
+      // The gate tests the ACTUAL timed names (size suffix included):
+      // only() is a substring match on user patterns, so testing the
+      // bare base name would silently skip the pair when the caller
+      // passes a full probe name like `ivf_build_x32`.
+      if (Seq("ivf_build_x1", "ivf_build_x32",
+              "ivf_query_x1", "ivf_query_x32").exists(only)) {
         ivfProbe("x1", emb0)
         ivfProbe("x32", embX)
       }
@@ -174,7 +179,8 @@ object ScaleCheck {
             .where(!col("keep")).count()
         }
       }
-      if (only("semdedup_train") || only("semdedup")) {
+      if (Seq("semdedup_train_x1", "semdedup_train_x32",
+              "semdedup_x1", "semdedup_x32").exists(only)) {
         semProbe("x1", emb0)
         semProbe("x32", embX)
       }
@@ -305,7 +311,7 @@ object ScaleCheck {
         val ok = labels.where(col("label") === 0).count() == n
         println(f"cc_chain_$tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (n=$n rounds=$rounds oneComponent=$ok)")
       }
-      if (only("cc_chain")) {
+      if (Seq("cc_chain_x1", "cc_chain_x32").exists(only)) {
         ccProbe("x1", 20000L)
         ccProbe("x32", 640000L)
       }
@@ -406,7 +412,7 @@ object ScaleCheck128 {
       time(s"dedup_containment_batch_x$mult") {
         graft.dedup.Dedup.containmentPairsInverted(d, "doc_id", "text",
           shingleSize = 3, threshold = 0.5,
-          aFilter = col("id") < 1000000L && col("id") % 10 === 7).count()
+          aFilter = col("doc_id") < 1000000L && col("doc_id") % 10 === 7).count()
       }
       // per-domain line dedup: the df spectrum is PER SOURCE (one hot
       // domain = one hot stratum), spikier than the corpus-wide

@@ -631,6 +631,11 @@ object Dedup {
     * batch; at 100 TB this is THE way to run containment (the
     * unrestricted all-pairs self-join squares the candidate volume —
     * spill-bound long before CPU-bound).
+    *
+    * `aFilter` is resolved against the CALLER'S input frame (write it
+    * over `idCol` / any input column, e.g. `col("doc_id") % 2 === 1`)
+    * — it is evaluated before the internal rename, then carried as a
+    * boolean through to the prefix-side prune.
     */
   def containmentPairsInverted(df: DataFrame, idCol: String, textCol: String,
                                shingleSize: Int, threshold: Double,
@@ -638,27 +643,30 @@ object Dedup {
                                aFilter: Column = lit(true)): DataFrame = {
     val withSh = df.select(col(idCol).cast("long").as("id"),
       shingles(graft.text.TextAnalysis.tokens(col(textCol)), shingleSize)
-        .as("__sh"))
+        .as("__sh"),
+      aFilter.as("__isA"))
     val postings = withSh
-      .select(col("id"), size(col("__sh")).as("__len"),
+      .select(col("id"), col("__isA"), size(col("__sh")).as("__len"),
         explode(col("__sh")).as("__s"))
-      .select(col("id"), col("__len"), xxhash64(col("__s")).as("h"))
+      .select(col("id"), col("__isA"), col("__len"),
+        xxhash64(col("__s")).as("h"))
     val capped = if (maxDf > 0) {
       val dfs0 = postings.groupBy(col("h")).agg(count(lit(1)).as("__df"))
       postings.join(dfs0.where(col("__df") <= maxDf), "h")
-        .select(col("id"), col("__len"), col("h"))
+        .select(col("id"), col("__isA"), col("__len"), col("h"))
     } else postings
     val dfs = capped.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     // ONE shared per-doc (df, h) sort feeds both sides (identical
     // subplan → exchange reuse): a takes the pigeonhole prefix, b
-    // takes every posting plus its position in the same global order
+    // takes every posting plus its position in the same global order.
+    // __isA is functionally dependent on id, so adding it to the
+    // grouping key changes no group.
     val ord = capped.join(dfs, "h")
-      .groupBy(col("id"), col("__len"))
+      .groupBy(col("id"), col("__isA"), col("__len"))
       .agg(sort_array(collect_list(struct(col("__df"), col("h")))).as("__ord"))
-    // aFilter is evaluated against the internal `id` column (idCol
-    // cast to long) — it prunes the prefix side BEFORE the explode, so
-    // a query-sized batch keeps the candidate join batch × corpus
-    val a = ord.where(aFilter)
+    // the prefix side prunes BEFORE the explode, so a query-sized
+    // batch keeps the candidate join batch × corpus
+    val a = ord.where(col("__isA"))
       .select(col("id"), col("__len"),
         explode(slice(col("__ord"), lit(1),
           (col("__len") - ceil(lit(threshold) * col("__len")) + 1)

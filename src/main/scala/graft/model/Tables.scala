@@ -38,8 +38,17 @@ object Tables {
       case _ => df
     }
 
+  /** The TimestampNTZ branches of [[normalizeTs]]/[[eventsAfter]] cast
+    * TS↔NTZ through the SESSION time zone, so they are value-correct
+    * only under UTC — enforce it here (mirroring how nanosAsLong is
+    * set) rather than trusting every entry point to have done so.
+    */
+  private def forceUtc(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    forceUtc(spark)
     normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
@@ -54,6 +63,7 @@ object Tables {
     */
   def eventsAfter(spark: SparkSession, sfDir: String, watermarkEpochSec: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    forceUtc(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val pred = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

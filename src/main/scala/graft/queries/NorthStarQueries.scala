@@ -597,7 +597,7 @@ object NorthStarQueries {
     "dedup_containment_batch" -> ((s, dir) =>
       Dedup.containmentPairsInverted(Tables.documents(s, dir), "doc_id",
         "text", shingleSize = 3, threshold = 0.5,
-        aFilter = col("id") % 2 === 1)),
+        aFilter = col("doc_id") % 2 === 1)),
 
     // classifier-based quality filter (CCNet/fastText shape): logistic
     // regression over md5-hashed token buckets, trained distributed in

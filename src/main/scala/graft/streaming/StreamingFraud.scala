@@ -52,7 +52,16 @@ object StreamingFraud {
   def eventsStream(spark: SparkSession, dir: String, glob: String,
                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    // empty-at-start source: the footer peek can't infer a schema, so
+    // fall back to the raw-nanos fixture schema (the shape every test
+    // writer produces) instead of failing the stream start. The peek
+    // also pins the ts physical type from the files present at start —
+    // the source directory must stay type-stable for the stream's life.
+    val onDisk =
+      try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => eventsRawSchema
+      }
     val reader = spark.readStream.schema(onDisk).option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     graft.model.Tables.normalizeTs(reader.parquet(dir))

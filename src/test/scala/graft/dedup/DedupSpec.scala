@@ -336,7 +336,7 @@ class DedupSpec extends SparkSpec {
       .where(col("id_a") % 2 === 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val batch = Dedup.containmentPairsInverted(docs, "doc_id", "text", 3, 0.5,
-        aFilter = col("id") % 2 === 1)
+        aFilter = col("doc_id") % 2 === 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(batch == full, "aFilter must only restrict the contained side")
     assert(batch.nonEmpty, "fixture must exercise the batch path")
