@@ -211,15 +211,29 @@ object ScaleCheck {
           graft.dedup.Dedup.containmentPairsInverted(d, "doc_id", "text",
             shingleSize = 3, threshold = 0.5).count()
         }
-        // quality-classifier training: per GD iteration one broadcast-
-        // weights scoring pass + one bucket-keyed gradient agg — both
-        // linear corpus passes against a FIXED 256-double model, so the
-        // ratio must track the corpus with no vocabulary term (the
-        // gradients hash into fixed buckets, the DSIR discipline)
+        // quality-classifier training, full-batch: per GD iteration one
+        // broadcast-weights scoring pass + one bucket-keyed gradient
+        // agg over the persisted bucket cache — linear corpus passes
+        // against a FIXED 256-double model, so the ratio must track
+        // the corpus with no vocabulary term (the gradients hash into
+        // fixed buckets, the DSIR discipline)
         time(s"quality_lr_train_$tag") {
           val (w, _) = graft.text.QualityClassifier.train(
             d.select("doc_id", "lang", "text"), "text",
             col("lang") === "en", numBuckets = 256, iters = 1)
+          w.length.toLong
+        }
+        // the production form: FIXED ~500-doc content-hash sample
+        // whatever the corpus — cost is one corpus scan (tokenize +
+        // sample into the cache) plus sample-sized GD passes, so the
+        // ×32 ratio must collapse toward the scan cost alone (the
+        // CCNet discipline: nobody trains a linear filter on 100 TB)
+        time(s"quality_lr_train_sampled_$tag") {
+          val (w, _) = graft.text.QualityClassifier.train(
+            d.select("doc_id", "lang", "text"), "text",
+            col("lang") === "en", numBuckets = 256, iters = 3,
+            sampleMod = graft.text.QualityClassifier.sampleModFor(
+              d.count(), 500))
           w.length.toLong
         }
         // BM25 with a FIXED query set (replica-0 vocabulary at x32):

@@ -600,15 +600,20 @@ object NorthStarQueries {
         aFilter = col("doc_id") % 2 === 1)),
 
     // classifier-based quality filter (CCNet/fastText shape): logistic
-    // regression over md5-hashed token buckets, trained distributed in
-    // 3 full-batch GD passes with micro-unit-long gradient sums (bit-
-    // identical weights whatever the partitioning), scored map-only.
-    // The trained model materializes to the aux dir (bucket -1 = bias,
+    // regression over md5-hashed token buckets, trained distributed on
+    // a FIXED-SIZE content-hash sample (~250 docs whatever the corpus
+    // — the CCNet discipline; one corpus scan builds the persisted
+    // bucket-array cache, then 3 GD passes read only the sample) with
+    // micro-unit-long gradient sums (bit-identical weights whatever
+    // the partitioning), scored map-only over the FULL corpus. The
+    // trained model materializes to the aux dir (bucket -1 = bias,
     // micro units); the oracle re-scores every doc from it
     "text_quality_classifier" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
       val (w, b) = graft.text.QualityClassifier.train(
-        docs, "text", col("lang") === "en", numBuckets = 256, iters = 3)
+        docs, "text", col("lang") === "en", numBuckets = 256, iters = 3,
+        sampleMod = graft.text.QualityClassifier.sampleModFor(
+          docs.count(), 250))
       val model = (-1 -> math.rint(b * 1e9).toLong) +:
         w.toSeq.zipWithIndex.map { case (wt, i) =>
           i -> math.rint(wt * 1e9).toLong }

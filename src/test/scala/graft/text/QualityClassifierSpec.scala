@@ -26,6 +26,22 @@ class QualityClassifierSpec extends SparkSpec {
       s"margins should separate: $gap")
   }
 
+  test("sampleMod trains on the content-hash sample: identical to a " +
+    "full train over the pre-filtered subset") {
+    val docs = graft.model.Tables.documents(spark, sf())
+      .select("doc_id", "lang", "text")
+    val mod = 4L
+    val (w1, b1) = QualityClassifier.train(docs, "text",
+      col("lang") === "en", numBuckets = 64, iters = 2, sampleMod = mod)
+    val pre = docs.where(pmod(xxhash64(col("text")), lit(mod)) === 0)
+    val (w2, b2) = QualityClassifier.train(pre, "text",
+      col("lang") === "en", numBuckets = 64, iters = 2)
+    assert(b1 == b2 && w1.sameElements(w2),
+      "sampleMod must be exactly the xxhash64-of-content filter")
+    assert(pre.count() < docs.count(),
+      "fixture must actually sample the corpus down")
+  }
+
   test("training is deterministic: identical weights across runs and " +
     "partitionings") {
     val docs = graft.model.Tables.documents(spark, sf())
