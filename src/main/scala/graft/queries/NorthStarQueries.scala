@@ -309,6 +309,14 @@ object NorthStarQueries {
     "text_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, dir), "text", 25)),
 
+    // the full iterative BPE training loop (count → merge top pair →
+    // recount, k rounds): the learned merge table a tokenizer ships.
+    // Every round is vocabulary-sized; the oracle replays the entire
+    // loop as a k-stage CTE chain, so the merge CHOICE at every rank
+    // is verified, not just the apply step
+    "text_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(Tables.documents(s, dir), "text", 6)),
+
     // unigram LM quality score (CCNet-style perplexity filter, order-0):
     // model trained on the corpus, scored by mean token log-prob —
     // micro-nat decimal sums keep it partition-order-invariant
@@ -975,6 +983,57 @@ object NorthStarQueries {
         THEN '?' || array_to_string($params, '&') ELSE '' END)"""
   }
 
+  /** DuckDB twin of [[graft.text.TextAnalysis.bpeMerges]]: a generated
+    * `k`-stage CTE chain that REPLAYS the whole training loop — stage
+    * `i` recounts adjacent symbol pairs over vocabulary `v(i-1)` (the
+    * same delimiter-rendered symbol strings), picks top-1 under the
+    * identical (count desc, lhs asc, rhs asc) order, and applies the
+    * identical literal replace to form `v(i)` — so every merge CHOICE
+    * is verified engine-for-engine, not just the final apply.
+    */
+  private def bpeMergesOracle(k: Int): String = {
+    // every CTE is MATERIALIZED: each stage is consumed 2+ times (the
+    // next pair count, the next vocabulary, and t_i's four scalar
+    // subqueries) — inlined CTEs would re-expand the whole prefix
+    // chain per reference, exponential in k
+    val sb = new StringBuilder
+    sb.append(
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS s, COUNT(*) AS wc
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 1 AND w NOT LIKE '%|%'
+        |  GROUP BY 1
+        |)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT sy[j] AS lhs, sy[j+1] AS rhs, CAST(SUM(wc) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(substr(s, 2, length(s) - 2), '||') AS sy,
+        |               wc
+        |        FROM v${i - 1}) q, unnest(range(1, len(sy))) AS u(j)
+        |  GROUP BY 1, 2
+        |),
+        |t$i AS MATERIALIZED (
+        |  SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1
+        |)""".stripMargin)
+      if (i < k) sb.append(s""",
+        |v$i AS MATERIALIZED (
+        |  SELECT replace(s,
+        |    '|' || (SELECT lhs FROM t$i) || '||' || (SELECT rhs FROM t$i) || '|',
+        |    '|' || (SELECT lhs FROM t$i) || (SELECT rhs FROM t$i) || '|') AS s,
+        |    wc
+        |  FROM v${i - 1}
+        |)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to k).map(i =>
+      s"""SELECT CAST($i AS INTEGER) AS rank, lhs, rhs,
+         |  lhs || rhs AS merged, cnt AS pair_count FROM t$i""".stripMargin)
+      .mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
   def oracles: Map[String, String] = Map(
     // pair step over the materialized fingerprints (written by the query
     // itself immediately before the check reads it)
@@ -1222,6 +1281,8 @@ object NorthStarQueries {
         |  round(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term ASC) AS DOUBLE)
         |    / (SELECT n_total FROM t), 6) AS cum_frac
         |FROM top""".stripMargin,
+
+    "text_bpe_merges" -> bpeMergesOracle(6),
 
     "text_bpe_pairs" ->
       """WITH v AS (

@@ -1061,6 +1061,73 @@ object TextAnalysis {
         row_number().over(w).cast("int").as("rank"))
   }
 
+  /** Iterative BPE training (Sennrich et al. 2016) — the REAL
+    * tokenizer-training loop, not just the single pair-count step of
+    * [[bpePairCounts]]: `kMerges` rounds of count adjacent symbol
+    * pairs → pick the most frequent (ties: lexicographic on the pair)
+    * → merge it everywhere → recount. Returns the learned merge table
+    * `(rank, lhs, rhs, merged, pair_count)` — the model a BPE
+    * tokenizer ships.
+    *
+    * Representation: each vocabulary word is a delimiter-rendered
+    * symbol string `|c1||c2|...|cn|`, so applying a merge is ONE
+    * codegen'd literal `replace(s, "|l||r|", "|lr|")` — linear scans
+    * in native string code, no per-word array fold — and the greedy
+    * left-to-right non-overlapping semantics of `replace` are exactly
+    * BPE's merge-application rule ("a a a" + merge (a,a) → "aa a").
+    * `|` is reserved: tokens containing it are excluded from the
+    * vocabulary (both here and in the oracle twin).
+    *
+    * Scale shape: like [[bpePairCounts]], every round runs over the
+    * DISTINCT-word vocabulary (Heaps-law-sized, ≪ corpus; word counts
+    * ride along as weights), so a round costs one vocabulary-sized
+    * map + hash agg; the driver holds only the current top pair (one
+    * row per round — the k-means-centroids precedent) and
+    * `localCheckpoint` pins each round's vocabulary so round k never
+    * re-executes rounds 1..k-1. Pair counts are integer sums —
+    * deterministic under any partitioning.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, kMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= 1 && !col("w").contains("|"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(regexp_replace(col("w"), "(.)", "|$1|").as("s"), col("wc"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    for (i <- 1 to kMerges if !exhausted) {
+      val syms = split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|")
+      val pairs = vocab
+        .select(col("wc"), syms.as("sy"))
+        .where(size(col("sy")) >= 2)
+        .select(col("wc"),
+          explode(transform(sequence(lit(0), size(col("sy")) - 2),
+            j => struct(element_at(col("sy"), j + 1).as("l"),
+                        element_at(col("sy"), j + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("wc")).as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        merges += ((i, l, r, cnt))
+        vocab = vocab
+          .withColumn("s", replace(col("s"),
+            lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+      .toDF("rank", "lhs", "rhs", "pair_count")
+      .select(col("rank").cast("int"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+  }
+
   /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
     * `n`-gram shingles that occur in NO other document (corpus df = 1)
     * — high novelty marks genuinely fresh content, low novelty marks

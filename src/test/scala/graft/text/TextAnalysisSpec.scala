@@ -12,6 +12,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq("a", "b", "c", "d"))
   }
 
+  test("bpeMerges learns the hand-computed merge sequence") {
+    // corpus: "aaab" x3, "ab" x2 (one word per doc half; weights via
+    // repetition). Round 1: pairs (a,a)=6 [2 per aaab], (a,b)=5 →
+    // merge (a,a). Round 2: aaab = [aa,a,b] (greedy left-to-right) →
+    // (aa,a)=3, (a,b)=3+2=5 → merge (a,b). Round 3: aaab = [aa,ab],
+    // ab = [ab] → (aa,ab)=3 → merge (aa,ab).
+    val docs = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).toDF("text")
+    val out = TextAnalysis.bpeMerges(docs, "text", 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)))
+  }
+
+  test("bpeMerges merge application is greedy left-to-right " +
+    "non-overlapping") {
+    // "aaaa" x1: round 1 pair (a,a)=3 → merge → [aa,aa] (NOT [a,aa,a]);
+    // round 2: (aa,aa)=1
+    val docs = Seq("aaaa").toDF("text")
+    val out = TextAnalysis.bpeMerges(docs, "text", 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(out.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("bpeMerges stops early when no pairs remain") {
+    val docs = Seq("ab cd").toDF("text")
+    val out = TextAnalysis.bpeMerges(docs, "text", 5)
+    // rounds 1-2 merge (a,b) then (c,d); all words single-symbol after
+    assert(out.count() == 2)
+  }
+
   test("quality stats on a crafted document") {
     val text = "the cat sat of the mat, and it is a test!"
     val out = TextAnalysis.qualityStats(Seq(text).toDF("text"), "text").head()
