@@ -211,6 +211,14 @@ object ScaleCheck {
           graft.dedup.Dedup.containmentPairsInverted(d, "doc_id", "text",
             shingleSize = 3, threshold = 0.5).count()
         }
+        // the bottom-k sketch screen over the SAME all-pairs regime:
+        // A-side volume is k per doc (constant) instead of the
+        // (1-t)·|a| prefix, so the ratio must stay ~linear in the
+        // corpus — the bounded-cost path for the spill-bound regime
+        time(s"dedup_cont_sketch_$tag") {
+          graft.dedup.Dedup.containmentSketchPairs(d, "doc_id", "text",
+            shingleSize = 3, k = 8, minEst = 0.3).count()
+        }
         // quality-classifier training, full-batch: per GD iteration one
         // broadcast-weights scoring pass + one bucket-keyed gradient
         // agg over the persisted bucket cache — linear corpus passes

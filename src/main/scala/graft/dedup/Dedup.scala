@@ -691,4 +691,64 @@ object Dedup {
       .where(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }
+
+  /** APPROXIMATE all-pairs containment screen via a bottom-`k` sketch —
+    * the bounded-cost candidate generator for the regime the exact
+    * all-pairs join can't survive (its A-side prefix is `(1-t)·|a|`
+    * postings per doc, so at t=0.5 HALF of every document shuffles;
+    * the ×128 probe records that join as spill-bound).
+    *
+    * Sketch (bottom-k / KMV, Broder '97 one-permutation form): a doc's
+    * sketch is its `k` SMALLEST distinct-shingle `xxhash64` values — a
+    * deterministic, order-free, engine-reproducible uniform sample of
+    * the shingle set (no random seeds, unlike banded MinHash).
+    * `est C(a→b) = |bottomK(a) ∩ S_b| / min(k, |S_a|)` — exact when
+    * `|S_a| ≤ k`, else a hypergeometric sample estimate with absolute
+    * error O(1/√k). Join shape: A-side explodes at most `k` postings
+    * per doc (CONSTANT, vs the prefix's `(1-t)·|a|`) against B's full
+    * posting list on the 8-byte hash; per-pair match counts are one
+    * hash agg. A cross-shingle hash collision can only nudge the
+    * estimate up — survivors are re-scored exactly downstream, the
+    * same contract as every candidate stage here.
+    *
+    * Returns `(id_a, id_b, est_containment)` for pairs with
+    * `est ≥ minEst` — run with `minEst = t - margin` and feed the
+    * survivors to the exact verifier (the [[jaccardPairsInverted]]
+    * verify stage shape); the screen's miss probability is the
+    * hypergeometric tail below `minEst`, the documented trade for
+    * bounded shuffle volume.
+    */
+  def containmentSketchPairs(df: DataFrame, idCol: String, textCol: String,
+                             shingleSize: Int, k: Int,
+                             minEst: Double): DataFrame = {
+    val hashes = df.select(col(idCol).cast("long").as("id"),
+      array_sort(array_distinct(transform(
+        shingles(graft.text.TextAnalysis.tokens(col(textCol)), shingleSize),
+        s => xxhash64(s)))).as("__hs"))
+    val a = hashes.select(col("id").as("id_a"),
+      least(size(col("__hs")), lit(k)).as("__ka"),
+      explode(slice(col("__hs"), 1, k)).as("h"))
+    val b = hashes.select(col("id").as("id_b"), explode(col("__hs")).as("h"))
+    a.join(b, "h")
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("__ka"))
+      .agg(count(lit(1)).as("__m"))
+      .withColumn("est_containment",
+        round(col("__m").cast("double") / col("__ka"), 6))
+      .where(col("est_containment") >= minEst)
+      .select(col("id_a"), col("id_b"), col("est_containment"))
+  }
+
+  /** Exact directional containment re-scored over full shingle sets
+    * for a given pair list — the verify stage the sketch screen feeds.
+    */
+  def withContainment(pairs: DataFrame, withSh: DataFrame,
+                      idCol: String, shCol: String): DataFrame =
+    pairs
+      .join(withSh.select(col(idCol).as("id_a"), col(shCol).as("__sh_a")), "id_a")
+      .join(withSh.select(col(idCol).as("id_b"), col(shCol).as("__sh_b")), "id_b")
+      .withColumn("exact_containment",
+        round(size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(col("__sh_a")), 6))
+      .drop("__sh_a", "__sh_b")
 }

@@ -607,6 +607,30 @@ object NorthStarQueries {
         "text", shingleSize = 3, threshold = 0.5,
         aFilter = col("doc_id") % 2 === 1)),
 
+    // bounded-cost APPROXIMATE containment screen (bottom-k sketch)
+    // for the all-pairs regime the exact join is spill-bound in: the
+    // A-side explodes ≤ k postings per doc (constant) instead of the
+    // (1-t)·|a| prefix. Estimates materialize to the aux dir
+    // (hash-dependent); exact containment + abs error are re-scored
+    // from the full shingle sets — the dedup_minhash_est_error
+    // calibration pattern, so the screen's error is a measured,
+    // oracle-checked number
+    "dedup_containment_sketch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Dedup.containmentSketchPairs(docs, "doc_id", "text",
+          shingleSize = 3, k = 8, minEst = 0.3)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "cont_sketch"))
+      val withSh = docs.select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("__sh"))
+      Dedup.withContainment(
+          s.read.parquet(OracleAux.dir(dir, "cont_sketch")),
+          withSh, "doc_id", "__sh")
+        .select(col("id_a"), col("id_b"), col("est_containment"),
+          col("exact_containment"),
+          round(abs(col("est_containment") - col("exact_containment")), 6)
+            .as("abs_err"))
+    }),
+
     // classifier-based quality filter (CCNet/fastText shape): logistic
     // regression over md5-hashed token buckets, trained distributed on
     // a FIXED-SIZE content-hash sample (~250 docs whatever the corpus
@@ -2274,6 +2298,32 @@ object NorthStarQueries {
         |         JOIN sh b ON b.doc_id = p.id_b)
         |SELECT id_a, id_b, est_jaccard, exact_jaccard,
         |  round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+        |FROM e""".stripMargin,
+
+    // sketch estimates read from the materialized aux (hash-dependent);
+    // exact containment + error recomputed from text — the screen's
+    // bounded-error claim as an engine-for-engine-checked number
+    "dedup_containment_sketch" ->
+      s"""WITH p AS (SELECT id_a, id_b, est_containment
+        |  FROM read_parquet('${OracleAux.sqlDir("cont_sketch")}/*.parquet')),
+        |d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                     for i in range(1, len(toks) - 1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s
+        |  FROM d),
+        |e AS (
+        |  SELECT p.id_a, p.id_b, p.est_containment,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(a.s), 6) AS exact_containment
+        |  FROM p JOIN sh a ON a.doc_id = p.id_a
+        |         JOIN sh b ON b.doc_id = p.id_b)
+        |SELECT id_a, id_b, est_containment, exact_containment,
+        |  round(abs(est_containment - exact_containment), 6) AS abs_err
         |FROM e""".stripMargin,
 
     // scoring re-derived from the materialized micro-unit model: same

@@ -342,6 +342,35 @@ class DedupSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture must exercise the batch path")
   }
 
+  test("containment sketch: exact when |S_a| <= k, screens the planted " +
+    "excerpt, high recall vs the exact join on the corpus") {
+    import org.apache.spark.sql.functions.col
+    // planted pair: 10-token excerpt (8 shingles = k, so the sketch IS
+    // the full set) inside a 100-token doc → est must be exactly 1.0
+    val big = (1 to 100).map(i => s"w$i").mkString(" ")
+    val excerpt = (21 to 30).map(i => s"w$i").mkString(" ")
+    val two = Seq((1L, excerpt), (2L, big)).toDF("doc_id", "text")
+    val sk = Dedup.containmentSketchPairs(two, "doc_id", "text", 3, 8, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sk((1L, 2L)) == 1.0, s"excerpt sketch must be exact: $sk")
+    assert(!sk.contains((2L, 1L)), "big doc is not contained in the excerpt")
+
+    // corpus: every exact t=0.5 pair must survive the minEst=0.3 screen
+    // for docs the sketch covers fully, and near-all overall (the
+    // hypergeometric tail is tiny at j≈0.95 planted dups)
+    val docs = graft.model.Tables.documents(spark, sf()).where($"doc_id" < 250)
+      .select("doc_id", "text")
+    val exact = Dedup.containmentPairsInverted(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val screened = Dedup.containmentSketchPairs(docs, "doc_id", "text", 3, 8, 0.3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain containment pairs")
+    val recall = (exact & screened).size.toDouble / exact.size
+    assert(recall >= 0.9, s"screen recall $recall over ${exact.size} pairs")
+  }
+
   test("substring dedup handles within-doc repetition and adjacency merge") {
     val rep = (0 until 4).map(_ => "a b c d").mkString(" ") // "a b c d" x4
     val df = Seq((1L, rep), (2L, "unique words only here nothing shared at all"))
