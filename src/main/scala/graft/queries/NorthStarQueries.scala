@@ -961,6 +961,31 @@ object NorthStarQueries {
           col("checksum"),
           round(aggregate(col("features"),
             lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("feature_l1"))
+    }),
+
+    // payload near-dup (perceptual-hash style): block-hash histogram
+    // features through the decode boundary, then the SRP-banded cosine
+    // candidate join + exact verify — never all-pairs. Text-as-bytes
+    // payloads (asMedia) carry the corpus' planted near-dups; features
+    // and candidates materialize to the aux dir (the JVM decode
+    // boundary + hash-dependent banding), the oracle re-scores the
+    // exact stage from them — the sim_cosine_neardups contract
+    "multimodal_neardups" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.extractPerceptualFeatures(s, media).toDF()
+        .select(col("media_id"), col("features"))
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "mm_feats"))
+      val f = s.read.parquet(OracleAux.dir(dir, "mm_feats"))
+      // srpPlan sizes the banding per corpus; bgSim=0.7 is the
+      // measured background cosine of the block-hash feature space
+      val (bits, bands) = Similarity.srpPlan(f.count(), 0.95, 0.98,
+        targetBucket = 8, bgSim = 0.7)
+      Similarity.cosineNearDupCandidates(f, "media_id", "features",
+          threshold = 0.95, numPlanes = bits * bands, bands = bands)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "mm_cands"))
+      Similarity.cosineNearDupsFromCandidates(
+        s.read.parquet(OracleAux.dir(dir, "mm_cands")),
+        f, "media_id", "features", threshold = 0.95)
     })
   )
 
@@ -1156,6 +1181,21 @@ object NorthStarQueries {
         |         JOIN e be ON p.id_b = be.vec_id)
         |SELECT id_a, id_b, round(score, 6) AS score
         |FROM s WHERE score >= 0.4""".stripMargin,
+
+    // exact stage over the materialized perceptual features +
+    // banded candidates (both hash-dependent JVM artifacts) — same
+    // contract as sim_cosine_neardups
+    "multimodal_neardups" ->
+      s"""WITH p AS (SELECT id_a, id_b
+        |  FROM read_parquet('${OracleAux.sqlDir("mm_cands")}/*.parquet')),
+        |e AS (SELECT media_id, CAST(features AS DOUBLE[]) AS v
+        |      FROM read_parquet('${OracleAux.sqlDir("mm_feats")}/*.parquet')),
+        |s AS (SELECT p.id_a, p.id_b,
+        |  list_cosine_similarity(ae.v, be.v) AS score
+        |  FROM p JOIN e ae ON p.id_a = ae.media_id
+        |         JOIN e be ON p.id_b = be.media_id)
+        |SELECT id_a, id_b, round(score, 6) AS score
+        |FROM s WHERE score >= 0.95""".stripMargin,
 
     // nearest-centroid assignment against the materialized k-means
     // model; struct-max in Spark = (sim DESC, cell DESC) in SQL

@@ -71,6 +71,44 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Long]("n_bytes") === 250L)
   }
 
+  test("perceptual near-dup: identical payloads at 1.0, a same-length " +
+    "edit stays above threshold, unrelated content below; banded join " +
+    "finds them without all-pairs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val edited = base.replace("tok20", "tok99") // same-length substitution
+    val other = (1 to 40).map(i => s"zzz$i qq$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, edited), (4L, other))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.extractPerceptualFeatures(
+      spark, Multimodal.asMedia(docs, "doc_id", "text")).toDF()
+      .select(col("media_id"), col("features"))
+    val pairs = graft.similarity.Similarity.cosineNearDups(
+        feats, "media_id", "features", threshold = 0.95,
+        numPlanes = 16 * 8, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0, s"identical payloads: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) >= 0.95,
+      s"same-length edit shares all other blocks: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated payload must not pair: $pairs")
+  }
+
+  test("fakeDecodeBlockFeatures: hand computation over two 8-byte blocks") {
+    val payload = ("A" * 8 + "B" * 8).getBytes("US-ASCII")
+    val f = Multimodal.fakeDecodeBlockFeatures(payload)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(s: String): Int = {
+      val d = md.digest(s.getBytes("US-ASCII"))
+      math.floorMod(((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+        ((d(2) & 0xff) << 8) | (d(3) & 0xff), Multimodal.FeatureDim)
+    }
+    val (b1, b2) = (bucket("A" * 8), bucket("B" * 8))
+    val expected = Array.fill(Multimodal.FeatureDim)(0f)
+    expected(b1) += 0.5f
+    expected(b2) += 0.5f
+    assert(f.toSeq == expected.toSeq)
+  }
+
   test("asBinaryMedia synthesizes full-range bytes; checksum matches a " +
     "hand computation over the hex encoding") {
     val docs = Seq((7L, "x" * 40)).toDF("doc_id", "text")
