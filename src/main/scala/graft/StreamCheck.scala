@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.Trigger
   *    the identical batch join.
   *
   * Usage: `runMain graft.StreamCheck [sfDir]
-  * [--check=fraud|stateful|streamjoin|session|dedup|staticjoin|drift|all]`
+  * [--check=fraud|stateful|streamjoin|session|dedup|staticjoin|drift|quality|all]`
   * (defaults: sf0.01, all). Exit 1 if any selected check fails.
   */
 object StreamCheck {
@@ -45,7 +45,8 @@ object StreamCheck {
       "session" -> (() => checkSession(spark, sfDir)),
       "dedup" -> (() => checkDedup(spark, sfDir)),
       "staticjoin" -> (() => checkStaticJoin(spark, sfDir)),
-      "drift" -> (() => checkDrift(spark, sfDir)))
+      "drift" -> (() => checkDrift(spark, sfDir)),
+      "quality" -> (() => checkQuality(spark, sfDir)))
     val selected = checks.filter { case (n, _) => mode == "all" || mode == n }
     require(selected.nonEmpty, s"unknown --check=$mode")
     val ok = selected.map { case (_, f) => f() }.forall(identity)
@@ -338,6 +339,39 @@ object StreamCheck {
         s""""max_window_psi":${maxPsi.map(js(_).toString).getOrElse("null")},""",
       (System.nanoTime() - t0) / 1e9,
       extraOk = maxPsi.exists(!_.isNaN) && open <= 2)
+  }
+
+  /** Streaming quality gate: the trained classifier's map-only scoring
+    * running INSIDE a stream — the offline-train / online-serve split a
+    * real curation pipeline ships. The model is sample-trained in batch
+    * ([[graft.text.QualityClassifier]]), then its 256 weights enter the
+    * streaming projection as broadcast literals: NO state, no
+    * watermark, the stream's partitioning untouched — each arriving
+    * document is scored and gated in-flight. Parity: the identical
+    * batch scoring must match EXACTLY (per-row scalar arithmetic, no
+    * cross-row float sums to reorder).
+    */
+  private def checkQuality(spark: SparkSession, sfDir: String): Boolean = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
+    val t0 = System.nanoTime()
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text")
+    val (w, b) = graft.text.QualityClassifier.train(docs, "text",
+      col("lang") === "en", numBuckets = 256, iters = 3,
+      sampleMod = graft.text.QualityClassifier.sampleModFor(docs.count(), 250))
+    val schema = spark.read
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .select("doc_id", "text")
+    val scored = graft.text.QualityClassifier.score(
+      stream, "doc_id", "text", w, b, numBuckets = 256, threshold = 0.5)
+    runToParquet(scored, ckpt, outDir)
+    val batch = graft.text.QualityClassifier.score(
+      docs, "doc_id", "text", w, b, numBuckets = 256, threshold = 0.5)
+    parityLine("streaming_quality_gate", sfDir, outDir, batch, "",
+      (System.nanoTime() - t0) / 1e9, extraOk = true)
   }
 
   private def checkStreamJoin(spark: SparkSession, sfDir: String): Boolean = {
