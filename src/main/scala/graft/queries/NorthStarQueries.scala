@@ -458,6 +458,42 @@ object NorthStarQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("shard_bytes"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))),
 
+    // the composed curation pipeline, end to end: exact keep-first
+    // dedup → Gopher quality gate → balanced byte-budget sharding,
+    // reported as a per-source funnel (raw → post-dedup → kept, with
+    // kept token/byte mass and shard count). One tagging pass computes
+    // the dedup-survivor flag AND the quality signals (gopherRules'
+    // keep-through columns — no re-join on the id); the tagged frame
+    // materializes to the aux dir so the funnel aggregate and the
+    // prefix-sum sharder both read a parquet cache instead of
+    // recomputing the lineage (at 100 TB: persist or checkpoint — the
+    // tag pass is the only corpus-sized scan in the whole pipeline)
+    "pipeline_curation_e2e" -> ((s, dir) => {
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      val tagged = TextAnalysis.gopherRules(
+        Tables.documents(s, dir).select("doc_id", "text", "source", "n_chars")
+          .withColumn("is_first", (row_number().over(w) === 1).cast("int")),
+        "doc_id", "text", keep = Seq("source", "n_chars", "is_first"))
+      tagged.write.mode("overwrite")
+        .parquet(OracleAux.dir(dir, "curation_tagged"))
+      val t = s.read.parquet(OracleAux.dir(dir, "curation_tagged"))
+      val keptFlag = col("is_first") === 1 && col("gopher_pass") === 1
+      val shards = TextAnalysis.shardByBytes(
+          t.where(keptFlag).select("doc_id", "source", "n_chars"),
+          "doc_id", "n_chars", "source", budgetBytes = 4000L)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("shard_id")).as("n_shards"))
+      t.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(col("is_first")).cast("long").as("n_dedup"),
+          sum(keptFlag.cast("long")).as("n_kept"),
+          sum(when(keptFlag, col("n_tokens").cast("long")).otherwise(0L))
+            .as("kept_tokens"),
+          sum(when(keptFlag, col("n_chars")).otherwise(0L)).as("kept_bytes"))
+        .join(broadcast(shards), Seq("source"), "left")
+        .withColumn("n_shards", coalesce(col("n_shards"), lit(0L)))
+    }),
+
     // ---- dedup ----
     // exact substring dedup (Lee et al. ExactSubstr): stride-1 8-token
     // sliding-window fingerprints; corpus-duplicated windows merge into
@@ -593,7 +629,15 @@ object NorthStarQueries {
 
     // EXACT directional containment pairs (quote/excerpt detection):
     // |Sa∩Sb|/|Sa| >= t — the asymmetric relation Jaccard misses; A-side
-    // prefix filter + B-side full postings + length prune, full-set verify
+    // prefix filter + B-side full postings + length prune, full-set verify.
+    // Registered DELIBERATELY in its unrestricted all-pairs form: this is
+    // the worst-case canary the ScaleCheck probes anchor on (every prefix
+    // is half the shingles at t=0.5), kept in the bench so a regression in
+    // the candidate pipeline shows up as a timing outlier. It is NOT the
+    // recommended corpus-scale plan — that's `dedup_containment_batch`
+    // (fixed query slice, ×128-probed near-flat) or, for the all-pairs
+    // regime itself, the bounded-cost `dedup_containment_sketch` screen
+    // feeding the exact batch verifier.
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairsInverted(Tables.documents(s, dir), "doc_id",
         "text", shingleSize = 3, threshold = 0.5)),
@@ -656,6 +700,55 @@ object NorthStarQueries {
         numBuckets = 256, threshold = 0.5)
     }),
 
+    // threshold calibration for the trained filter: the keep threshold
+    // is an OPERATING POINT someone must pick, so sweep it — per
+    // threshold in {0.1..0.9}, the confusion counts and P/R/F1 against
+    // the heuristic label, from ONE map-only scoring pass (label rides
+    // through scoring via keepCols; the 9-way fan-out is an array
+    // explode of a literal grid, not 9 scans). Model materializes to
+    // its own aux dir; the oracle re-scores every doc from it and
+    // replays the same sweep arithmetic
+    "text_quality_pr_curve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      val (w, b) = graft.text.QualityClassifier.train(
+        docs, "text", col("lang") === "en", numBuckets = 256, iters = 3,
+        sampleMod = graft.text.QualityClassifier.sampleModFor(
+          docs.count(), 250))
+      val model = (-1 -> math.rint(b * 1e9).toLong) +:
+        w.toSeq.zipWithIndex.map { case (wt, i) =>
+          i -> math.rint(wt * 1e9).toLong }
+      import s.implicits._
+      model.toDF("bucket", "w_micro").coalesce(1)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "quality_lr_pr"))
+      val scored = graft.text.QualityClassifier.score(
+        docs.withColumn("y", (col("lang") === "en").cast("int")),
+        "doc_id", "text", w, b, numBuckets = 256, threshold = 0.5,
+        keepCols = Seq("y"))
+      val grid = (1 to 9).map(i => lit(i / 10.0))
+      val conf = scored
+        .select(col("p_quality"), col("y"),
+          explode(array(grid: _*)).as("thr"))
+        .groupBy(col("thr"))
+        .agg(
+          sum(when(col("p_quality") >= col("thr") && col("y") === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("p_quality") >= col("thr") && col("y") === 0, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("p_quality") < col("thr") && col("y") === 1, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("p_quality") < col("thr") && col("y") === 0, 1L)
+            .otherwise(0L)).as("tn"))
+      val p = when(col("tp") + col("fp") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+      val r = when(col("tp") + col("fn") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+      conf.withColumn("precision", p).withColumn("recall", r)
+        .withColumn("f1",
+          when(col("precision") + col("recall") > 0,
+            round(lit(2.0) * col("precision") * col("recall") /
+              (col("precision") + col("recall")), 6)))
+    }),
+
     // cross-source overlap matrix: distinct shared 3-token lines per
     // source pair + per-side overlap fractions — which sources are
     // contaminated with each other, BEFORE they join a training mix
@@ -663,6 +756,31 @@ object NorthStarQueries {
       TextAnalysis.sourceOverlapMatrix(
         Tables.documents(s, dir).select("source", "text"),
         "source", "text", lineWords = 3)),
+
+    // the 100-TB form of the overlap matrix: per-source HLL sketches
+    // of the distinct lines (one linear pass, no per-source distinct
+    // shuffle, no line-keyed self-join) + pairwise union /
+    // inclusion-exclusion over the k×k sketch-only frame. Estimates
+    // are hash-dependent → materialized to the aux dir; exact shared
+    // counts re-scored on both sides so the sketch's error is a
+    // measured, oracle-checked number (the dedup_minhash_est_error
+    // calibration pattern)
+    "corpus_overlap_sketch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("source", "text")
+      TextAnalysis.sourceOverlapSketch(docs, "source", "text",
+          lineWords = 3, lgK = 12)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "overlap_hll"))
+      val est = s.read.parquet(OracleAux.dir(dir, "overlap_hll"))
+      val exact = TextAnalysis.sourceOverlapMatrix(docs, "source", "text",
+          lineWords = 3)
+        .select(col("src_a"), col("src_b"), col("n_shared"))
+      est.join(exact, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+          col("est_union"), col("est_shared"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          abs(col("est_shared") - coalesce(col("n_shared"), lit(0L)))
+            .as("abs_err"))
+    }),
 
     // corpus-level n-gram novelty: share of a doc's distinct trigram
     // shingles with corpus df=1 — posting-LENGTH read, no df² join
@@ -1909,6 +2027,73 @@ object NorthStarQueries {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM p GROUP BY source, shard_id""".stripMargin,
 
+    // the composed funnel: keep-first dedup flag + the gopher-rules
+    // arithmetic (same expressions as text_gopher_rules, thresholds on
+    // the 6-dp-rounded ratios) + the same exclusive-prefix-sum shard
+    // rule as text_shard_by_bytes, restricted to the kept set
+    "pipeline_curation_e2e" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, text, source, n_chars,
+        |    CASE WHEN row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |      THEN 1 ELSE 0 END AS is_first
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, source, n_chars, is_first, text,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM t0),
+        |m AS (
+        |  SELECT doc_id, source, n_chars, is_first,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(list_sum(list_transform(toks, tk -> strlen(tk))) AS DOUBLE)
+        |      AS sum_len,
+        |    CAST(strlen(text) - strlen(replace(text, '#', '')) AS DOUBLE)
+        |      + (strlen(text) - strlen(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
+        |      AS n_symbols,
+        |    CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))
+        |      AS DOUBLE) AS n_alpha,
+        |    CAST(list_contains(toks, 'the') AS INTEGER)
+        |      + CAST(list_contains(toks, 'a') AS INTEGER)
+        |      + CAST(list_contains(toks, 'of') AS INTEGER)
+        |      + CAST(list_contains(toks, 'and') AS INTEGER)
+        |      + CAST(list_contains(toks, 'to') AS INTEGER)
+        |      + CAST(list_contains(toks, 'in') AS INTEGER)
+        |      + CAST(list_contains(toks, 'is') AS INTEGER)
+        |      + CAST(list_contains(toks, 'it') AS INTEGER) AS n_stop_hits
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, source, n_chars, is_first, n_tokens,
+        |    CASE WHEN n_tokens BETWEEN 10 AND 2000
+        |      AND round(sum_len / n_tokens, 6) BETWEEN 3.0 AND 10.0
+        |      AND round(n_symbols / n_tokens, 6) <= 0.1
+        |      AND round(n_alpha / n_tokens, 6) >= 0.8
+        |      AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS gopher_pass
+        |  FROM m),
+        |k AS (SELECT source, doc_id, n_chars FROM g
+        |      WHERE is_first = 1 AND gopher_pass = 1),
+        |sh AS (
+        |  SELECT source,
+        |    CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_chars) / 4000.0) AS INTEGER)
+        |      AS shard_id
+        |  FROM k),
+        |ns AS (SELECT source, CAST(count(DISTINCT shard_id) AS BIGINT)
+        |         AS n_shards
+        |       FROM sh GROUP BY source),
+        |f AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_raw,
+        |    CAST(sum(is_first) AS BIGINT) AS n_dedup,
+        |    CAST(sum(CASE WHEN is_first = 1 AND gopher_pass = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(sum(CASE WHEN is_first = 1 AND gopher_pass = 1
+        |      THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |    CAST(sum(CASE WHEN is_first = 1 AND gopher_pass = 1
+        |      THEN n_chars ELSE 0 END) AS BIGINT) AS kept_bytes
+        |  FROM g GROUP BY source)
+        |SELECT f.source, n_raw, n_dedup, n_kept, kept_tokens, kept_bytes,
+        |  COALESCE(ns.n_shards, CAST(0 AS BIGINT)) AS n_shards
+        |FROM f LEFT JOIN ns ON ns.source = f.source""".stripMargin,
+
     // row_number twin of the TopKPerKey heap operator
     "sample_domain_quota" ->
       """SELECT doc_id, source, n_chars, rank FROM (
@@ -2392,6 +2577,58 @@ object NorthStarQueries {
         |  FROM z)
         |SELECT doc_id, p_quality, p_quality >= 0.5 AS keep FROM p""".stripMargin,
 
+    // same per-doc scoring from the materialized micro-unit model,
+    // label from lang, then the 9-threshold sweep with P/R/F1 computed
+    // from the 6-dp-rounded components on both sides
+    "text_quality_pr_curve" ->
+      s"""WITH wts AS (SELECT bucket, w_micro
+        |  FROM read_parquet('${OracleAux.sqlDir("quality_lr_pr")}/*.parquet')),
+        |bias AS (SELECT w_micro / 1e9 AS b FROM wts WHERE bucket = -1),
+        |t AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM t),
+        |j AS (
+        |  SELECT x.doc_id, x.n, w.w_micro
+        |  FROM x JOIN wts w ON w.bucket =
+        |    CAST(CAST(('0x' || substr(md5(x.tok), 1, 8)) AS UBIGINT) % 256
+        |      AS BIGINT)),
+        |z AS (
+        |  SELECT doc_id, any_value(n) AS n,
+        |    CAST(sum(w_micro) AS BIGINT) AS sm
+        |  FROM j GROUP BY doc_id),
+        |p AS (
+        |  SELECT t.doc_id, t.y,
+        |    round(1.0 / (1.0 + exp(-((SELECT b FROM bias)
+        |      + (z.sm / 1e9) / z.n))), 6) AS p_quality
+        |  FROM t JOIN z ON z.doc_id = t.doc_id),
+        |grid AS (SELECT unnest(range(1, 10)) AS i),
+        |c AS (
+        |  SELECT i / 10.0 AS thr,
+        |    CAST(sum(CASE WHEN p_quality >= i / 10.0 AND y = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN p_quality >= i / 10.0 AND y = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN p_quality < i / 10.0 AND y = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN p_quality < i / 10.0 AND y = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM p CROSS JOIN grid GROUP BY i),
+        |pr AS (
+        |  SELECT thr, tp, fp, fn, tn,
+        |    CASE WHEN tp + fp > 0
+        |      THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END
+        |      AS "precision",
+        |    CASE WHEN tp + fn > 0
+        |      THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+        |  FROM c)
+        |SELECT thr, tp, fp, fn, tn, "precision", recall,
+        |  CASE WHEN "precision" + recall > 0
+        |    THEN round(2.0 * "precision" * recall / ("precision" + recall), 6)
+        |  END AS f1
+        |FROM pr""".stripMargin,
+
     // same ceil-segmented lines as text_line_dedup, distinct per
     // (source, line), pair counts via the same line-key self-join
     "text_source_overlap" ->
@@ -2411,6 +2648,30 @@ object NorthStarQueries {
         |  round(n_shared / tb.n, 6) AS overlap_b
         |FROM p JOIN tot ta ON ta.source = src_a
         |       JOIN tot tb ON tb.source = src_b""".stripMargin,
+
+    // sketch estimates from the aux dump (hash-dependent); exact
+    // shared-line counts re-derived with the same line CTE as
+    // text_source_overlap, error materialized on both sides
+    "corpus_overlap_sketch" ->
+      s"""WITH est AS (SELECT * FROM
+        |  read_parquet('${OracleAux.sqlDir("overlap_hll")}/*.parquet')),
+        |t AS (
+        |  SELECT source, string_split_regex(trim(text), '\\s+') AS w
+        |  FROM documents),
+        |l AS (SELECT DISTINCT source,
+        |    array_to_string(list_slice(w, i*3 + 1, i*3 + 3), ' ') AS line
+        |  FROM t, unnest(range(0, CAST(ceil(len(w)/3.0) AS BIGINT))) AS u(i)),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM l a JOIN l b ON a.line = b.line AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT e.src_a, e.src_b, e.est_a, e.est_b, e.est_union,
+        |  e.est_shared,
+        |  COALESCE(p.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+        |  CAST(abs(e.est_shared - COALESCE(p.n_shared, CAST(0 AS BIGINT)))
+        |    AS BIGINT) AS abs_err
+        |FROM est e LEFT JOIN p
+        |  ON p.src_a = e.src_a AND p.src_b = e.src_b""".stripMargin,
 
     "text_novelty" ->
       """WITH toks AS (

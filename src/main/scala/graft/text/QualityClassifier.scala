@@ -140,14 +140,16 @@ object QualityClassifier {
   }
 
   /** Map-only scoring with a trained model: per-doc probability (6 dp)
-    * and the keep decision at `threshold`.
+    * and the keep decision at `threshold`. `keep` columns pass through
+    * unchanged (e.g. a label for downstream calibration) so consumers
+    * don't re-join on the id.
     */
   def score(df: DataFrame, idCol: String, textCol: String,
             weights: Array[Double], bias: Double, numBuckets: Int,
-            threshold: Double): DataFrame =
-    df.select(col(idCol),
+            threshold: Double, keepCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: keepCols.map(col) ++: Seq(
         round(lit(1.0) / (lit(1.0) +
           exp(-margin(col(textCol), weights, bias, numBuckets))), 6)
-          .as("p_quality"))
+          .as("p_quality")): _*)
       .withColumn("keep", col("p_quality") >= threshold)
 }

@@ -94,8 +94,13 @@ object TextAnalysis {
     * Scale shape: map-only column expressions over the scan — no
     * shuffle, no UDF; the integer character counts and list ops are the
     * same arithmetic DuckDB evaluates, so the oracle matches bitwise.
+    *
+    * `keep` carries extra input columns through unchanged, so a composed
+    * pipeline (see `pipeline_curation_e2e`) can gate and keep routing
+    * metadata in the same map-only pass instead of re-joining on the id.
     */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
     val n = size(toks)
@@ -105,12 +110,12 @@ object TextAnalysis {
     val nAlpha = size(filter(toks, tk => tk.rlike("[A-Za-z]")))
     val stopHits = StopwordsEn.map(w => array_contains(toks, w).cast("int"))
       .reduce(_ + _)
-    df.select(col(idCol),
+    df.select(col(idCol) +: keep.map(col) ++: Seq(
         n.as("n_tokens"),
         round(sumLen.cast("double") / n, 6).as("mean_tok_len"),
         round((nHash + nEllipsis).cast("double") / n, 6).as("symbol_ratio"),
         round(nAlpha.cast("double") / n, 6).as("alpha_frac"),
-        stopHits.as("n_stop_hits"))
+        stopHits.as("n_stop_hits")): _*)
       .withColumn("gopher_pass",
         (col("n_tokens").between(10, 2000) &&
           col("mean_tok_len").between(3.0, 10.0) &&
@@ -646,6 +651,58 @@ object TextAnalysis {
       .select(col("src_a"), col("src_b"), col("n_shared"),
         round(col("n_shared") / col("__na"), 6).as("overlap_a"),
         round(col("n_shared") / col("__nb"), 6).as("overlap_b"))
+  }
+
+  /** Sketch-based cross-source overlap — the 100-TB form of
+    * [[sourceOverlapMatrix]]: one Datasketches HLL sketch of the
+    * distinct `lineWords`-token lines per source (built in a single
+    * linear pass; HLL absorbs duplicate lines natively, so the exact
+    * form's per-source `distinct` shuffle disappears), then pairwise
+    * union + inclusion-exclusion over the k×k sketch-only frame. The
+    * exact matrix shuffles every distinct line into a line-keyed
+    * self-join — petabytes at corpus scale; the sketch path moves KBs
+    * after the scan (each sketch is ≤ 2^lgK registers) and is the
+    * standard cardinality-sketch overlap estimate. The REGISTERS are
+    * order/partitioning-free (max-of-hash), but the Datasketches
+    * ESTIMATOR is not bit-stable across merge paths: a sketch built by
+    * merging partials reports through the union ("out-of-order")
+    * estimator, so repartitioning the input can shift an estimate by
+    * ~1% — within the sketch's own error envelope, and exact in sparse
+    * mode (small per-source cardinalities), but not bit-identical.
+    *
+    * Estimates are therefore hash- AND plan-dependent (not
+    * re-derivable by another engine), so callers materialize them and
+    * re-score the exact overlap for a measured error — the
+    * `dedup_minhash_est_error` calibration pattern; see
+    * `corpus_overlap_sketch`.
+    *
+    * Output per unordered source pair (src_a < src_b): the two
+    * per-source estimates, the union estimate, and
+    * `est_shared = max(0, est_a + est_b − est_union)`.
+    */
+  def sourceOverlapSketch(df: DataFrame, srcCol: String, textCol: String,
+                          lineWords: Int, lgK: Int = 12): DataFrame = {
+    require(lineWords > 0, "need lineWords > 0")
+    val nLines = ceil(size(col("__t")) / lit(lineWords.toDouble)).cast("int")
+    val lines = df.select(col(srcCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__i", explode(sequence(lit(0), nLines - 1)))
+      .select(col(srcCol), concat_ws(" ",
+        slice(col("__t"), col("__i") * lineWords + 1, lit(lineWords)))
+        .as("line"))
+    val sk = lines.groupBy(col(srcCol))
+      .agg(hll_sketch_agg(col("line"), lit(lgK)).as("__sk"))
+    // k = number of SOURCES (a handful), so the k×k sketch join is a
+    // bounded broadcast nested loop over KB-sized rows — deliberate
+    val a = sk.select(col(srcCol).as("src_a"), col("__sk").as("__ska"))
+    val b = sk.select(col(srcCol).as("src_b"), col("__sk").as("__skb"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        hll_sketch_estimate(col("__ska")).as("est_a"),
+        hll_sketch_estimate(col("__skb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("__ska"), col("__skb")))
+          .as("est_union"))
+      .withColumn("est_shared",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
   }
 
   /** Per-domain boilerplate line removal — the WITHIN-SITE variant of

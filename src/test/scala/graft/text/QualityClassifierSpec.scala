@@ -42,6 +42,25 @@ class QualityClassifierSpec extends SparkSpec {
       "fixture must actually sample the corpus down")
   }
 
+  test("score keepCols pass through; pr-curve confusion counts are " +
+    "consistent and monotone in the threshold") {
+    val out = graft.queries.NorthStarQueries
+      .defs("text_quality_pr_curve")(spark, sf())
+      .orderBy(col("thr"))
+      .select("thr", "tp", "fp", "fn", "tn").collect()
+    assert(out.length == 9)
+    val nPos = out.head.getLong(1) + out.head.getLong(3)
+    val nNeg = out.head.getLong(2) + out.head.getLong(4)
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(3) == nPos, "tp+fn = #positives")
+      assert(r.getLong(2) + r.getLong(4) == nNeg, "fp+tn = #negatives")
+    }
+    val tps = out.map(_.getLong(1)).toSeq
+    assert(tps == tps.sorted.reverse, "tp non-increasing as thr rises")
+    val fps = out.map(_.getLong(2)).toSeq
+    assert(fps == fps.sorted.reverse, "fp non-increasing as thr rises")
+  }
+
   test("training is deterministic: identical weights across runs and " +
     "partitionings") {
     val docs = graft.model.Tables.documents(spark, sf())

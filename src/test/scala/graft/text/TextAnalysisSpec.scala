@@ -335,6 +335,73 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == List((1L, 1, score(2, 4), 1), (2L, 1, score(1, 2), 2)))
   }
 
+  test("sourceOverlapSketch matches exact overlap on a small corpus " +
+    "and emits every source pair") {
+    // 3 sources of 3-token lines: A={l1,l2,l3}, B={l2,l3,l4}, C={l9}
+    // → A∩B=2, A∩C=0, B∩C=0. Datasketches HLL is exact in sparse mode
+    // at these cardinalities, so est_shared must EQUAL the truth here.
+    val docs = Seq(
+      ("A", "a a a b b b c c c"), ("B", "b b b c c c d d d"),
+      ("C", "z z z")).toDF("source", "text")
+    val out = TextAnalysis.sourceOverlapSketch(docs, "source", "text", 3)
+      .orderBy($"src_a", $"src_b")
+      .select($"src_a", $"src_b", $"est_shared").as[(String, String, Long)]
+      .collect().toSeq
+    assert(out == Seq(("A", "B", 2L), ("A", "C", 0L), ("B", "C", 0L)))
+  }
+
+  test("sourceOverlapSketch estimates agree across partitionings " +
+    "within the sketch error envelope (registers are order-free; the " +
+    "merged-sketch estimator is not bit-stable)") {
+    val docs = graft.model.Tables.documents(spark, sf())
+      .select("source", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.sourceOverlapSketch(d, "source", "text", 3)
+        .orderBy($"src_a", $"src_b")
+        .select($"est_a", $"est_b", $"est_union")
+        .as[(Long, Long, Long)].collect().toSeq
+    val a = run(docs)
+    val b = run(docs.repartition(13).sortWithinPartitions($"text"))
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case ((a1, a2, a3), (b1, b2, b3)) =>
+      Seq((a1, b1), (a2, b2), (a3, b3)).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= math.max(5L, (0.05 * x).toLong),
+          s"estimates drifted beyond the error envelope: $x vs $y")
+      }
+    }
+  }
+
+  test("gopherRules keep columns pass through unchanged") {
+    val docs = Seq((1L, "the cat sat on a mat and it is fine", "web", 9L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text",
+      keep = Seq("source", "n_chars"))
+    assert(out.columns.toSeq == Seq("doc_id", "source", "n_chars",
+      "n_tokens", "mean_tok_len", "symbol_ratio", "alpha_frac",
+      "n_stop_hits", "gopher_pass"))
+    val r = out.head()
+    assert(r.getAs[String]("source") == "web" &&
+      r.getAs[Long]("n_chars") == 9L)
+  }
+
+  test("pipeline_curation_e2e funnel is internally consistent per source") {
+    val rows = graft.queries.NorthStarQueries
+      .defs("pipeline_curation_e2e")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, dd, kept, shards) = (r.getAs[Long]("n_raw"),
+        r.getAs[Long]("n_dedup"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("n_shards"))
+      assert(raw >= dd && dd >= kept && kept >= 0,
+        s"funnel must narrow: $r")
+      if (kept > 0) assert(shards >= 1 && shards <= kept, s"$r")
+      else assert(shards == 0, s"$r")
+      assert(r.getAs[Long]("kept_bytes") >= 0 &&
+        r.getAs[Long]("kept_tokens") >= kept, // gopher floor: ≥10 toks/doc
+        s"$r")
+    }
+  }
+
   test("luhnCheckDigit always yields a luhnValid card (property)") {
     val ids = (0L until 200L).toDF("id")
       .select(lpad($"id".cast("string"), 15, "4").as("p"))
