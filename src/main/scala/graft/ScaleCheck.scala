@@ -314,6 +314,21 @@ object ScaleCheck {
             d.select("doc_id", "text"), "doc_id", "text",
             col("doc_id") % 10 =!= 7).count()
         }
+        // cross-source overlap, exact vs sketch: the exact matrix pays
+        // a per-source distinct plus a line-keyed self-join (both grow
+        // with the distinct-line count — ×32 here via the replica token
+        // remap); the HLL path is one linear scan into 20 fixed-size
+        // sketches + a k×k sketch-only join, so its ratio must collapse
+        // toward the scan cost alone — the measured gap IS the sketch
+        // path's 100-TB argument
+        time(s"overlap_exact_$tag") {
+          graft.text.TextAnalysis.sourceOverlapMatrix(
+            d.select("source", "text"), "source", "text", 3).count()
+        }
+        time(s"overlap_sketch_$tag") {
+          graft.text.TextAnalysis.sourceOverlapSketch(
+            d.select("source", "text"), "source", "text", 3).count()
+        }
       }
       textProbes("x1", d0)
       textProbes("x32", docs)

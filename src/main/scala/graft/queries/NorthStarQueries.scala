@@ -782,6 +782,30 @@ object NorthStarQueries {
             .as("abs_err"))
     }),
 
+    // Count-Min-Sketch heavy hitters: estimated vs exact counts for
+    // the exact top-20 terms, plus the one-sided overcount. The CMS
+    // path answers per-term frequency from a fixed-size counter grid
+    // (one map-side-combined scan, NO vocabulary shuffle); the exact
+    // top-k here is the calibration reference. Estimates are
+    // hash-function-dependent (seeded) → materialized to the aux dir;
+    // exact counts re-derived by the oracle. Integer cell merges make
+    // the estimates bit-identical whatever the partitioning — CMS is
+    // the deterministic sketch, unlike the HLL estimator
+    "corpus_heavyhitters_cms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("text")
+      val cms = TextAnalysis.cmsTokenSketch(docs, "text",
+        eps = 1e-4, confidence = 0.99, seed = 42)
+      val exactTop = TextAnalysis.vocabTopK(docs, "text", 20)
+        .select("term", "cnt", "rank")
+      val terms = exactTop.select("term").collect().map(_.getString(0))
+      TextAnalysis.cmsEstimates(s, cms, terms.toSeq).coalesce(1)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "cms_est"))
+      s.read.parquet(OracleAux.dir(dir, "cms_est"))
+        .join(broadcast(exactTop), Seq("term"))
+        .select(col("term"), col("rank"), col("cnt"), col("est_cnt"),
+          (col("est_cnt") - col("cnt")).as("overcount"))
+    }),
+
     // corpus-level n-gram novelty: share of a doc's distinct trigram
     // shingles with corpus df=1 — posting-LENGTH read, no df² join
     "text_novelty" -> ((s, dir) =>
@@ -2672,6 +2696,24 @@ object NorthStarQueries {
         |    AS BIGINT) AS abs_err
         |FROM est e LEFT JOIN p
         |  ON p.src_a = e.src_a AND p.src_b = e.src_b""".stripMargin,
+
+    // estimates from the aux dump (seeded-hash-dependent); exact
+    // top-20 counts re-derived with the text_vocab_topk CTE
+    "corpus_heavyhitters_cms" ->
+      s"""WITH est AS (SELECT * FROM
+        |  read_parquet('${OracleAux.sqlDir("cms_est")}/*.parquet')),
+        |v AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, COUNT(*) AS cnt FROM v GROUP BY term),
+        |top AS (
+        |  SELECT term, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS INTEGER)
+        |      AS rank
+        |  FROM c ORDER BY cnt DESC, term ASC LIMIT 20)
+        |SELECT t.term, t.rank, t.cnt, e.est_cnt,
+        |  e.est_cnt - t.cnt AS overcount
+        |FROM est e JOIN top t ON t.term = e.term""".stripMargin,
 
     "text_novelty" ->
       """WITH toks AS (

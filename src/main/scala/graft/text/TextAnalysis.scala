@@ -1092,6 +1092,46 @@ object TextAnalysis {
           .as("cum_frac"))
   }
 
+  /** Count-Min-Sketch over the corpus token stream — the third sketch
+    * family next to HLL cardinality (`sourceOverlapSketch`) and
+    * approx-percentile: fixed-memory frequency estimation (Cormode &
+    * Muthukrishnan 2005). One linear scan folds every token into a
+    * `ceil(2/eps) × ceil(ln(1/(1−confidence)))` counter grid via
+    * Spark's builtin `count_min_sketch` aggregate; partial grids merge
+    * by exact integer cell addition, so — unlike the HLL estimator —
+    * the sketch AND its estimates are bit-identical whatever the
+    * partitioning (fixed `seed` pins the hash functions). The returned
+    * sketch is bounded driver model state (the k-means-centroids
+    * precedent): grid size is set by (eps, confidence), independent of
+    * the corpus. At 100 TB this is how you answer "how often does term
+    * X occur" for arbitrary later probes without ever shuffling the
+    * vocabulary: the scan is map-side-combined into KB-sized grids and
+    * the driver holds one.
+    */
+  def cmsTokenSketch(df: DataFrame, textCol: String, eps: Double,
+                     confidence: Double,
+                     seed: Int): org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .agg(expr(s"count_min_sketch(term, CAST($eps AS DOUBLE), " +
+        s"CAST($confidence AS DOUBLE), $seed)"))
+      .head().getAs[Array[Byte]](0)
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Driver-side probe of a [[cmsTokenSketch]]: estimated count per
+    * term (CMS never under-counts; over-count ≤ eps·N w.p.
+    * `confidence`). `terms` is a bounded probe list (top-k or a fixed
+    * watchlist), so the result frame is k rows of model state.
+    */
+  def cmsEstimates(spark: org.apache.spark.sql.SparkSession,
+                   cms: org.apache.spark.util.sketch.CountMinSketch,
+                   terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    terms.map(t => (t, cms.estimateCount(t))).toDF("term", "est_cnt")
+  }
+
   /** One distributed BPE-training step (Sennrich et al. 2016 — the
     * merge-candidate count): adjacent character-pair frequencies over
     * the corpus, weighted by word frequency; the rank-1 row is the pair

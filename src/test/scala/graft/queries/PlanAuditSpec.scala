@@ -50,6 +50,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sourceOverlapSketch runs ONE corpus scan+shuffle (the second " +
+    "join branch reuses the sketch exchange) and a bounded broadcast " +
+    "sketch join — never a line self-join") {
+    val df = graft.text.TextAnalysis.sourceOverlapSketch(
+      graft.model.Tables.documents(spark, sf()).select("source", "text"),
+      "source", "text", 3)
+    // execute THIS queryExecution (count() would build a new one) so
+    // the adaptive plan finalizes and exchange reuse becomes visible
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"k×k sketch join must be the bounded broadcast form\n$p")
+    assert(p.contains("ReusedExchange") ||
+      "Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"the two sketch branches must share one corpus scan\n$p")
+  }
+
+  test("pipeline_curation_e2e joins the per-source shard counts by " +
+    "broadcast, with partial aggregation before the funnel exchange") {
+    val p = plan("pipeline_curation_e2e")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial + final funnel aggregation expected\n" + p)
+  }
+
   test("join_broadcast_dims broadcasts both dimension tables") {
     val p = plan("join_broadcast_dims")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)

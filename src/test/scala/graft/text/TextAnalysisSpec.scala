@@ -384,6 +384,39 @@ class TextAnalysisSpec extends SparkSpec {
       r.getAs[Long]("n_chars") == 9L)
   }
 
+  test("cmsTokenSketch: exact on a tiny corpus at wide eps; estimates " +
+    "never under-count and are bit-identical across partitionings") {
+    val docs = Seq.fill(7)("alpha beta") ++ Seq.fill(3)("beta gamma")
+    val df = docs.toDF("text")
+    val cms = TextAnalysis.cmsTokenSketch(df, "text",
+      eps = 1e-4, confidence = 0.99, seed = 42)
+    val est = TextAnalysis.cmsEstimates(spark, cms,
+      Seq("alpha", "beta", "gamma", "absent"))
+      .as[(String, Long)].collect().toMap
+    // wide grid + 4 distinct tokens → collision-free: est == exact
+    assert(est == Map("alpha" -> 7L, "beta" -> 10L, "gamma" -> 3L,
+      "absent" -> 0L))
+    // determinism: integer cell merges — same estimates whatever the
+    // partitioning (the property the HLL estimator does NOT have)
+    val corpus = graft.model.Tables.documents(spark, sf()).select("text")
+    val terms = Seq("the", "a", "of", "and", "data")
+    val e1 = TextAnalysis.cmsEstimates(spark,
+      TextAnalysis.cmsTokenSketch(corpus, "text", 1e-3, 0.9, 7), terms)
+      .as[(String, Long)].collect().toMap
+    val e2 = TextAnalysis.cmsEstimates(spark,
+      TextAnalysis.cmsTokenSketch(corpus.repartition(13), "text", 1e-3, 0.9, 7),
+      terms).as[(String, Long)].collect().toMap
+    assert(e1 == e2, "CMS estimates must be partition-invariant")
+    val exact = corpus
+      .select(explode(TextAnalysis.tokens($"text")).as("term"))
+      .where($"term".isin(terms: _*))
+      .groupBy("term").count().as[(String, Long)].collect().toMap
+    terms.foreach { t =>
+      assert(e1.getOrElse(t, 0L) >= exact.getOrElse(t, 0L),
+        s"CMS must never under-count ($t)")
+    }
+  }
+
   test("pipeline_curation_e2e funnel is internally consistent per source") {
     val rows = graft.queries.NorthStarQueries
       .defs("pipeline_curation_e2e")(spark, sf()).collect()
