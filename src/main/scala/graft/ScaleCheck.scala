@@ -160,6 +160,36 @@ object ScaleCheck {
         ivfProbe("x1", emb0)
         ivfProbe("x32", embX)
       }
+      // PQ probe, build (train sample-sized + encode the corpus to
+      // (id, subspace, code) rows — the one-time 32×-compression pass)
+      // and the two-stage query (ADC shortlist over the code table +
+      // exact re-rank of 50·|Q| rows) timed separately: the query path
+      // reads codes, never float vectors, so it must track the code
+      // table linearly with a query-sized re-rank on top
+      def pqProbe(tag: String, emb: org.apache.spark.sql.DataFrame): Unit = {
+        val n = emb.count()
+        val mod = graft.similarity.Similarity.trainSampleModFor(n, 16)
+        var cbs: Array[Array[Seq[Float]]] = null
+        var codes: org.apache.spark.sql.DataFrame = null
+        time(s"pq_build_$tag") {
+          cbs = graft.similarity.Similarity.pqTrain(emb, "vec_id",
+            "embedding", m = 8, k = 16, iters = 1, sampleMod = mod)
+          graft.similarity.Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+            .write.mode("overwrite").parquet(s"/tmp/pq_codes_$tag.parquet")
+          codes = spark.read.parquet(s"/tmp/pq_codes_$tag.parquet")
+          codes.count()
+        }
+        time(s"pq_query_$tag") {
+          graft.similarity.Similarity.pqShortlistRerank(
+            emb.where(col("vec_id") < 8), codes, cbs, emb,
+            "vec_id", "embedding", k = 10, shortlist = 50).count()
+        }
+      }
+      if (Seq("pq_build_x1", "pq_build_x32",
+              "pq_query_x1", "pq_query_x32").exists(only)) {
+        pqProbe("x1", emb0)
+        pqProbe("x32", embX)
+      }
       // SemDeDup probe: cells scale with the corpus (constant rows per
       // cell — the paper's discipline), so within-cell pairwise work
       // stays ~linear overall; a fixed cell count would grow ×32² here

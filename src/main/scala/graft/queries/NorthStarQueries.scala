@@ -1005,6 +1005,66 @@ object NorthStarQueries {
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec_id"))
     }),
 
+    // Product-Quantization ADC top-k (Jégou et al. 2011): m=8
+    // subspace codebooks (k=16, L2 Lloyd, deterministic stratified
+    // init), corpus encoded to (id, subspace, code) rows — 32× smaller
+    // than the float vectors — and each query answered from its m×k
+    // micro-unit lookup table with ONE equi-join + integer-sum agg
+    // (query time never touches a float vector). Codebooks + codes
+    // materialize to the aux dir; the oracle re-derives every estimate
+    // (round each subspace dot to 1e-6, integer-sum, rank) and
+    // re-scores the exact dot on the winners, so the ADC quantization
+    // error is a measured per-row column
+    "sim_topk_pq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 8)
+      val cbs = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      cbs.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (cw, c) => (j, c, cw.map(_.toDouble)) }
+      }.toSeq.toDF("subspace", "code", "vec").coalesce(1)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "pq_codebooks"))
+      Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "pq_codes"))
+      val topk = Similarity.pqAdcTopK(q,
+        s.read.parquet(OracleAux.dir(dir, "pq_codes")), cbs,
+        "vec_id", "embedding", k = 10)
+      val qv = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      val nv = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__nv"))
+      topk.join(broadcast(qv), Seq("query_id")).join(nv, Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("est_dot"),
+          round(Similarity.dot(col("__qv"), col("__nv")), 6).as("exact_dot"))
+    }),
+
+    // the production PQ shape measured: ADC shortlist(50) → exact-dot
+    // re-rank(10), recall@10 against brute-force dot — the quantized
+    // index's quality as an oracle-checked number (the sim_recall_at_k
+    // pattern; raw ADC ranking alone carries the quantization error
+    // sim_topk_pq materializes, re-ranking buys it back)
+    "sim_pq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 8)
+      val cbs = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      cbs.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (cw, c) => (j, c, cw.map(_.toDouble)) }
+      }.toSeq.toDF("subspace", "code", "vec").coalesce(1)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "pqr_codebooks"))
+      Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "pqr_codes"))
+      val approx = Similarity.pqShortlistRerank(q,
+        s.read.parquet(OracleAux.dir(dir, "pqr_codes")), cbs, emb,
+        "vec_id", "embedding", k = 10, shortlist = 50)
+      val exact = Similarity.bruteForceTopKDot(q, emb, "vec_id",
+        "embedding", k = 10)
+      Similarity.recallAtK(approx, exact)
+    }),
+
     // IVF-bucketed ANN; probe-join candidates materialized, re-rank
     // DuckDB-verified (recall vs brute force asserted in SimilaritySpec)
     "sim_topk_ivf" -> ((s, dir) => {
@@ -1296,6 +1356,92 @@ object NorthStarQueries {
         |FROM exact x LEFT JOIN approx a
         |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
         |GROUP BY x.query_id""".stripMargin,
+
+    // full ADC replay from the materialized model: per-subspace dots
+    // rounded to micro-units (round ≡ Spark round(x,0) ≡ HALF_UP),
+    // integer-summed, ranked on the micro value; exact dot re-scored
+    // on the winners with the list_dot_product twin of FloatVecDot
+    "sim_topk_pq" ->
+      s"""WITH cb AS (SELECT subspace, code, vec FROM
+        |  read_parquet('${OracleAux.sqlDir("pq_codebooks")}/*.parquet')),
+        |cds AS (SELECT vec_id, subspace, code FROM
+        |  read_parquet('${OracleAux.sqlDir("pq_codes")}/*.parquet')),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 8),
+        |lut AS (
+        |  SELECT q.query_id, cb.subspace, cb.code,
+        |    CAST(round(list_dot_product(
+        |      list_slice(q.qv, cb.subspace*8 + 1, cb.subspace*8 + 8),
+        |      cb.vec) * 1e6) AS BIGINT) AS micro
+        |  FROM q CROSS JOIN cb),
+        |est AS (
+        |  SELECT l.query_id, c.vec_id AS neighbor_id,
+        |    CAST(SUM(l.micro) AS BIGINT) AS est_micro
+        |  FROM cds c JOIN lut l
+        |    ON l.subspace = c.subspace AND l.code = c.code
+        |  WHERE l.query_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, neighbor_id, est_micro,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY est_micro DESC, neighbor_id ASC) AS rank
+        |  FROM est)
+        |SELECT r.query_id, r.neighbor_id, CAST(r.rank AS INTEGER) AS rank,
+        |  round(CAST(est_micro AS DOUBLE) / 1e6, 6) AS est_dot,
+        |  round(list_dot_product(CAST(eq.embedding AS DOUBLE[]),
+        |    CAST(en.embedding AS DOUBLE[])), 6) AS exact_dot
+        |FROM r JOIN embeddings eq ON eq.vec_id = r.query_id
+        |       JOIN embeddings en ON en.vec_id = r.neighbor_id
+        |WHERE r.rank <= 10""".stripMargin,
+
+    // full two-stage replay: ADC estimates from the materialized
+    // model → shortlist(50) → exact-dot re-rank(10) → recall join vs
+    // the brute-force dot top-10 (rank on the RAW dot — FloatVecDot ≡
+    // list_dot_product bitwise, the sim_topk_bruteforce discipline)
+    "sim_pq_recall" ->
+      s"""WITH cb AS (SELECT subspace, code, vec FROM
+        |  read_parquet('${OracleAux.sqlDir("pqr_codebooks")}/*.parquet')),
+        |cds AS (SELECT vec_id, subspace, code FROM
+        |  read_parquet('${OracleAux.sqlDir("pqr_codes")}/*.parquet')),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 8),
+        |lut AS (
+        |  SELECT q.qid, cb.subspace, cb.code,
+        |    CAST(round(list_dot_product(
+        |      list_slice(q.qv, cb.subspace*8 + 1, cb.subspace*8 + 8),
+        |      cb.vec) * 1e6) AS BIGINT) AS micro
+        |  FROM q CROSS JOIN cb),
+        |est AS (
+        |  SELECT l.qid, c.vec_id AS nid, SUM(l.micro) AS em
+        |  FROM cds c JOIN lut l
+        |    ON l.subspace = c.subspace AND l.code = c.code
+        |  WHERE l.qid <> c.vec_id GROUP BY 1, 2),
+        |short AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY em DESC, nid ASC)
+        |      AS rk FROM est) WHERE rk <= 50),
+        |ex0 AS (
+        |  SELECT q.qid, c.vec_id AS nid,
+        |    list_dot_product(q.qv, CAST(c.embedding AS DOUBLE[])) AS d
+        |  FROM q, embeddings c WHERE q.qid <> c.vec_id),
+        |rer AS (SELECT qid, nid FROM (
+        |  SELECT s.qid, s.nid,
+        |    row_number() OVER (PARTITION BY s.qid
+        |      ORDER BY e.d DESC, s.nid ASC) AS rk
+        |  FROM short s JOIN ex0 e ON e.qid = s.qid AND e.nid = s.nid)
+        |  WHERE rk <= 10),
+        |exact AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid ASC)
+        |      AS rk FROM ex0) WHERE rk <= 10)
+        |SELECT exact.qid AS query_id, CAST(count(*) AS INTEGER) AS k,
+        |  CAST(SUM(CASE WHEN rer.nid IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS n_hit,
+        |  round(SUM(CASE WHEN rer.nid IS NOT NULL THEN 1 ELSE 0 END)
+        |    / count(*), 6) AS recall
+        |FROM exact LEFT JOIN rer
+        |  ON rer.qid = exact.qid AND rer.nid = exact.nid
+        |GROUP BY 1""".stripMargin,
 
     "sim_topk_ivf" ->
       s"""WITH p AS (SELECT query_id, neighbor_id

@@ -544,4 +544,197 @@ object Similarity {
     rerankTopK(
       ivfCandidates(queries, corpus, idCol, vecCol, numCells, nprobe, sampleMod),
       queries, corpus, idCol, vecCol, k)
+
+  // ------------- Product Quantization (Jégou et al. 2011) -------------
+  // "Product Quantization for Nearest Neighbor Search", TPAMI 2011: the
+  // memory-scale ANN trick IVF doesn't give you. Split the D-dim space
+  // into m subspaces, run k-means in each independently, and store a
+  // vector as m SMALL CODES (m bytes at k=256) instead of D floats —
+  // a 64-dim float corpus compresses 32× at m=8/k=16. Queries score via
+  // ADC (asymmetric distance computation): per query, an m×k lookup
+  // table of subspace dot products is built once against the codebooks,
+  // and every corpus vector's approximate dot is m integer table
+  // lookups — no float vector is ever read at query time. At 100 TB
+  // this is the difference between "the index fits in executor memory"
+  // and "it doesn't".
+
+  /** L2-nearest codeword index within ONE subspace codebook:
+    * `argmin ‖x − c‖² = argmax (x·c − ‖c‖²/2)` — the dot-product form
+    * keeps the per-code expression one [[VectorExprs.float_dot]] plus a
+    * literal. Ties break toward the LARGER code (struct array_max
+    * compares score then code) — deterministic, mirrored nowhere else
+    * because codes are always consumed from the materialized encode
+    * output, never re-derived.
+    */
+  def pqCode(cb: Array[Seq[Float]])(sub: Column): Column = {
+    val scored = cb.zipWithIndex.map { case (cw, i) =>
+      val half = cw.map(x => x.toDouble * x.toDouble).sum / 2.0
+      struct((dot(sub, typedLit(cw)) - lit(half)).as("s"),
+        lit(i).as("code"))
+    }
+    array_max(array(scored: _*)).getField("code")
+  }
+
+  /** Train the m per-subspace codebooks: Lloyd's k-means under L2 on
+    * each `dim/m`-wide slice, deterministic and seed-free exactly like
+    * [[trainCentroids]] (hash-stratified init, offset by the subspace
+    * index so subspaces draw different strata; per-cell elementwise
+    * mean via [[graft.functions.VectorAgg]]; components rounded to 6 dp
+    * so partial-sum order can't leak into the model). Empty codes drop
+    * out (the standard Lloyd degeneracy), so a codebook may hold fewer
+    * than `k` codewords.
+    *
+    * Scale shape: m × iters sample-sized jobs — train on a hash sample
+    * via `sampleMod` ([[trainSampleModFor]]), never the corpus; each
+    * assignment pass is a map-only Project against ≤ k broadcast
+    * codeword literals, each re-estimation shuffles one
+    * (subDim+1)-double buffer per (code × partition). Driver state is
+    * m·k·subDim = D·k floats — model, not data.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int = 2, sampleMod: Int = 1)
+      : Array[Array[Seq[Float]]] = {
+    val dim = vecDim(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val subDim = dim / m
+    val train = if (sampleMod <= 1) corpus
+      else corpus.where(
+        pmod(xxhash64(col(idCol), lit(13)), lit(sampleMod)) === 0)
+    (0 until m).toArray.map { j =>
+      val sub = train.select(col(idCol),
+        slice(col(vecCol), j * subDim + 1, subDim).as("__sv"))
+      val pickW = Window.partitionBy(col("__stratum"))
+        .orderBy(col("__pick"), col(idCol))
+      var cb: Array[Seq[Float]] = sub
+        .select(col(idCol), col("__sv"),
+          pmod(xxhash64(col(idCol), lit(j)), lit(k)).as("__stratum"),
+          xxhash64(col(idCol), lit(7 + j)).as("__pick"))
+        .withColumn("__rn", row_number().over(pickW))
+        .where(col("__rn") === 1)
+        .select(col("__sv")).collect().map(_.getSeq[Float](0))
+      val mean = graft.functions.VectorAgg.vecMean(subDim)
+      for (_ <- 1 to iters) {
+        cb = sub
+          .select(col("__sv"), pqCode(cb)(col("__sv")).as("__c"))
+          .groupBy(col("__c")).agg(mean(col("__sv")).as("m"))
+          .orderBy(col("__c")) // stable code numbering across runs
+          .collect()
+          .map(_.getSeq[Double](1)
+            .map(x => math.rint(x * 1e6).toFloat / 1e6f))
+      }
+      cb
+    }
+  }
+
+  /** ENCODE: every corpus vector → m `(id, subspace, code)` rows — the
+    * long form, so the ADC join and the DuckDB oracle consume the same
+    * shape. One map-only pass (codebooks are broadcast literals); at
+    * k ≤ 256 a code is one byte of information, the 32×-compression
+    * claim. The one-time n·k·D assignment cost amortizes over all
+    * queries, the [[ivfBuild]] argument.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Seq[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    val codes = array((0 until m).map(j =>
+      pqCode(codebooks(j))(
+        slice(col(vecCol), j * subDim + 1, subDim)).cast("int")): _*)
+    corpus.select(col(idCol), posexplode(codes))
+      .select(col(idCol), col("pos").cast("int").as("subspace"),
+        col("col").as("code"))
+  }
+
+  /** Spark-`round(x,0)`-compatible micro-unit rounding (HALF_UP on the
+    * exact binary value — what DuckDB `round(x*1e6)` computes too).
+    */
+  private def microHalfUp(d: Double): Long =
+    BigDecimal(d * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** ADC top-k: per query, build the m×k lookup table of subspace dot
+    * products against the codebooks (driver-side — |Q|·m·k micro-unit
+    * longs, bounded model state), broadcast it as a table, and score
+    * every encoded vector with ONE equi-join + a (query, id) hash agg
+    * summing m integer lookups. Estimates are exact micro-unit sums —
+    * bit-identical whatever the partitioning, and re-derivable by any
+    * engine from the materialized codebooks + codes (round each
+    * subspace dot to 1e-6, integer-sum — see the `sim_topk_pq`
+    * oracle). Per-query cost is n·m lookups against an n·m-row code
+    * table: the PQ promise that query time never touches a float
+    * vector.
+    */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame,
+                codebooks: Array[Array[Seq[Float]]], idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val subDim = codebooks.head.head.length
+    val lut = for {
+      r <- queries.select(col(idCol), col(vecCol)).collect().toSeq
+      (cb, j) <- codebooks.zipWithIndex.toSeq
+      (cw, c) <- cb.zipWithIndex.toSeq
+    } yield {
+      val qv = r.getSeq[Float](1)
+      val d = (0 until subDim)
+        .map(t => qv(j * subDim + t).toDouble * cw(t).toDouble).sum
+      (r.getLong(0), j, c, microHalfUp(d))
+    }
+    val lutDf = lut.toDF("query_id", "subspace", "code", "__micro")
+    val est = codes
+      .join(broadcast(lutDf), Seq("subspace", "code"))
+      .where(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
+      .agg(sum(col("__micro")).as("__est_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__est_micro").desc, col("neighbor_id").asc)
+    est.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__est_micro").cast("double") / 1e6, 6).as("est_dot"))
+  }
+
+  /** Exact DOT-product top-k — the brute-force truth for the PQ path,
+    * which approximates dot, not cosine (a norm-varying corpus ranks
+    * differently under the two).
+    */
+  def bruteForceTopKDot(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** The production PQ shape: ADC SHORTLIST (cheap, code-table-only)
+    * → exact-dot re-rank of the `shortlist` winners (float vectors
+    * touched for shortlist·|Q| rows only — the two-stage retrieval
+    * every PQ deployment runs, because raw ADC ranking carries the
+    * quantization error `sim_topk_pq` materializes). Re-rank cost is
+    * query-set-sized, independent of the corpus.
+    */
+  def pqShortlistRerank(queries: DataFrame, codes: DataFrame,
+                        codebooks: Array[Array[Seq[Float]]],
+                        corpus: DataFrame, idCol: String, vecCol: String,
+                        k: Int, shortlist: Int): DataFrame = {
+    val cands = pqAdcTopK(queries, codes, codebooks, idCol, vecCol, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = cands.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .withColumn("score", dot(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
 }

@@ -166,6 +166,70 @@ class SimilaritySpec extends SparkSpec {
       "ranks must be dense 1..n per query"))
   }
 
+  test("PQ ADC is EXACT when vectors are concatenations of codewords " +
+    "(zero quantization error)") {
+    // 2 subspaces × 2 codewords of dim 2; corpus vectors built from
+    // codeword pairs → encode loses nothing → est_dot == exact dot
+    val cbs: Array[Array[Seq[Float]]] = Array(
+      Array(Seq(1f, 0f), Seq(0f, 2f)),
+      Array(Seq(3f, 0f), Seq(0f, 1f)))
+    def cat(a: Seq[Float], b: Seq[Float]) = (a ++ b).toArray
+    val rows = Seq(
+      (0L, cat(cbs(0)(0), cbs(1)(0))), // [1,0,3,0]
+      (1L, cat(cbs(0)(1), cbs(1)(1))), // [0,2,0,1]
+      (2L, cat(cbs(0)(0), cbs(1)(1))), // [1,0,0,1]
+      (3L, cat(cbs(0)(1), cbs(1)(0)))) // [0,2,3,0]
+    val df = rows.toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cbs)
+    val out = Similarity.pqAdcTopK(df.where($"vec_id" === 0), codes, cbs,
+        "vec_id", "embedding", k = 3)
+      .orderBy($"rank")
+      .select($"neighbor_id", $"est_dot").as[(Long, Double)].collect().toSeq
+    // exact dots vs v0=[1,0,3,0]: v3 → 9, v2 → 1, v1 → 0
+    assert(out == Seq((3L, 9.0), (2L, 1.0), (1L, 0.0)))
+  }
+
+  test("pqTrain is deterministic across partitionings; encode covers " +
+    "all subspaces") {
+    val emb = Tables.embeddings(spark, sf())
+    val a = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8,
+      iters = 1)
+    val b = Similarity.pqTrain(emb.repartition(13), "vec_id", "embedding",
+      m = 4, k = 8, iters = 1)
+    assert(a.length == b.length &&
+      a.zip(b).forall { case (x, y) =>
+        x.length == y.length && x.zip(y).forall(p => p._1 == p._2) },
+      "codebooks must be bit-identical whatever the partitioning")
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", a)
+    val n = emb.count()
+    assert(codes.count() == n * 4, "m rows per vector")
+    assert(codes.groupBy("subspace").count().count() == 4)
+  }
+
+  test("PQ two-stage (ADC shortlist → exact re-rank) recall beats raw " +
+    "ADC and clears the usable floor") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = emb.where($"vec_id" < 8)
+    val cbs = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16,
+      iters = 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+    val exact = Similarity.bruteForceTopKDot(q, emb, "vec_id", "embedding", 10)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.recallAtK(approx, exact)
+        .agg(avg($"recall")).head().getDouble(0)
+      r
+    }
+    val raw = meanRecall(
+      Similarity.pqAdcTopK(q, codes, cbs, "vec_id", "embedding", 10))
+    val reranked = meanRecall(Similarity.pqShortlistRerank(
+      q, codes, cbs, emb, "vec_id", "embedding", k = 10, shortlist = 50))
+    // measured on this corpus: raw ≈ 0.28, reranked ≈ 0.64 (random
+    // embeddings are PQ's worst case — no cluster structure to quantize)
+    assert(raw >= 0.15, s"raw ADC recall collapsed: $raw")
+    assert(reranked >= 0.5, s"two-stage recall too low: $reranked")
+    assert(reranked > raw, "re-ranking must buy recall back")
+  }
+
   test("cosineNearDups finds the corpus' top pairs and nothing below threshold") {
     val emb = Tables.embeddings(spark, sf())
     val out = Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.4).collect()
