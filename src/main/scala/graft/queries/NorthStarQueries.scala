@@ -438,6 +438,29 @@ object NorthStarQueries {
         targets = Map("src0" -> 4000L, "src1" -> 100000L, "src2" -> 700L),
         maxEpochs = 3)),
 
+    // α-temperature source weights (the multilingual/multi-source
+    // sampling rule, e.g. mC4 / XLM-R: p_i ∝ n_i^α with α = 0.3 —
+    // up-samples tail sources, caps the head): per-source token mass,
+    // raw share, temperature share, and the boost each source gets.
+    // w_i rounds to micro-units BEFORE the total so the normalizing
+    // sum is an exact integer (partition-order-invariant); shares
+    // divide the micro values on both sides
+    "sample_temperature_weights" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("__nt"))
+        .groupBy(col("source")).agg(sum(col("__nt")).as("n_tokens"))
+      val p = t.withColumn("__w6",
+        round(pow(col("n_tokens").cast("double"), 0.3) * 1e6, 0).cast("long"))
+      val tot = p.agg(sum(col("n_tokens")).as("__tn"),
+        sum(col("__w6")).as("__tw"))
+      p.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("__tn"), 6).as("p_raw"),
+          round(col("__w6").cast("double") / col("__tw"), 6).as("p_temp"))
+        .withColumn("boost", round(col("p_temp") / col("p_raw"), 6))
+    }),
+
     // leak-free train/valid/test split: the split decision hashes the
     // GROUP key (source), so near-duplicate docs within one source can
     // never straddle train and test — map-only, no group table join
@@ -2173,6 +2196,28 @@ object NorthStarQueries {
         |WHERE n_repeats >= 1""".stripMargin,
 
     // same md5-of-group-key bucket arithmetic as the stratified mix
+    // same micro-unit weight rounding before the exact integer
+    // normalizer; shares and boost divide the rounded values
+    "sample_temperature_weights" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |p AS (
+        |  SELECT source, n_tokens,
+        |    CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.3) * 1e6) AS BIGINT)
+        |      AS w6
+        |  FROM t),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tn,
+        |               CAST(SUM(w6) AS BIGINT) AS tw FROM p)
+        |SELECT source, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / tn, 6) AS p_raw,
+        |  round(CAST(w6 AS DOUBLE) / tw, 6) AS p_temp,
+        |  round(round(CAST(w6 AS DOUBLE) / tw, 6)
+        |    / round(CAST(n_tokens AS DOUBLE) / tn, 6), 6) AS boost
+        |FROM p, tot""".stripMargin,
+
     "sample_leakfree_split" ->
       """WITH b AS (
         |  SELECT doc_id, source, n_chars,

@@ -141,4 +141,23 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("temperature weights: shares sum to ~1, tail sources boosted " +
+    "above head sources, deterministic across partitionings") {
+    def run(dir: String) = graft.queries.NorthStarQueries
+      .defs("sample_temperature_weights")(spark, dir)
+      .orderBy(col("source"))
+      .select("source", "n_tokens", "p_raw", "p_temp", "boost")
+      .collect().toSeq
+    val rows = run(sf())
+    assert(rows.nonEmpty)
+    val pSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(pSum - 1.0) < 1e-3, s"p_temp must normalize: $pSum")
+    // α < 1 flattens the distribution: the smallest source's boost must
+    // exceed the largest source's boost
+    val bySize = rows.sortBy(_.getLong(1))
+    assert(bySize.head.getDouble(4) > bySize.last.getDouble(4),
+      "temperature must up-weight the tail relative to the head")
+    assert(run(sf()) == rows, "deterministic re-run")
+  }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.SparkSpec
 import graft.SparkEntry
 import graft.plans.TopKPerKey
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan invariants for representative queries — the properties
   * that make them viable at 100 TB. A regression here (a filter that
@@ -75,6 +76,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "partial + final funnel aggregation expected\n" + p)
+  }
+
+  test("PQ ADC scoring broadcasts the lookup table and heap-rewrites " +
+    "the per-query top-k — no sort-merge join, no float vectors") {
+    val emb = graft.model.Tables.embeddings(spark, sf())
+    val cbs = graft.similarity.Similarity.pqTrain(emb, "vec_id",
+      "embedding", m = 4, k = 8, iters = 1)
+    val codes = graft.similarity.Similarity.pqEncode(emb, "vec_id",
+      "embedding", cbs)
+    val p = graft.similarity.Similarity.pqAdcTopK(
+        emb.where(col("vec_id") < 4), codes, cbs, "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("FinalTopK") && !p.contains("WindowExec"),
+      s"per-query top-k must run on the bounded-heap operator\n$p")
   }
 
   test("join_broadcast_dims broadcasts both dimension tables") {
