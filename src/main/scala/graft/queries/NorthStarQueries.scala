@@ -1088,6 +1088,34 @@ object NorthStarQueries {
       Similarity.recallAtK(approx, exact)
     }),
 
+    // the composed retrieval stack (FAISS-style IVFADC, non-residual):
+    // IVF cells pick WHO gets scored (~nprobe/numCells of the corpus),
+    // PQ codes make scoring them cheap (m lookups, no float reads),
+    // exact dot re-ranks the shortlist. Candidates, codes and
+    // codebooks materialize; the oracle replays ADC over exactly the
+    // candidate pairs, shortlists, and re-ranks with the
+    // list_dot_product twin
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 8)
+      val cbs = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      cbs.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (cw, c) => (j, c, cw.map(_.toDouble)) }
+      }.toSeq.toDF("subspace", "code", "vec").coalesce(1)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "pqi_codebooks"))
+      Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "pqi_codes"))
+      Similarity.ivfCandidates(q, emb, "vec_id", "embedding",
+          numCells = 16, nprobe = 8)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "pqi_cands"))
+      Similarity.ivfPqTopK(q, emb,
+        s.read.parquet(OracleAux.dir(dir, "pqi_cands")),
+        s.read.parquet(OracleAux.dir(dir, "pqi_codes")), cbs,
+        "vec_id", "embedding", k = 10, shortlist = 50)
+    }),
+
     // IVF-bucketed ANN; probe-join candidates materialized, re-rank
     // DuckDB-verified (recall vs brute force asserted in SimilaritySpec)
     "sim_topk_ivf" -> ((s, dir) => {
@@ -1465,6 +1493,50 @@ object NorthStarQueries {
         |FROM exact LEFT JOIN rer
         |  ON rer.qid = exact.qid AND rer.nid = exact.nid
         |GROUP BY 1""".stripMargin,
+
+    // ADC replay RESTRICTED to the materialized candidate pairs, then
+    // shortlist(50) on the micro estimates and exact-dot re-rank(10)
+    "sim_topk_ivfpq" ->
+      s"""WITH cb AS (SELECT subspace, code, vec FROM
+        |  read_parquet('${OracleAux.sqlDir("pqi_codebooks")}/*.parquet')),
+        |cds AS (SELECT vec_id, subspace, code FROM
+        |  read_parquet('${OracleAux.sqlDir("pqi_codes")}/*.parquet')),
+        |cand AS (SELECT query_id, neighbor_id FROM
+        |  read_parquet('${OracleAux.sqlDir("pqi_cands")}/*.parquet')),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 8),
+        |lut AS (
+        |  SELECT q.qid, cb.subspace, cb.code,
+        |    CAST(round(list_dot_product(
+        |      list_slice(q.qv, cb.subspace*8 + 1, cb.subspace*8 + 8),
+        |      cb.vec) * 1e6) AS BIGINT) AS micro
+        |  FROM q CROSS JOIN cb),
+        |est AS (
+        |  SELECT p.query_id AS qid, p.neighbor_id AS nid,
+        |    CAST(SUM(l.micro) AS BIGINT) AS em
+        |  FROM cand p
+        |  JOIN cds c ON c.vec_id = p.neighbor_id
+        |  JOIN lut l ON l.qid = p.query_id
+        |    AND l.subspace = c.subspace AND l.code = c.code
+        |  GROUP BY 1, 2),
+        |short AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY em DESC, nid ASC)
+        |      AS rk FROM est) WHERE rk <= 50),
+        |rer AS (
+        |  SELECT s.qid, s.nid,
+        |    list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) AS d
+        |  FROM short s
+        |  JOIN q ON q.qid = s.qid
+        |  JOIN embeddings e ON e.vec_id = s.nid),
+        |r AS (
+        |  SELECT qid, nid, d,
+        |    row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid ASC)
+        |      AS rank
+        |  FROM rer)
+        |SELECT qid AS query_id, nid AS neighbor_id,
+        |  CAST(rank AS INTEGER) AS rank, round(d, 6) AS score
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     "sim_topk_ivf" ->
       s"""WITH p AS (SELECT query_id, neighbor_id

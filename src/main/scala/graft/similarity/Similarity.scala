@@ -712,6 +712,74 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
+  /** ADC-score a GIVEN candidate pair list (query_id, neighbor_id)
+    * instead of the whole code table — the building block the IVF×PQ
+    * composition needs: the coarse index decides WHO gets scored, the
+    * code table decides HOW CHEAPLY. One join of the pair list onto the
+    * m-row-per-vector codes, one broadcast lookup-table join, one
+    * integer-sum agg; float vectors still untouched.
+    */
+  def pqAdcScorePairs(pairs: DataFrame, queries: DataFrame,
+                      codes: DataFrame,
+                      codebooks: Array[Array[Seq[Float]]], idCol: String,
+                      vecCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val subDim = codebooks.head.head.length
+    val lut = for {
+      r <- queries.select(col(idCol), col(vecCol)).collect().toSeq
+      (cb, j) <- codebooks.zipWithIndex.toSeq
+      (cw, c) <- cb.zipWithIndex.toSeq
+    } yield {
+      val qv = r.getSeq[Float](1)
+      val d = (0 until subDim)
+        .map(t => qv(j * subDim + t).toDouble * cw(t).toDouble).sum
+      (r.getLong(0), j, c, microHalfUp(d))
+    }
+    val lutDf = lut.toDF("query_id", "subspace", "code", "__micro")
+    pairs.select(col("query_id"), col("neighbor_id"))
+      .join(codes.select(col(idCol).as("neighbor_id"), col("subspace"),
+        col("code")), Seq("neighbor_id"))
+      .join(broadcast(lutDf), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__micro")).as("__est_micro"))
+  }
+
+  /** IVF × PQ composition — the FAISS-style "IVFADC" retrieval stack,
+    * here WITHOUT residual encoding (codes quantize the raw vectors;
+    * quantizing per-cell residuals is the published refinement and
+    * would re-use this exact plumbing with per-(query, cell) lookup
+    * tables): probe `nprobe` coarse cells for the candidate set
+    * (~nprobe/numCells of the corpus), ADC-score ONLY those candidates
+    * from the code table, keep the `shortlist` best per query, exact-
+    * dot re-rank the shortlist. Per-query cost:
+    * numCells·D (probe) + |cands|·m (lookups) + shortlist·D (re-rank)
+    * — each stage shrinks the set the next touches, the composition
+    * argument at 100 TB.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, cands: DataFrame,
+                codes: DataFrame, codebooks: Array[Array[Seq[Float]]],
+                idCol: String, vecCol: String, k: Int,
+                shortlist: Int): DataFrame = {
+    val est = pqAdcScorePairs(cands, queries, codes, codebooks, idCol, vecCol)
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("__est_micro").desc, col("neighbor_id").asc)
+    val short = est.withColumn("__rk", row_number().over(ws))
+      .where(col("__rk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = short.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .withColumn("score", dot(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** The production PQ shape: ADC SHORTLIST (cheap, code-table-only)
     * → exact-dot re-rank of the `shortlist` winners (float vectors
     * touched for shortlist·|Q| rows only — the two-stage retrieval

@@ -230,6 +230,38 @@ class SimilaritySpec extends SparkSpec {
     assert(reranked > raw, "re-ranking must buy recall back")
   }
 
+  test("IVF×PQ composition: pair-scoring agrees with the full ADC " +
+    "table, and the stacked index keeps usable recall") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = emb.where($"vec_id" < 8)
+    val cbs = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16,
+      iters = 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+    // scoring a full all-pairs list must reproduce pqAdcTopK exactly
+    val allPairs = q.select($"vec_id".as("query_id"))
+      .crossJoin(emb.select($"vec_id".as("neighbor_id")))
+      .where($"query_id" =!= $"neighbor_id")
+    val viaPairs = Similarity.pqAdcScorePairs(allPairs, q, codes, cbs,
+        "vec_id", "embedding")
+      .select($"query_id", $"neighbor_id", $"__est_micro")
+      .orderBy($"query_id", $"neighbor_id").collect().toSeq
+    val viaTable = Similarity.pqAdcTopK(q, codes, cbs, "vec_id",
+        "embedding", k = Int.MaxValue)
+      .select($"query_id", $"neighbor_id",
+        round($"est_dot" * 1e6, 0).cast("long").as("m"))
+      .orderBy($"query_id", $"neighbor_id").collect().toSeq
+    assert(viaPairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      viaTable.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    val cands = Similarity.ivfCandidates(q, emb, "vec_id", "embedding",
+      numCells = 16, nprobe = 8)
+    val stacked = Similarity.ivfPqTopK(q, emb, cands, codes, cbs,
+      "vec_id", "embedding", k = 10, shortlist = 50)
+    val exact = Similarity.bruteForceTopKDot(q, emb, "vec_id", "embedding", 10)
+    val recall = Similarity.recallAtK(stacked, exact)
+      .agg(avg($"recall")).head().getDouble(0)
+    assert(recall >= 0.4, s"stacked IVF×PQ recall too low: $recall")
+  }
+
   test("cosineNearDups finds the corpus' top pairs and nothing below threshold") {
     val emb = Tables.embeddings(spark, sf())
     val out = Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.4).collect()
