@@ -600,30 +600,42 @@ object Similarity {
     val train = if (sampleMod <= 1) corpus
       else corpus.where(
         pmod(xxhash64(col(idCol), lit(13)), lit(sampleMod)) === 0)
-    (0 until m).toArray.map { j =>
-      val sub = train.select(col(idCol),
-        slice(col(vecCol), j * subDim + 1, subDim).as("__sv"))
-      val pickW = Window.partitionBy(col("__stratum"))
-        .orderBy(col("__pick"), col(idCol))
-      var cb: Array[Seq[Float]] = sub
-        .select(col(idCol), col("__sv"),
-          pmod(xxhash64(col(idCol), lit(j)), lit(k)).as("__stratum"),
-          xxhash64(col(idCol), lit(7 + j)).as("__pick"))
-        .withColumn("__rn", row_number().over(pickW))
-        .where(col("__rn") === 1)
-        .select(col("__sv")).collect().map(_.getSeq[Float](0))
-      val mean = graft.functions.VectorAgg.vecMean(subDim)
-      for (_ <- 1 to iters) {
-        cb = sub
-          .select(col("__sv"), pqCode(cb)(col("__sv")).as("__c"))
-          .groupBy(col("__c")).agg(mean(col("__sv")).as("m"))
-          .orderBy(col("__c")) // stable code numbering across runs
-          .collect()
-          .map(_.getSeq[Double](1)
-            .map(x => math.rint(x * 1e6).toFloat / 1e6f))
+    // ALL m subspaces train in the SAME jobs: one exploded
+    // (id, subspace, subvector) frame drives one init pick and one
+    // (subspace, code)-keyed mean aggregation per Lloyd round — 1+iters
+    // Spark jobs total instead of m·(1+iters). At 8 subspaces that's
+    // 8× less job-scheduling overhead for identical per-subspace math
+    // (each subspace's rows are disjoint groups of the same shuffle).
+    val subs = train
+      .select(col(idCol), posexplode(array((0 until m).map(j =>
+        slice(col(vecCol), j * subDim + 1, subDim)): _*)))
+      .select(col(idCol), col("pos").as("__j"), col("col").as("__sv"))
+    val pickW = Window.partitionBy(col("__j"), col("__stratum"))
+      .orderBy(col("__pick"), col(idCol))
+    val initRows = subs
+      .withColumn("__stratum", pmod(xxhash64(col(idCol), col("__j")), lit(k)))
+      .withColumn("__pick", xxhash64(col(idCol), col("__j") + 7))
+      .withColumn("__rn", row_number().over(pickW))
+      .where(col("__rn") === 1)
+      .orderBy(col("__j"), col("__stratum")) // stable code numbering
+      .select(col("__j"), col("__sv")).collect()
+    var cbs: Array[Array[Seq[Float]]] = (0 until m).map(j =>
+      initRows.filter(_.getInt(0) == j).map(_.getSeq[Float](1))).toArray
+    val mean = graft.functions.VectorAgg.vecMean(subDim)
+    for (_ <- 1 to iters) {
+      val codeCol = (0 until m).foldLeft(lit(-1)) { (acc, j) =>
+        when(col("__j") === j, pqCode(cbs(j))(col("__sv"))).otherwise(acc)
       }
-      cb
+      val rows = subs.select(col("__j"), codeCol.as("__c"), col("__sv"))
+        .groupBy(col("__j"), col("__c")).agg(mean(col("__sv")).as("m"))
+        .orderBy(col("__j"), col("__c")) // stable code numbering
+        .collect()
+      cbs = (0 until m).map(j =>
+        rows.filter(_.getInt(0) == j).map(r =>
+          r.getSeq[Double](2).map(x =>
+            math.rint(x * 1e6).toFloat / 1e6f): Seq[Float])).toArray
     }
+    cbs
   }
 
   /** ENCODE: every corpus vector → m `(id, subspace, code)` rows — the
