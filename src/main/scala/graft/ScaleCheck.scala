@@ -481,6 +481,16 @@ object ScaleCheck128 {
           shingleSize = 3, threshold = 0.5,
           aFilter = col("doc_id") < 1000000L && col("doc_id") % 10 === 7).count()
       }
+      // the bottom-k containment sketch in the ALL-PAIRS regime the
+      // exact join cannot survive (its unrestricted ×128 leg is
+      // disk-bound by design, recorded in BASELINE.md): the A-side
+      // explodes ≤ k postings per doc whatever the df spectrum, so the
+      // ratio must stay ≈ the corpus ratio (4×) — this probe is the
+      // evidence that the sketch screen IS the ×128 escape hatch
+      time(s"dedup_cont_sketch_x$mult") {
+        graft.dedup.Dedup.containmentSketchPairs(d, "doc_id", "text",
+          shingleSize = 3, k = 8, minEst = 0.3).count()
+      }
       // per-domain line dedup: the df spectrum is PER SOURCE (one hot
       // domain = one hot stratum), spikier than the corpus-wide
       // sibling's — replicas multiply each domain's line frequencies,

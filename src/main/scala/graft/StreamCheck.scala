@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.Trigger
   *    the identical batch join.
   *
   * Usage: `runMain graft.StreamCheck [sfDir]
-  * [--check=fraud|stateful|streamjoin|session|dedup|staticjoin|drift|quality|all]`
+  * [--check=fraud|stateful|streamjoin|session|dedup|staticjoin|drift|quality|cms|all]`
   * (defaults: sf0.01, all). Exit 1 if any selected check fails.
   */
 object StreamCheck {
@@ -46,7 +46,8 @@ object StreamCheck {
       "dedup" -> (() => checkDedup(spark, sfDir)),
       "staticjoin" -> (() => checkStaticJoin(spark, sfDir)),
       "drift" -> (() => checkDrift(spark, sfDir)),
-      "quality" -> (() => checkQuality(spark, sfDir)))
+      "quality" -> (() => checkQuality(spark, sfDir)),
+      "cms" -> (() => checkCms(spark, sfDir)))
     val selected = checks.filter { case (n, _) => mode == "all" || mode == n }
     require(selected.nonEmpty, s"unknown --check=$mode")
     val ok = selected.map { case (_, f) => f() }.forall(identity)
@@ -372,6 +373,40 @@ object StreamCheck {
       docs, "doc_id", "text", w, b, numBuckets = 256, threshold = 0.5)
     parityLine("streaming_quality_gate", sfDir, outDir, batch, "",
       (System.nanoTime() - t0) / 1e9, extraOk = true)
+  }
+
+  /** Streaming heavy-hitter sketching: ONE Count-Min sketch per
+    * event-time window over the user_id stream — online frequency
+    * monitoring with bounded state (the grid is (eps, confidence)-
+    * sized, not cardinality-sized). Parity is the STRONGEST form: the
+    * emitted sketch BYTES must equal the batch window's sketch
+    * byte-for-byte (CMS cells merge by exact integer addition, so
+    * stream micro-batching cannot perturb them — the same argument
+    * that makes `corpus_heavyhitters_cms` partition-invariant),
+    * compared as md5 per closed window.
+    */
+  private def checkCms(spark: SparkSession, sfDir: String): Boolean = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
+    val t0 = System.nanoTime()
+    def sk(df: DataFrame) =
+      df.groupBy(window(col("ts"), "10 seconds"))
+        // eps 0.01 → a 200×5 grid (~8 KB/window): per-window error
+        // bound 1% of window mass, state bounded at windows × 8 KB
+        .agg(expr("count_min_sketch(CAST(user_id AS STRING), " +
+          "CAST(0.01 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").as("__sk"))
+        .select(col("window.end").as("wend"), md5(col("__sk")).as("sketch_md5"))
+    runToParquet(
+      sk(eventsStream(spark, sfDir).withWatermark("ts", "10 seconds")),
+      ckpt, outDir)
+    val ev = graft.model.Tables.events(spark, sfDir)
+    val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val batch = sk(ev)
+    val closeable = batch.where(unix_timestamp(col("wend")) <= maxTs - 10)
+    val open = batch.count() - closeable.count()
+    parityLine("streaming_cms_heavyhitters", sfDir, outDir, closeable,
+      s""""open_windows":$open,""",
+      (System.nanoTime() - t0) / 1e9, extraOk = open <= 2)
   }
 
   private def checkStreamJoin(spark: SparkSession, sfDir: String): Boolean = {
