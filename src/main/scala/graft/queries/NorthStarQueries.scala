@@ -1116,6 +1116,45 @@ object NorthStarQueries {
         "vec_id", "embedding", k = 10, shortlist = 50)
     }),
 
+    // the PUBLISHED IVFADC form (Jégou et al. 2011 §IV): PQ codebooks
+    // quantize RESIDUALS x − c_cell(x), which concentrate near zero
+    // and quantize with less error than raw vectors; the estimate is
+    // q·c_cell (a per-(query, cell) constant) + the residual ADC sum.
+    // Centroids, cell assignments, codebooks, codes, and candidates
+    // all materialize; the oracle replays the two-term estimate,
+    // shortlist, and exact re-rank
+    "sim_topk_ivfpq_res" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 8)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        numCells = 16, iters = 1)
+      cents.map(_._1).zipWithIndex
+        .map { case (v, i) => (i, v.map(_.toDouble)) }.toSeq
+        .toDF("cell", "vec").coalesce(1)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "pqres_cents"))
+      val resid = Similarity.residuals(emb, "vec_id", "embedding", cents)
+      resid.select("vec_id", "cell")
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "pqres_cells"))
+      val cbs = Similarity.pqTrain(resid, "vec_id", "__resid",
+        m = 8, k = 16, iters = 2)
+      cbs.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (cw, c) => (j, c, cw.map(_.toDouble)) }
+      }.toSeq.toDF("subspace", "code", "vec").coalesce(1)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "pqres_codebooks"))
+      Similarity.pqEncode(resid, "vec_id", "__resid", cbs)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "pqres_codes"))
+      val cellsDf = s.read.parquet(OracleAux.dir(dir, "pqres_cells"))
+      Similarity.ivfProbe(q, "vec_id", "embedding", cents,
+          cellsDf.select(col("vec_id").as("neighbor_id"), col("cell")),
+          nprobe = 8)
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "pqres_cands"))
+      Similarity.ivfPqResidualTopK(q, emb,
+        s.read.parquet(OracleAux.dir(dir, "pqres_cands")), cellsDf,
+        s.read.parquet(OracleAux.dir(dir, "pqres_codes")), cents, cbs,
+        "vec_id", "embedding", k = 10, shortlist = 50)
+    }),
+
     // IVF-bucketed ANN; probe-join candidates materialized, re-rank
     // DuckDB-verified (recall vs brute force asserted in SimilaritySpec)
     "sim_topk_ivf" -> ((s, dir) => {
@@ -1519,6 +1558,65 @@ object NorthStarQueries {
         |  JOIN lut l ON l.qid = p.query_id
         |    AND l.subspace = c.subspace AND l.code = c.code
         |  GROUP BY 1, 2),
+        |short AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY em DESC, nid ASC)
+        |      AS rk FROM est) WHERE rk <= 50),
+        |rer AS (
+        |  SELECT s.qid, s.nid,
+        |    list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) AS d
+        |  FROM short s
+        |  JOIN q ON q.qid = s.qid
+        |  JOIN embeddings e ON e.vec_id = s.nid),
+        |r AS (
+        |  SELECT qid, nid, d,
+        |    row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid ASC)
+        |      AS rank
+        |  FROM rer)
+        |SELECT qid AS query_id, nid AS neighbor_id,
+        |  CAST(rank AS INTEGER) AS rank, round(d, 6) AS score
+        |FROM r WHERE rank <= 10""".stripMargin,
+
+    // two-term estimate replay: q·centroid (per query×cell) + the
+    // residual-codebook ADC sum over the candidate pairs, then
+    // shortlist(50) and exact-dot re-rank(10)
+    "sim_topk_ivfpq_res" ->
+      s"""WITH cent AS (SELECT cell, vec FROM
+        |  read_parquet('${OracleAux.sqlDir("pqres_cents")}/*.parquet')),
+        |cells AS (SELECT vec_id, cell FROM
+        |  read_parquet('${OracleAux.sqlDir("pqres_cells")}/*.parquet')),
+        |cb AS (SELECT subspace, code, vec FROM
+        |  read_parquet('${OracleAux.sqlDir("pqres_codebooks")}/*.parquet')),
+        |cds AS (SELECT vec_id, subspace, code FROM
+        |  read_parquet('${OracleAux.sqlDir("pqres_codes")}/*.parquet')),
+        |cand AS (SELECT query_id, neighbor_id FROM
+        |  read_parquet('${OracleAux.sqlDir("pqres_cands")}/*.parquet')),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id < 8),
+        |qc AS (
+        |  SELECT q.qid, c.cell,
+        |    CAST(round(list_dot_product(q.qv, c.vec) * 1e6) AS BIGINT)
+        |      AS micro
+        |  FROM q CROSS JOIN cent c),
+        |lut AS (
+        |  SELECT q.qid, cb.subspace, cb.code,
+        |    CAST(round(list_dot_product(
+        |      list_slice(q.qv, cb.subspace*8 + 1, cb.subspace*8 + 8),
+        |      cb.vec) * 1e6) AS BIGINT) AS micro
+        |  FROM q CROSS JOIN cb),
+        |res_est AS (
+        |  SELECT p.query_id AS qid, p.neighbor_id AS nid,
+        |    CAST(SUM(l.micro) AS BIGINT) AS em
+        |  FROM cand p
+        |  JOIN cds c ON c.vec_id = p.neighbor_id
+        |  JOIN lut l ON l.qid = p.query_id
+        |    AND l.subspace = c.subspace AND l.code = c.code
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT r.qid, r.nid, r.em + qc.micro AS em
+        |  FROM res_est r
+        |  JOIN cells ce ON ce.vec_id = r.nid
+        |  JOIN qc ON qc.qid = r.qid AND qc.cell = ce.cell),
         |short AS (SELECT qid, nid FROM (
         |  SELECT qid, nid,
         |    row_number() OVER (PARTITION BY qid ORDER BY em DESC, nid ASC)

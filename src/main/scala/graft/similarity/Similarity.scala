@@ -792,6 +792,78 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
+  /** RESIDUAL vectors for the IVFADC refinement (Jégou et al. 2011
+    * §IV): `x − c_cell(x)` — what the PQ codebooks quantize in the
+    * published form, because residuals concentrate around zero and
+    * quantize with far less error than raw vectors. The per-row
+    * centroid lookup is `element_at` into the broadcast centroid
+    * matrix (no join); subtraction is one `zip_with`. Returns
+    * (idCol, cell, __resid).
+    */
+  def residuals(corpus: DataFrame, idCol: String, vecCol: String,
+                cents: Array[(Seq[Float], Double)]): DataFrame = {
+    val centArr = typedLit(cents.map(_._1).toSeq)
+    val cell = cellFor(cents)(col(vecCol))
+    corpus.select(col(idCol), cell.as("cell"),
+      zip_with(col(vecCol), element_at(centArr, cell + 1),
+        (x, c) => x - c).as("__resid"))
+  }
+
+  /** Residual-IVFPQ ADC top-k — the full published IVFADC estimate:
+    * `q·x ≈ q·c_cell(x) + Σ_j lut_j[code_j(residual(x))]`. The coarse
+    * term is a per-(query, cell) CONSTANT (|Q|·numCells micro-longs,
+    * driver-built like the lookup tables); the residual term reuses
+    * the global-codebook ADC machinery unchanged, because the
+    * codebooks are trained on residuals across all cells, so the
+    * lookup tables stay per-query, not per-(query, cell). Candidates
+    * come from the caller (the IVF probe); output mirrors
+    * [[ivfPqTopK]] (exact-dot re-rank of the shortlist).
+    */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame,
+                        cands: DataFrame, cells: DataFrame,
+                        codes: DataFrame,
+                        cents: Array[(Seq[Float], Double)],
+                        codebooks: Array[Array[Seq[Float]]],
+                        idCol: String, vecCol: String, k: Int,
+                        shortlist: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol), col(vecCol)).collect().toSeq
+    val qc = for {
+      r <- qRows
+      (cw, cell) <- cents.map(_._1).zipWithIndex.toSeq
+    } yield {
+      val qv = r.getSeq[Float](1)
+      val d = qv.indices.map(t => qv(t).toDouble * cw(t).toDouble).sum
+      (r.getLong(0), cell, microHalfUp(d))
+    }
+    val qcDf = qc.toDF("query_id", "cell", "__qc_micro")
+    val resid = pqAdcScorePairs(cands, queries, codes, codebooks, idCol,
+      vecCol)
+    val est = resid
+      .join(cells.select(col(idCol).as("neighbor_id"), col("cell")),
+        Seq("neighbor_id"))
+      .join(broadcast(qcDf), Seq("query_id", "cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("__est_micro") + col("__qc_micro")).as("__est_micro"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("__est_micro").desc, col("neighbor_id").asc)
+    val short = est.withColumn("__rk", row_number().over(ws))
+      .where(col("__rk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = short.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .withColumn("score", dot(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** The production PQ shape: ADC SHORTLIST (cheap, code-table-only)
     * → exact-dot re-rank of the `shortlist` winners (float vectors
     * touched for shortlist·|Q| rows only — the two-stage retrieval

@@ -262,6 +262,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"stacked IVF×PQ recall too low: $recall")
   }
 
+  test("residual IVFPQ: residuals quantize with less error than raw " +
+    "vectors, and the stacked recall holds") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = emb.where($"vec_id" < 8)
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      numCells = 16, iters = 1)
+    val resid = Similarity.residuals(emb, "vec_id", "embedding", cents)
+    // residual mass must be well below raw vector mass — that's WHY
+    // the published form quantizes residuals
+    val rawNorm = emb.select(
+      Similarity.l2Norm($"embedding").as("n")).agg(avg($"n")).head().getDouble(0)
+    val resNorm = resid.select(
+      Similarity.l2Norm($"__resid").as("n")).agg(avg($"n")).head().getDouble(0)
+    assert(resNorm < rawNorm,
+      s"residuals ($resNorm) should be smaller than raw vectors ($rawNorm)")
+    val cbs = Similarity.pqTrain(resid, "vec_id", "__resid", m = 8, k = 16,
+      iters = 2)
+    val codes = Similarity.pqEncode(resid, "vec_id", "__resid", cbs)
+    val cells = resid.select($"vec_id".as("neighbor_id"), $"cell")
+    val cands = Similarity.ivfProbe(q, "vec_id", "embedding", cents,
+      cells, nprobe = 8)
+    val out = Similarity.ivfPqResidualTopK(q, emb, cands,
+      resid.select("vec_id", "cell"), codes, cents, cbs,
+      "vec_id", "embedding", k = 10, shortlist = 50)
+    val exact = Similarity.bruteForceTopKDot(q, emb, "vec_id", "embedding", 10)
+    val recall = Similarity.recallAtK(out, exact)
+      .agg(avg($"recall")).head().getDouble(0)
+    assert(recall >= 0.4, s"residual IVFPQ recall too low: $recall")
+  }
+
   test("cosineNearDups finds the corpus' top pairs and nothing below threshold") {
     val emb = Tables.embeddings(spark, sf())
     val out = Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.4).collect()
