@@ -317,6 +317,12 @@ object NorthStarQueries {
     "text_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(Tables.documents(s, dir), "text", 6)),
 
+    // BPE ENCODE: apply the trained merge table and bill each document its
+    // token cost — train→encode is the full tokenizer loop; encoding is
+    // a vocabulary join, never a per-doc merge replay
+    "text_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text", 6)),
+
     // unigram LM quality score (CCNet-style perplexity filter, order-0):
     // model trained on the corpus, scored by mean token log-prob —
     // micro-nat decimal sums keep it partition-order-invariant
@@ -1375,6 +1381,67 @@ object NorthStarQueries {
     sb.toString
   }
 
+  /** DuckDB twin of [[graft.text.TextAnalysis.bpeEncode]]: replays the
+    * identical `k`-round training chain as [[bpeMergesOracle]] — but
+    * every vocabulary stage carries the original word `w`, and ALL `k`
+    * merges are applied (the merges oracle stops rendering `v_k`
+    * because only the choices are output there) — then bills each
+    * document by joining its words to the final vocabulary's symbol
+    * counts. Word→rendering is injective (every char `|`-wrapped, `|`
+    * excluded), so grouping by `w` is the same partition the merges
+    * oracle gets grouping by `s`, and the pair counts — hence every
+    * merge choice — are identical between the two replays.
+    */
+  private def bpeEncodeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT w, regexp_replace(w, '(.)', '|\1|', 'g') AS s, COUNT(*) AS wc
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 1 AND w NOT LIKE '%|%'
+        |  GROUP BY 1
+        |)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT sy[j] AS lhs, sy[j+1] AS rhs, CAST(SUM(wc) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(substr(s, 2, length(s) - 2), '||') AS sy,
+        |               wc
+        |        FROM v${i - 1}) q, unnest(range(1, len(sy))) AS u(j)
+        |  GROUP BY 1, 2
+        |),
+        |t$i AS MATERIALIZED (
+        |  SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1
+        |),
+        |v$i AS MATERIALIZED (
+        |  SELECT w, replace(s,
+        |    '|' || (SELECT lhs FROM t$i) || '||' || (SELECT rhs FROM t$i) || '|',
+        |    '|' || (SELECT lhs FROM t$i) || (SELECT rhs FROM t$i) || '|') AS s,
+        |    wc
+        |  FROM v${i - 1}
+        |)""".stripMargin)
+    }
+    sb.append(s""",
+      |wt AS MATERIALIZED (
+      |  SELECT w,
+      |    CAST(len(string_split(substr(s, 2, length(s) - 2), '||')) AS BIGINT)
+      |      AS nt
+      |  FROM v$k
+      |)
+      |SELECT d.doc_id,
+      |  CAST(SUM(wt.nt) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+      |  round(CAST(SUM(length(d.w)) AS DOUBLE) / SUM(wt.nt), 6)
+      |    AS chars_per_token
+      |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      |      FROM documents) d
+      |JOIN wt ON d.w = wt.w
+      |GROUP BY d.doc_id""".stripMargin)
+    sb.toString
+  }
+
   def oracles: Map[String, String] = Map(
     // pair step over the materialized fingerprints (written by the query
     // itself immediately before the check reads it)
@@ -1828,6 +1895,7 @@ object NorthStarQueries {
         |FROM top""".stripMargin,
 
     "text_bpe_merges" -> bpeMergesOracle(6),
+    "text_bpe_encode" -> bpeEncodeOracle(6),
 
     "text_bpe_pairs" ->
       """WITH v AS (

@@ -1187,10 +1187,27 @@ object TextAnalysis {
   def bpeMerges(df: DataFrame, textCol: String, kMerges: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val (merges, _) = bpeTrainCore(df, textCol, kMerges)
+    merges
+      .toDF("rank", "lhs", "rhs", "pair_count")
+      .select(col("rank").cast("int"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+  }
+
+  /** Shared BPE-training loop behind [[bpeMerges]] and [[bpeEncode]]:
+    * returns the learned merge list AND the final merged vocabulary
+    * `(w, s, wc)` — the original word, its symbol rendering after all
+    * `kMerges` merges, and its corpus count — so encoding can read
+    * per-word token counts straight off the trained state instead of
+    * re-applying the merge table per document.
+    */
+  private def bpeTrainCore(df: DataFrame, textCol: String, kMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = df.select(explode(tokens(col(textCol))).as("w"))
       .where(length(col("w")) >= 1 && !col("w").contains("|"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      .select(regexp_replace(col("w"), "(.)", "|$1|").as("s"), col("wc"))
+      .select(col("w"), regexp_replace(col("w"), "(.)", "|$1|").as("s"),
+        col("wc"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var exhausted = false
@@ -1219,10 +1236,42 @@ object TextAnalysis {
           .localCheckpoint()
       }
     }
-    merges.toSeq
-      .toDF("rank", "lhs", "rhs", "pair_count")
-      .select(col("rank").cast("int"), col("lhs"), col("rhs"),
-        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+    (merges.toSeq, vocab)
+  }
+
+  /** BPE ENCODE — apply the trained merge table and count the tokens
+    * each document actually costs (the number every token-budget mixer,
+    * sequence packer, and training-cost estimate downstream consumes).
+    * Trains `kMerges` merges with [[bpeMerges]]'s exact loop, then
+    * scores every document: `n_tokens` (post-merge symbols), `n_words`,
+    * `n_chars`, and `chars_per_token` (the compression ratio a tokenizer
+    * is judged by — rises as merges land).
+    *
+    * Scale shape: encoding never touches documents with the merge
+    * table. The trained vocabulary already carries each word's final
+    * symbol string, so per-word token count is a vocabulary-sized map
+    * (`size(split(...))`), and scoring is explode → hash join ON THE
+    * WORD (both sides keyed by `w`; the vocabulary side is Heaps-law
+    * sized, ≪ corpus, and broadcastable in most deployments) → per-doc
+    * integer sums. Deterministic under any partitioning: counts and
+    * sums are longs; the one double (`chars_per_token`) is a single
+    * division rounded to 6 dp, no accumulation-order term.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                kMerges: Int): DataFrame = {
+    val (_, vocab) = bpeTrainCore(df, textCol, kMerges)
+    val wordTok = vocab.select(col("w"),
+      size(split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|"))
+        .cast("long").as("__nt"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= 1 && !col("w").contains("|"))
+      .join(wordTok, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("__nt")).as("n_tokens"),
+        count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens"), 6))
   }
 
   /** Per-document n-gram novelty: the fraction of a doc's DISTINCT

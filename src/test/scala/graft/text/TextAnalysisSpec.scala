@@ -45,6 +45,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("bpeEncode bills documents by the trained merge table") {
+    // same corpus as the merge-sequence test, one word per doc, plus a
+    // doc the merges never help. After 3 merges (aa, ab, aaab):
+    //   "aaab" → [aaab]           = 1 token, 4 chars
+    //   "ab"   → [ab]             = 1 token, 2 chars
+    //   "ba"   → [b, a]           = 2 tokens (no merge matches b+a)
+    val docs = ((1 to 3).map(i => (i.toLong, "aaab")) ++
+        Seq((4L, "ab"), (5L, "ab"), (6L, "ba aaab")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) == ((1L, 1L, 4L, 4.0)))
+    assert(out(4L) == ((1L, 1L, 2L, 2.0)))
+    // doc 6: "ba" = 2 tokens + "aaab" = 1 token → 3 tokens, 6 chars
+    assert(out(6L) == ((3L, 2L, 6L, 2.0)))
+  }
+
   test("quality stats on a crafted document") {
     val text = "the cat sat of the mat, and it is a test!"
     val out = TextAnalysis.qualityStats(Seq(text).toDF("text"), "text").head()
