@@ -645,7 +645,17 @@ object BreadthQueries {
       graft.graph.PageRank.pageRankFixed(
         graft.graph.PageRank.purchaseGraph(
           Tables.lineitem(s, dir), Tables.orders(s, dir)),
-        "src", "dst", "w", iterations = 5))
+        "src", "dst", "w", iterations = 5)),
+
+    // community detection (graft.graph.LabelPropagation): 4 synchronous
+    // LPA rounds over the same purchase graph — integer message sums +
+    // (weight desc, label asc) argmax make the fixed-iteration trace
+    // engine- and partition-order-exact
+    "graph_label_propagation" -> ((s, dir) =>
+      graft.graph.LabelPropagation.labelPropagationFixed(
+        graft.graph.PageRank.purchaseGraph(
+          Tables.lineitem(s, dir), Tables.orders(s, dir)),
+        "src", "dst", "w", iterations = 4))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1012,8 +1022,44 @@ object BreadthQueries {
         |      ORDER BY value DESC, event_id ASC) AS INTEGER) AS rank
         |  FROM events) WHERE rank <= 3""".stripMargin,
 
-    "graph_pagerank_fixed" -> pagerankOracleSql
+    "graph_pagerank_fixed" -> pagerankOracleSql,
+    "graph_label_propagation" -> labelPropagationOracleSql
   )
+
+  /** Unrolled 4-iteration twin of graph_label_propagation. The argmax
+    * is re-expressed as a `row_number` window under the identical total
+    * order (weight desc, label asc) — same result as the Spark side's
+    * `(wsum, -lbl)` struct-max, different-but-equivalent formulation.
+    */
+  private def labelPropagationOracleSql: String = {
+    val iters = (1 to 4).map { k =>
+      s"""b$k AS (
+         |  SELECT dst, lbl AS nl FROM (
+         |    SELECT m.dst, m.lbl, row_number() OVER (PARTITION BY m.dst
+         |      ORDER BY m.wsum DESC, m.lbl ASC) AS rn
+         |    FROM (SELECT e.dst, l.lbl, SUM(e.w) AS wsum
+         |          FROM e JOIN l${k - 1} l ON e.src = l.node
+         |          GROUP BY 1, 2) m) WHERE rn = 1),
+         |l$k AS (
+         |  SELECT l.node, COALESCE(b.nl, l.lbl) AS lbl
+         |  FROM l${k - 1} l LEFT JOIN b$k b ON l.node = b.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT CAST(l_suppkey AS BIGINT) AS s,
+       |    CAST(o_custkey + 10000000 AS BIGINT) AS c,
+       |    COUNT(*) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT s AS src, c AS dst, w FROM pairs
+       |  UNION ALL
+       |  SELECT c AS src, s AS dst, w FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |$iters
+       |SELECT node, lbl AS community FROM l4""".stripMargin
+  }
 
   /** Unrolled 5-iteration twin of graph_pagerank_fixed — same all-
     * integer update rule (`//` is DuckDB's integral division, matching
