@@ -38,4 +38,52 @@ object Skew {
         salted("__salt") === replicated("__salt"))
       .drop("__salt")
   }
+
+  /** Key-skew PROFILER — the diagnostic that decides whether a join or
+    * aggregation on `keyCol` needs [[saltedEquiJoin]] / AQE skew
+    * handling at all, answered from data instead of folklore. Reports
+    * the `k` hottest keys (count, parts-per-million share, cumulative
+    * share) alongside the key-count distribution (distinct keys, total
+    * rows, exact p50/p99 of per-key counts, max), the skew ratio
+    * (hottest key vs mean — the "one card number is 1% of 100 TB"
+    * number), and `suggested_salts` = ⌈skew ratio⌉, the salt factor
+    * that levels the hot key to roughly the mean reducer load.
+    *
+    * Scale shape: one hash agg over the data (map-side combined), then
+    * everything downstream operates on the KEY-COUNT table (|keys| ≪
+    * |rows|): a 1-row stats agg broadcast back, a bounded-heap top-k
+    * (`TakeOrderedAndProject`), and a k-row running sum. Deterministic:
+    * shares are integer `div` ppm, the two doubles (skew ratio, p50/p99
+    * interpolation) are single divisions/order-statistics rounded to
+    * 6 dp — no accumulation-order term.
+    */
+  def skewProfile(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("total_rows"),
+      max(col("cnt")).as("max_cnt"),
+      round(expr("percentile(cnt, 0.5)"), 6).as("p50_cnt"),
+      round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"))
+    val order = Seq(col("cnt").desc, col("key").asc)
+    // rank/cumulative windows run over k rows only (post-limit)
+    val w = Window.orderBy(order: _*)
+    counts.orderBy(order: _*).limit(k)
+      .select(col("key"), col("cnt"),
+        row_number().over(w).cast("int").as("rank"),
+        sum(col("cnt")).over(w).as("cum_cnt"))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("cnt"),
+        expr("cnt * 1000000 div total_rows").as("share_ppm"),
+        expr("cum_cnt * 1000000 div total_rows").as("cum_share_ppm"),
+        col("n_keys"), col("total_rows"), col("p50_cnt"), col("p99_cnt"),
+        col("max_cnt"),
+        round(col("max_cnt") * col("n_keys") / col("total_rows"), 6)
+          .as("skew_ratio"),
+        greatest(lit(1L),
+          expr("(max_cnt * n_keys + total_rows - 1) div total_rows"))
+          .as("suggested_salts"))
+  }
 }

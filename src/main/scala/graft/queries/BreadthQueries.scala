@@ -647,6 +647,12 @@ object BreadthQueries {
           Tables.lineitem(s, dir), Tables.orders(s, dir)),
         "src", "dst", "w", iterations = 5)),
 
+    // key-skew profiler (graft.etl.Skew.skewProfile): the top-10 hot
+    // keys + count-distribution stats + suggested salt factor for
+    // events.user_id — the measurement that decides salting vs AQE
+    "etl_skew_profile" -> ((s, dir) =>
+      graft.etl.Skew.skewProfile(Tables.events(s, dir), "user_id", 10)),
+
     // community detection (graft.graph.LabelPropagation): 4 synchronous
     // LPA rounds over the same purchase graph — integer message sums +
     // (weight desc, label asc) argmax make the fixed-iteration trace
@@ -1023,7 +1029,38 @@ object BreadthQueries {
         |  FROM events) WHERE rank <= 3""".stripMargin,
 
     "graph_pagerank_fixed" -> pagerankOracleSql,
-    "graph_label_propagation" -> labelPropagationOracleSql
+    "graph_label_propagation" -> labelPropagationOracleSql,
+
+    // Spark's exact `percentile` and DuckDB's `quantile_cont` both
+    // linearly interpolate order statistics, so the two doubles agree
+    // bit-for-bit on integer count data at 6 dp
+    "etl_skew_profile" ->
+      """WITH counts AS (
+        |  SELECT CAST(user_id AS BIGINT) AS key, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total_rows,
+        |    MAX(cnt) AS max_cnt,
+        |    round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+        |    round(quantile_cont(cnt, 0.99), 6) AS p99_cnt
+        |  FROM counts),
+        |top AS (
+        |  SELECT key, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INTEGER)
+        |      AS rank,
+        |    SUM(cnt) OVER (ORDER BY cnt DESC, key
+        |      ROWS UNBOUNDED PRECEDING) AS cum_cnt
+        |  FROM counts ORDER BY cnt DESC, key LIMIT 10)
+        |SELECT rank, key, cnt,
+        |  cnt * 1000000 // total_rows AS share_ppm,
+        |  cum_cnt * 1000000 // total_rows AS cum_share_ppm,
+        |  n_keys, total_rows, p50_cnt, p99_cnt, max_cnt,
+        |  round(CAST(max_cnt AS DOUBLE) * n_keys / total_rows, 6)
+        |    AS skew_ratio,
+        |  greatest(CAST(1 AS BIGINT),
+        |    (max_cnt * n_keys + total_rows - 1) // total_rows)
+        |    AS suggested_salts
+        |FROM top, stats""".stripMargin
   )
 
   /** Unrolled 4-iteration twin of graph_label_propagation. The argmax

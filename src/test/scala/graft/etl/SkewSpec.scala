@@ -32,4 +32,28 @@ class SkewSpec extends SparkSpec {
       .where($"k" === 42L).select("__salt").distinct().count()
     assert(salts > 1)
   }
+
+  test("skewProfile reports hand-computed hot keys and salt advice") {
+    import spark.implicits._
+    // key 1 ×6, key 2 ×2, keys 3,4 ×1 → total 10, 4 keys, max 6
+    val rows = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 4L))
+      .map(k => (k, "x")).toDF("k", "pad")
+    val out = Skew.skewProfile(rows, "k", 2).collect()
+      .sortBy(_.getInt(0))
+    assert(out.length == 2)
+    val r1 = out(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4)) ==
+      ((1L, 6L, 600000L, 600000L)))
+    val r2 = out(1)
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3), r2.getLong(4)) ==
+      ((2L, 2L, 200000L, 800000L)))
+    // counts sorted = [1,1,2,6]: p50 = 1.5 (interp), p99 = 2+0.97*4 = 5.88
+    assert(r1.getLong(5) == 4L)             // n_keys
+    assert(r1.getLong(6) == 10L)            // total_rows
+    assert(r1.getDouble(7) == 1.5)          // p50_cnt
+    assert(r1.getDouble(8) == 5.88)         // p99_cnt
+    assert(r1.getLong(9) == 6L)             // max_cnt
+    assert(r1.getDouble(10) == 2.4)         // skew_ratio = 6*4/10
+    assert(r1.getLong(11) == 3L)            // ceil(2.4)
+  }
 }
