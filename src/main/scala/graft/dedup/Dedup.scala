@@ -185,6 +185,72 @@ object Dedup {
           .as("abs_err"))
   }
 
+  /** LSH banding TUNER — turns the S-curve (Leskovec/Rajaraman/Ullman,
+    * MMDS ch. 3: P[candidate] = 1−(1−s^r)^b) from folklore into a
+    * measured decision table over THIS corpus's observed pair
+    * distribution. For every (bands, rows-per-band) factorization of
+    * `numHashes`, reports the characteristic threshold
+    * s* = (1/b)^(1/r) and two data-weighted expectations over
+    * `pairsWithJaccard`: `recall_hi` (mean catch probability over pairs
+    * with jaccard ≥ `hiThreshold` — the near-dups the banding must not
+    * miss) and `catch_lo` (mean catch probability below it — the
+    * candidate-volume waste each config would admit). The config you
+    * ship is the cheapest row whose recall_hi clears your SLO — sized
+    * from data before a 100-TB run, not after.
+    *
+    * Scale shape: ONE aggregation pass over the pair table (itself
+    * LSH-bounded, ≪ corpus²) computing every config's conditional sums
+    * map-side-combined; the result explodes from a single driver-free
+    * row. Determinism: `numHashes` and every b, r are powers of two, so
+    * s^r and (·)^b are repeated SQUARINGS (identical IEEE multiply
+    * chains in both engines — no libm `pow` ulp drift) and s* is
+    * repeated `sqrt` (correctly rounded per IEEE-754 in both); per-pair
+    * probabilities round to micro-units and sum as longs.
+    */
+  def lshBandingTune(pairsWithJaccard: DataFrame, jacCol: String,
+                     numHashes: Int = 16,
+                     hiThreshold: Double = 0.5): DataFrame = {
+    def log2(n: Int): Int = {
+      require(n > 0 && (n & (n - 1)) == 0, s"power of two required: $n")
+      Integer.numberOfTrailingZeros(n)
+    }
+    def sq(c: Column, k: Int): Column = (1 to k).foldLeft(c)((a, _) => a * a)
+    val configs = (0 to log2(numHashes))
+      .map(j => (1 << j, numHashes >> j)) // (bands, rowsPerBand)
+    val s = round(col(jacCol), 6)
+    val micro = configs.map { case (b, r) =>
+      val p = lit(1.0) - sq(lit(1.0) - sq(s, log2(r)), log2(b))
+      (b, r, round(p * 1000000.0).cast("long"))
+    }
+    val aggs = Seq(
+      sum(when(s >= hiThreshold, 1L).otherwise(0L)).as("n_hi"),
+      sum(when(s < hiThreshold, 1L).otherwise(0L)).as("n_lo")) ++
+      micro.flatMap { case (b, r, m) => Seq(
+        sum(when(s >= hiThreshold, m).otherwise(0L)).as(s"hs_${b}_$r"),
+        sum(when(s < hiThreshold, m).otherwise(0L)).as(s"ls_${b}_$r")) }
+    val g = pairsWithJaccard.agg(aggs.head, aggs.tail: _*)
+    val rows = configs.map { case (b, r) =>
+      // driver constant: Math.sqrt is correctly rounded (IEEE-754), so
+      // this equals the oracle's nested-sqrt expression bit-for-bit
+      var x = 1.0 / b
+      for (_ <- 1 to log2(r)) x = Math.sqrt(x)
+      val sStar = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      struct(
+        lit(b).cast("int").as("bands"),
+        lit(r).cast("int").as("rows_per_band"),
+        lit(sStar).as("s_star"),
+        col("n_hi"), col("n_lo"),
+        when(col("n_hi") > 0,
+          round(col(s"hs_${b}_$r") / (col("n_hi") * 1000000.0), 6))
+          .as("recall_hi"),
+        when(col("n_lo") > 0,
+          round(col(s"ls_${b}_$r") / (col("n_lo") * 1000000.0), 6))
+          .as("catch_lo"))
+    }
+    g.select(explode(array(rows: _*)).as("c")).select("c.*")
+  }
+
   /** SimHash (64-bit): majority vote per bit over token hashes. Built as
     * a fold over bit positions of a fold over tokens — all codegen'd.
     */

@@ -656,6 +656,27 @@ object NorthStarQueries {
             .as("abs_err"))
     }),
 
+    // LSH banding tuner: the S-curve evaluated over THIS corpus's
+    // observed candidate-pair jaccard distribution — one row per
+    // (bands, rows) factorization of the 16-hash signature, with
+    // data-weighted expected recall (hi pairs) and candidate waste
+    // (lo pairs). Candidate pairs are hash-dependent → materialized;
+    // the oracle recomputes exact jaccard and the squaring-chain
+    // probabilities from text
+    "dedup_lsh_tuning" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Dedup.minhashEstimatePairs(docs, "doc_id", "text")
+        .select("id_a", "id_b")
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "lsh_tune"))
+      val withSh = docs.select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("__sh"))
+      val pw = Dedup.withJaccard(
+        s.read.parquet(OracleAux.dir(dir, "lsh_tune")), withSh,
+        "doc_id", "__sh")
+      Dedup.lshBandingTune(pw, "jaccard", numHashes = 16,
+        hiThreshold = 0.5)
+    }),
+
     // EXACT directional containment pairs (quote/excerpt detection):
     // |Sa∩Sb|/|Sa| >= t — the asymmetric relation Jaccard misses; A-side
     // prefix filter + B-side full postings + length prune, full-set verify.
@@ -1379,6 +1400,64 @@ object NorthStarQueries {
          |  lhs || rhs AS merged, cnt AS pair_count FROM t$i""".stripMargin)
       .mkString("\nUNION ALL\n"))
     sb.toString
+  }
+
+  /** DuckDB twin of [[graft.dedup.Dedup.lshBandingTune]]: recomputes
+    * exact jaccard over the materialized candidate pairs (the
+    * minhash-est-error CTEs), then evaluates every config's S-curve
+    * probability with the IDENTICAL repeated-squaring multiply chain
+    * and micro-unit rounding — `pow` never appears on either side, so
+    * no libm ulp drift can split the engines.
+    */
+  private def lshTuningOracleSql: String = {
+    def log2(n: Int): Int = Integer.numberOfTrailingZeros(n)
+    def sq(e: String, k: Int): String =
+      (1 to k).foldLeft(e)((a, _) => s"(($a)*($a))")
+    val configs = (0 to 4).map(j => (1 << j, 16 >> j))
+    val microSums = configs.flatMap { case (b, r) =>
+      // inputs parenthesized: sq(e, 0) = e verbatim, so an unwrapped
+      // "1.0 - x" would re-associate under the outer subtraction
+      val p = s"(1.0 - ${sq(s"(1.0 - ${sq("(s)", log2(r))})", log2(b))})"
+      val m = s"CAST(round(($p) * 1000000.0, 0) AS BIGINT)"
+      Seq(
+        s"CAST(SUM(CASE WHEN s >= 0.5 THEN $m ELSE 0 END) AS BIGINT) AS hs_${b}_$r",
+        s"CAST(SUM(CASE WHEN s < 0.5 THEN $m ELSE 0 END) AS BIGINT) AS ls_${b}_$r")
+    }.mkString(",\n    ")
+    val rows = configs.map { case (b, r) =>
+      val sStar = (1 to log2(r)).foldLeft(s"1.0/$b")((a, _) => s"sqrt($a)")
+      s"""SELECT CAST($b AS INTEGER) AS bands,
+         |  CAST($r AS INTEGER) AS rows_per_band,
+         |  round($sStar, 6) AS s_star, n_hi, n_lo,
+         |  CASE WHEN n_hi > 0
+         |    THEN round(hs_${b}_$r / (n_hi * 1000000.0), 6) END AS recall_hi,
+         |  CASE WHEN n_lo > 0
+         |    THEN round(ls_${b}_$r / (n_lo * 1000000.0), 6) END AS catch_lo
+         |FROM g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS (SELECT id_a, id_b
+       |  FROM read_parquet('${OracleAux.sqlDir("lsh_tune")}/*.parquet')),
+       |d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 3 THEN
+       |      list_distinct([array_to_string(toks[i:i+2], ' ')
+       |                     for i in range(1, len(toks) - 1)])
+       |    ELSE [array_to_string(toks, ' ')] END AS s
+       |  FROM d),
+       |e AS (
+       |  SELECT round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(a.s || b.s)), 6) AS s
+       |  FROM p JOIN sh a ON a.doc_id = p.id_a
+       |         JOIN sh b ON b.doc_id = p.id_b),
+       |g AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       |    CAST(SUM(CASE WHEN s < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       |    $microSums
+       |  FROM e)
+       |$rows""".stripMargin
   }
 
   /** DuckDB twin of [[graft.text.TextAnalysis.bpeEncode]]: replays the
@@ -2955,6 +3034,8 @@ object NorthStarQueries {
     // estimates read from the materialized aux (hash-dependent); exact
     // jaccard + error recomputed from text — validates the sketch
     // evaluation arithmetic engine-for-engine
+    "dedup_lsh_tuning" -> lshTuningOracleSql,
+
     "dedup_minhash_est_error" ->
       s"""WITH p AS (SELECT id_a, id_b, est_jaccard
         |  FROM read_parquet('${OracleAux.sqlDir("mh_est")}/*.parquet')),

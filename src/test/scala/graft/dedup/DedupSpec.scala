@@ -386,4 +386,32 @@ class DedupSpec extends SparkSpec {
     assert(sum(1L) == ((16, 16L, 0L, 1L)))
     assert(sum(2L) == ((8, 0L, 8L, 0L)))
   }
+
+  test("lshBandingTune matches a scalar S-curve reference") {
+    // pairs: two hi (0.8, 0.6), two lo (0.4, 0.1) at threshold 0.5
+    val jac = Seq(0.8, 0.6, 0.4, 0.1)
+    val pairs = jac.zipWithIndex
+      .map { case (j, i) => (i.toLong, i.toLong + 100, j) }
+      .toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.lshBandingTune(pairs, "jaccard", 16, 0.5).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    // scalar reference with the identical squaring chain + micro rounding
+    def sq(x: Double, k: Int): Double = (1 to k).foldLeft(x)((a, _) => a * a)
+    def log2(n: Int) = Integer.numberOfTrailingZeros(n)
+    def micro(s: Double, b: Int, r: Int): Long =
+      math.round((1.0 - sq(1.0 - sq(s, log2(r)), log2(b))) * 1e6)
+    for ((b, r) <- Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))) {
+      val row = out((b, r))
+      assert(row.getLong(3) == 2L && row.getLong(4) == 2L)
+      val wantHi = BigDecimal((micro(0.8, b, r) + micro(0.6, b, r)) / 2e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val wantLo = BigDecimal((micro(0.4, b, r) + micro(0.1, b, r)) / 2e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getDouble(5) == wantHi, s"recall_hi ($b,$r)")
+      assert(row.getDouble(6) == wantLo, s"catch_lo ($b,$r)")
+    }
+    // (16,1) must catch nearly everything; (1,16) nearly nothing low
+    assert(out((16, 1)).getDouble(5) > 0.99)
+    assert(out((1, 16)).getDouble(6) < 0.01)
+  }
 }
