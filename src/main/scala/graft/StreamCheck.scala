@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.Trigger
   *    the identical batch join.
   *
   * Usage: `runMain graft.StreamCheck [sfDir]
-  * [--check=fraud|stateful|streamjoin|session|dedup|staticjoin|drift|quality|cms|all]`
+  * [--check=fraud|stateful|streamjoin|session|dedup|staticjoin|drift|quality|cms|latedrop|all]`
   * (defaults: sf0.01, all). Exit 1 if any selected check fails.
   */
 object StreamCheck {
@@ -47,7 +47,8 @@ object StreamCheck {
       "staticjoin" -> (() => checkStaticJoin(spark, sfDir)),
       "drift" -> (() => checkDrift(spark, sfDir)),
       "quality" -> (() => checkQuality(spark, sfDir)),
-      "cms" -> (() => checkCms(spark, sfDir)))
+      "cms" -> (() => checkCms(spark, sfDir)),
+      "latedrop" -> (() => checkLateDrop(spark, sfDir)))
     val selected = checks.filter { case (n, _) => mode == "all" || mode == n }
     require(selected.nonEmpty, s"unknown --check=$mode")
     val ok = selected.map { case (_, f) => f() }.forall(identity)
@@ -407,6 +408,78 @@ object StreamCheck {
     parityLine("streaming_cms_heavyhitters", sfDir, outDir, closeable,
       s""""open_windows":$open,""",
       (System.nanoTime() - t0) / 1e9, extraOk = open <= 2)
+  }
+
+  /** §2.9 LATE-DATA DROP accounting — the watermark semantics none of
+    * the parity checks isolates: a row arriving AFTER its window's
+    * state was evicted must be dropped, while an old-but-in-state row
+    * must still merge. Fully synthetic three-file source (controlled
+    * event times, mtime-pinned batch order, `maxFilesPerTrigger=1`):
+    *
+    *   file 0: minutes 1-9, one row each
+    *   file 1: minutes 10-14 on time → batch-2 planning watermark 12.5m
+    *           (batch-1's was 7.5m — Spark's late filter lags one batch)
+    *   file 2: minutes 15-19 on time; minute-2/3 stragglers (window
+    *           ends 3m/4m, BELOW even the lagged 7.5m watermark and
+    *           already state-evicted → DROPPED); a minute-13 straggler
+    *           (window end 14m, above even the un-lagged 12.5m
+    *           watermark → state alive → MERGES to count 2); and a
+    *           minute-30 "closer" that pushes the final watermark past
+    *           every kept window (append mode flushes them all; the
+    *           closer's own window stays open)
+    *
+    * The expected table is computed DRIVER-SIDE from the watermark
+    * contract (19 windows, minute 13 at count 2). Every straggler is
+    * placed so the lagged (previous-batch) and un-lagged watermark
+    * rules AGREE on its fate — the check pins the drop/merge contract,
+    * not the lag flavor; `extraOk` additionally requires that the
+    * naive no-drop aggregation DIFFERS (the check cannot pass
+    * vacuously).
+    */
+  private def checkLateDrop(spark: SparkSession, sfDir: String): Boolean = {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sc_src")
+    val t0 = System.nanoTime()
+    val base = 1700000000L - (1700000000L % 60) // window-aligned epoch sec
+    def m(min: Long, sec: Long = 30L): Long = base + min * 60 + sec
+    val files = Seq(
+      (1L to 9L).map(m(_)),
+      (10L to 14L).map(m(_)),
+      (15L to 19L).map(m(_)) ++ Seq(m(2), m(3), m(13, 45), m(30)))
+    files.zipWithIndex.foreach { case (secs, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sc_slice").toString
+      secs.toDF("sec").select(col("sec").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = srcDir.resolve(f"slice$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .withWatermark("ts", "120 seconds")
+      .groupBy(window(col("ts"), "60 seconds"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.end")).as("wend"), col("cnt"))
+    runToParquet(stream, ckpt, outDir)
+    val predicted = (1L to 19L)
+      .map(min => (base + (min + 1) * 60, if (min == 13) 2L else 1L))
+      .toDF("wend", "cnt")
+    val naive = files.flatten.toDF("sec")
+      .groupBy((col("sec") - col("sec") % 60).as("wstart"))
+      .agg(count(lit(1)).as("cnt"))
+      .select((col("wstart") + 60).as("wend"), col("cnt"))
+    val naiveDiffers = naive.exceptAll(predicted).count() > 0
+    parityLine("streaming_late_drop", sfDir, outDir, predicted,
+      s""""late_dropped":2,"late_merged":1,"open_windows":1,""" +
+        s""""naive_differs":$naiveDiffers,""",
+      (System.nanoTime() - t0) / 1e9, extraOk = naiveDiffers)
   }
 
   private def checkStreamJoin(spark: SparkSession, sfDir: String): Boolean = {
