@@ -79,4 +79,61 @@ object Drift {
       .select(col("bucket"), col("n_old"), col("n_new"),
         round((pNew - pOld) * log(pNew / pOld), 6).as("psi_term"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the `aPred` and
+    * `bPred` slices of `df` — the distribution-free drift test that
+    * complements [[psiByBucket]]: PSI needs a bucket spec and reacts to
+    * mass reshuffling; KS is bucket-free and reads the WORST point of
+    * CDF divergence, so it catches a shifted median the coarse buckets
+    * blur. Returns one row: the KS statistic, the value where the gap
+    * peaks, and the exact integer numerator (D = d_num / (n_a·n_b)).
+    *
+    * Exactness: both empirical CDFs are kept as INTEGER cumulative
+    * counts and compared via the cross-multiplied gap
+    * |F_a·n_b − F_b·n_a| — one division at the very end, so the
+    * statistic (and the argmax value, ties → smallest v) is
+    * partition-order-invariant and engine-exact. Rows in neither slice
+    * are excluded up front — they'd otherwise pad the distinct-value
+    * grid and could shift the tie-broken argmax between engines.
+    *
+    * Scale shape: one hash agg to per-distinct-value counts, then a
+    * HIERARCHICAL prefix sum — within-bucket window partitioned by
+    * `floor(v)` plus a bucket-level offset window over the
+    * bucket-count table (≪ values, broadcast back) — so no global
+    * single-partition sort ever materializes (the two-pass pattern of
+    * the scalable mixers); the final argmax is a bounded-heap top-1.
+    */
+  def ksDistance(df: DataFrame, valueCol: String, aPred: Column,
+                 bPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.where(aPred || bPred)
+      .select(col(valueCol).as("v"),
+        when(aPred, 1L).otherwise(0L).as("ca"),
+        when(bPred, 1L).otherwise(0L).as("cb"))
+      .groupBy(col("v")).agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .withColumn("__bkt", floor(col("v")).cast("long"))
+    val inW = Window.partitionBy(col("__bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = t.select(col("__bkt"), col("v"),
+      sum(col("ca")).over(inW).as("la"), sum(col("cb")).over(inW).as("lb"))
+    val bktW = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("__bkt"))
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
+      .select(col("__bkt"),
+        coalesce(sum(col("ba")).over(bktW), lit(0L)).as("oa"),
+        coalesce(sum(col("bb")).over(bktW), lit(0L)).as("ob"))
+    val n = t.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    within.join(broadcast(offsets), "__bkt")
+      .crossJoin(broadcast(n))
+      .select(col("v"),
+        abs((col("la") + col("oa")) * col("nb") -
+          (col("lb") + col("ob")) * col("na")).as("d_num"),
+        col("na"), col("nb"))
+      .orderBy(col("d_num").desc, col("v").asc).limit(1)
+      .select(col("v").as("at_value"), col("d_num"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("d_num").cast("double") / (col("na") * col("nb")), 6)
+          .as("ks_d"))
+  }
 }

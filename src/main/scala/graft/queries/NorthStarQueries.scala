@@ -406,6 +406,14 @@ object NorthStarQueries {
         "n_chars", col("doc_id") % 10 =!= 7, col("doc_id") % 10 === 7,
         bucketWidth = 50, maxBucket = 19)),
 
+    // two-sample Kolmogorov–Smirnov drift — the bucket-free complement
+    // of the PSI gate: worst-point CDF divergence between view and
+    // purchase transaction values, exact via integer cross-multiplied
+    // CDF gaps and a hierarchical (bucket + offset) prefix sum
+    "drift_ks_value" -> ((s, dir) =>
+      graft.etl.Drift.ksDistance(Tables.events(s, dir), "value",
+        col("event_type") === "view", col("event_type") === "purchase")),
+
     // adaptive per-language length gate: drop docs under their OWN
     // language's 10th-percentile token count — fixed global thresholds
     // over-prune terse languages; the threshold is a per-group exact
@@ -2465,6 +2473,32 @@ object NorthStarQueries {
         |    * ln(((n_new + 1) / (t_new + 20)) / ((n_old + 1) / (t_old + 20))),
         |    6) AS psi_term
         |FROM c, t""".stripMargin,
+
+    // naive single-window CDF formulation — different plan shape from
+    // the Spark side's hierarchical prefix sum, identical integers
+    "drift_ks_value" ->
+      """WITH t AS (
+        |  SELECT value AS v,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT v,
+        |    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+        |    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb
+        |  FROM t),
+        |n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |             CAST(SUM(cb) AS BIGINT) AS nb FROM t)
+        |SELECT v AS at_value, CAST(abs(fa * nb - fb * na) AS BIGINT) AS d_num,
+        |  na AS n_a, nb AS n_b,
+        |  round(CAST(abs(fa * nb - fb * na) AS DOUBLE) / (na * nb), 6)
+        |    AS ks_d
+        |FROM c, n
+        |ORDER BY abs(fa * nb - fb * na) DESC, v ASC
+        |LIMIT 1""".stripMargin,
 
     // same linear-interpolation (type-7) percentile per language, same
     // >= cutoff on the unrounded threshold

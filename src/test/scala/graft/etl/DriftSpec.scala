@@ -61,4 +61,38 @@ class DriftSpec extends SparkSpec {
         .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
     assert(run(rows) == run(rows.repartition(13)))
   }
+
+  test("ksDistance matches a hand-computed two-sample CDF gap") {
+    // A = {0.5, 1.5, 2.5}, B = {1.5, 3.5} — values span four floor
+    // buckets, so the bucket-offset path is exercised. Integer gaps
+    // |fa·nb − fb·na|: 2 at 0.5, 1 at 1.5, 3 at 2.5, 0 at 3.5 →
+    // D = 3/(3·2) = 0.5 at v = 2.5
+    val rows = (Seq(0.5, 1.5, 2.5).map(("a", _)) ++
+      Seq(1.5, 3.5).map(("b", _))).toDF("grp", "v")
+    val r = Drift.ksDistance(rows, "v",
+      col("grp") === "a", col("grp") === "b").head()
+    assert(r.getDouble(0) == 2.5)  // at_value
+    assert(r.getLong(1) == 3L)     // d_num
+    assert(r.getLong(2) == 3L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 0.5)  // ks_d
+  }
+
+  test("ksDistance tie on the gap resolves to the smallest value and " +
+    "ignores neither-slice rows") {
+    // A = {1}, B = {2}: gap 1 at v=1, 0 at v=2 → at_value 1, ks 1.0;
+    // a neither-slice row at v=0.5 must not create a grid point
+    val rows = Seq(("a", 1.0), ("b", 2.0), ("x", 0.5)).toDF("grp", "v")
+    val r = Drift.ksDistance(rows, "v",
+      col("grp") === "a", col("grp") === "b").head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("ksDistance is partitioning-invariant") {
+    val rows = (0L until 500L).map(i => (i, (i % 97).toDouble / 7))
+      .toDF("id", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Drift.ksDistance(df, "v", col("id") % 2 === 0, col("id") % 2 === 1)
+        .head().toSeq
+    assert(run(rows) == run(rows.repartition(13)))
+  }
 }
