@@ -359,9 +359,53 @@ object ScaleCheck {
           graft.text.TextAnalysis.sourceOverlapSketch(
             d.select("source", "text"), "source", "text", 3).count()
         }
+        // BPE train+encode: every training round is DISTINCT-WORD-
+        // vocabulary-sized (×32 here via the replica remap — the worst
+        // case, real corpora grow vocabulary sublinearly by Heaps'
+        // law) and encoding is explode + hash join on the word, so the
+        // whole pipeline must stay ~linear in the corpus
+        time(s"text_bpe_encode_$tag") {
+          graft.text.TextAnalysis.bpeEncode(d, "doc_id", "text", 6).count()
+        }
       }
       textProbes("x1", d0)
       textProbes("x32", docs)
+    }
+    // Label-propagation probe: replicas of the purchase graph with
+    // disjoint node namespaces — communities can't merge across
+    // replicas, so the ×32 graph has ×32 the edges AND ×32 the
+    // communities; per-iteration cost is two label-table shuffles +
+    // the message agg, all ∝ |edges| → the 4-round loop must scale
+    // ~linearly, never with the community count
+    locally {
+      def lpaGraph(mult: Int) = {
+        val g0 = graft.graph.PageRank.purchaseGraph(
+          graft.model.Tables.lineitem(spark, sf),
+          graft.model.Tables.orders(spark, sf))
+        g0.crossJoin(spark.range(mult).select(col("id").as("rep")))
+          .select((col("src") + col("rep") * 100000000L).as("src"),
+            (col("dst") + col("rep") * 100000000L).as("dst"), col("w"))
+      }
+      if (Seq("graph_lpa_x1", "graph_lpa_x32").exists(only)) {
+        Seq(("x1", 1), ("x32", 32)).foreach { case (tag, m) =>
+          lpaGraph(m).repartition(32).write.mode("overwrite")
+            .parquet(s"/tmp/lpa_edges_$tag.parquet")
+          val edges = spark.read.parquet(s"/tmp/lpa_edges_$tag.parquet")
+          time(s"graph_lpa_$tag") {
+            graft.graph.LabelPropagation
+              .labelPropagationFixed(edges, "src", "dst", "w", 4)
+              .groupBy("community").count().count()
+          }
+        }
+      }
+    }
+    // KS drift at ×32: one hash agg to distinct values + the
+    // hierarchical prefix — distinct-value growth rides the agg, no
+    // global sort to blow up
+    time("drift_ks_x32") {
+      graft.etl.Drift.ksDistance(ev, "value",
+        col("event_type") === "view", col("event_type") === "purchase")
+        .count()
     }
     // Connected-components long-chain probe: a path graph is the
     // diameter worst case — min-label propagation needs |V| rounds; the
