@@ -59,8 +59,13 @@ object Skew {
     */
   def skewProfile(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: the stats and top-k branches both consume the
+    // key-count table; without pinning it, each branch would re-derive
+    // the subtree and the CORPUS would scan twice (DataFrames have no
+    // common-subtree reuse). The pinned table is |keys| rows.
     val counts = df.groupBy(col(keyCol).cast("long").as("key"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val stats = counts.agg(
       count(lit(1)).as("n_keys"),
       sum(col("cnt")).as("total_rows"),
