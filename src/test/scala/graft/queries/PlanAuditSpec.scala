@@ -466,4 +466,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"),
       "N and V must enter as a broadcast 1-row aggregate\n" + p)
   }
+
+  test("etl_skew_profile: top-k is a bounded heap over the pinned " +
+    "key-count table; stats enter as a broadcast 1-row aggregate") {
+    val p = plan("etl_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the corpus appears once: both branches read the localCheckpoint
+    // (ExistingRDD), never a second FileScan
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"), p)
+  }
+
+  test("drift_ks_value: hierarchical prefix — windows are partitioned " +
+    "or value-table-sized, offsets broadcast, argmax is a heap top-1") {
+    val p = plan("drift_ks_value")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("FileScan"), "corpus must be read once (pinned)\n" + p)
+  }
+
+  test("graph_label_propagation: every message join hash-joins on the " +
+    "node key — no cartesian/nested-loop anywhere in the 4-round plan") {
+    val p = plan("graph_label_propagation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_lsh_tuning: every per-config expectation folds into ONE " +
+    "aggregation pass over the pair table") {
+    val p = plan("dedup_lsh_tuning")
+    // one partial+final pair: exactly 2 HashAggregate nodes downstream
+    // of the pair join (the S-curve sums); more would mean per-config
+    // re-scans of the pair table
+    val agg = "HashAggregate".r.findAllIn(p).size
+    assert(agg <= 8, s"expected one partial+final agg chain, got $agg\n$p")
+    assert(p.contains("Generate explode"), p) // config rows from 1 row
+  }
 }
