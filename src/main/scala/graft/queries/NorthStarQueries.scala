@@ -996,6 +996,17 @@ object NorthStarQueries {
         emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", k = 10)
     }),
 
+    // hard-negative mining (DPR shape): top-10 sub-threshold neighbors
+    // per anchor with margin to the anchor's best positive; 0.35 sits
+    // inside this corpus's similarity band so some anchors carry
+    // positives (finite margins) and some don't (null margins)
+    "sim_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(
+        emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
+        k = 10, posThreshold = 0.35)
+    }),
+
     // 128 planes = 16 bands × 8 bits + query-side multi-probe: band-key
     // space 256 keeps buckets ~n/256 (subquadratic candidates); see
     // Similarity.srpPlan for the sizing rule at other corpus scales.
@@ -3391,6 +3402,25 @@ object NorthStarQueries {
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
         |  round(score, 6) AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    // cosines rounded to 6 dp BEFORE the positive/negative split and
+    // the ranking — same discipline as the Spark side
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+        |s AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |  round(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+        |    CAST(cv AS DOUBLE[])), 6) AS score
+        |  FROM q, c WHERE qid != nid),
+        |p AS (SELECT *, MAX(CASE WHEN score >= 0.35 THEN score END)
+        |    OVER (PARTITION BY query_id) AS pos_max FROM s),
+        |n AS (SELECT query_id, neighbor_id, score, pos_max,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id ASC) AS rank
+        |  FROM p WHERE score < 0.35)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+        |  score, round(pos_max - score, 6) AS margin_to_pos
+        |FROM n WHERE rank <= 10""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH d AS (

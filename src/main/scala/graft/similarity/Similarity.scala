@@ -71,6 +71,51 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
+  /** HARD-NEGATIVE mining (the DPR/contrastive-training batch
+    * constructor — Karpukhin et al. 2020): for each anchor, the `k`
+    * most similar corpus vectors BELOW the positive threshold, plus
+    * each one's margin to the anchor's best positive. Top-similarity
+    * sub-threshold neighbors are exactly the negatives contrastive
+    * training learns most from; the margin column ranks how "hard"
+    * each is (small margin = nearly indistinguishable from a
+    * positive; null = the anchor has no positive at this threshold).
+    *
+    * Determinism: cosines round to 6 dp BEFORE the threshold split and
+    * the ranking, so the positive/negative partition and the
+    * (score desc, id asc) order are engine-exact. One corpus pass: the
+    * per-anchor positive max rides as an unordered window over the
+    * same query_id partitioning the rank window uses — one exchange,
+    * no second scan.
+    *
+    * Scale shape: broadcast anchors × corpus scan, like
+    * [[bruteForceTopK]] — the exact baseline. At corpus scale, feed
+    * the scored candidates from an ANN shortlist ([[ivfTopK]] /
+    * [[pqShortlistRerank]]) instead of the full scan; the
+    * threshold-split + margin logic is unchanged.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int,
+                    posThreshold: Double): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), l2Norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), l2Norm(col(vecCol)).as("__cn"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("__s", round(cosineWithNorms(dot(col("__qv"), col("__cv")),
+        col("__qn"), col("__cn")), 6))
+    val wAll = Window.partitionBy(col("query_id"))
+    val wOrd = wAll.orderBy(col("__s").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("__pos_max",
+        max(when(col("__s") >= posThreshold, col("__s"))).over(wAll))
+      .where(col("__s") < posThreshold)
+      .withColumn("rank", row_number().over(wOrd))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("__s").as("score"),
+        round(col("__pos_max") - col("__s"), 6).as("margin_to_pos"))
+  }
+
   /** Embedding dimensionality, read from the first row (parquet list
     * schemas don't record a fixed length). One tiny action — a single
     * row of a single column from one file split — paid once per plan

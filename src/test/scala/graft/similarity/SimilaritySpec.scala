@@ -414,4 +414,29 @@ class SimilaritySpec extends SparkSpec {
       assert(keep == refKeep(id), s"vec $id keep=$keep ref=${refKeep(id)}")
     }
   }
+
+  test("hardNegatives: positives excluded, margin to best positive, " +
+    "null margin when the anchor has no positive") {
+    import spark.implicits._
+    // 2-D fixture: anchor 0 = (1,0) has one positive (id 1, cos
+    // ≈ 0.99995 ≥ 0.9) and negatives id 2 (cos 0.707107), id 3 (0.0),
+    // id 4 (-1.0); anchor 4 = (-1,0) has NO positive at 0.9
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)), (2L, Array(1f, 1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(
+      emb.where($"vec_id".isin(0L, 4L)), emb, "vec_id", "embedding",
+      k = 2, posThreshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) ->
+        ((r.getLong(1), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // anchor 0: positive id 1 never appears; top-2 negatives ranked
+    assert(out((0L, 1)) == ((2L, 0.707107, Some(0.292843))))
+    assert(out((0L, 2)) == ((3L, 0.0, Some(0.99995))))
+    // anchor 4: no positive → null margins; best negative is id 3
+    assert(out((4L, 1)) == ((3L, 0.0, None)))
+    assert(out((4L, 2)) == ((2L, -0.707107, None)))
+    assert(out.size == 4)
+  }
 }
