@@ -66,4 +66,57 @@ object Aggregation {
     if (groups.isEmpty) df.agg(exprs.head, exprs.tail: _*)
     else df.groupBy(groups.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
+
+  /** Ordered-funnel analysis (the ClickHouse `windowFunnel` shape): per
+    * key, the earliest chain of `stages` events in order — stage i+1
+    * must occur at or after stage i's chosen time, and every stage
+    * within `windowSec` of stage 1 — plus how far the key got.
+    * Semantics are "earliest-first": stage 1 anchors at its MIN event
+    * time, each later stage at the MIN qualifying time; min-of-integers
+    * everywhere, so the result is deterministic and engine-exact.
+    *
+    * Output: one row per key holding each stage's epoch-MICROSECOND
+    * time (exact integers — second-granularity would merge distinct
+    * events and round differently across engines; null once the chain
+    * breaks) and `stage_reached` (0..n).
+    *
+    * Scale shape: ONE shuffle on the key — the per-stage mins are
+    * unordered-frame windows over the same key partitioning (no sort,
+    * stages resolved left-to-right in one pass over the partition
+    * per window op), and the final per-key collapse is a groupBy on
+    * the key Spark serves from the window's existing hash
+    * partitioning without a new exchange. A naive per-stage
+    * self-join formulation would shuffle `n_stages` times.
+    */
+  def funnelStages(df: DataFrame, keyCol: String, typeCol: String,
+                   tsCol: String, stages: Seq[String],
+                   windowSec: Long): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val windowMicros = windowSec * 1000000L
+    var cur = df.select(col(keyCol), col(typeCol).as("__et"),
+      unix_micros(col(tsCol)).as("__ts"))
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val qualifies = if (i == 0) col("__et") === st
+      else col("__et") === st && col("__ts") >= col(s"t$i") &&
+        col("__ts") <= col("t1") + windowMicros
+      cur = cur.withColumn(s"t${i + 1}",
+        min(when(qualifies, col("__ts"))).over(w))
+    }
+    // every row of a key carries identical tN window values — the
+    // groupBy collapse (min = the value) reuses the window's hash
+    // partitioning, no new exchange
+    val aggExprs = stages.indices
+      .map(i => min(col(s"t${i + 1}")).as(s"t${i + 1}"))
+    val collapsed = cur.groupBy(col(keyCol))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    // ascending fold so the HIGHEST non-null stage ends up outermost:
+    // CASE WHEN t_n THEN n ... WHEN t1 THEN 1 ELSE 0
+    val stageReached = stages.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"t${i + 1}").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    collapsed.select(
+      (col(keyCol) +: stages.indices.map(i => col(s"t${i + 1}"))) :+
+        stageReached.cast("int").as("stage_reached"): _*)
+  }
 }

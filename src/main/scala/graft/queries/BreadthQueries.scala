@@ -647,6 +647,15 @@ object BreadthQueries {
           Tables.lineitem(s, dir), Tables.orders(s, dir)),
         "src", "dst", "w", iterations = 5)),
 
+    // ordered-funnel analysis (ClickHouse windowFunnel shape): per
+    // user, the earliest view→click→purchase chain within 1 h of the
+    // first view, epoch-µs exact; one shuffle on the key (unordered-
+    // frame windows + a partitioning-reusing collapse)
+    "window_funnel_steps" -> ((s, dir) =>
+      graft.etl.Aggregation.funnelStages(Tables.events(s, dir),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSec = 3600L)),
+
     // key-skew profiler (graft.etl.Skew.skewProfile): the top-10 hot
     // keys + count-distribution stats + suggested salt factor for
     // events.user_id — the measurement that decides salting vs AQE
@@ -1030,6 +1039,34 @@ object BreadthQueries {
 
     "graph_pagerank_fixed" -> pagerankOracleSql,
     "graph_label_propagation" -> labelPropagationOracleSql,
+
+    // sequential per-stage min formulation (join + filtered MIN per
+    // stage) — different plan shape, identical epoch-µs integers
+    "window_funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+        |s1 AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM e GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t1
+        |      AND e.ts <= s1.t1 + 3600000000 THEN e.ts END) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t2
+        |      AND e.ts <= s1.t1 + 3600000000 THEN e.ts END) AS t3
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |         JOIN s2 ON e.user_id = s2.user_id GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+        |    AS stage_reached
+        |FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+        |        JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
 
     // Spark's exact `percentile` and DuckDB's `quantile_cont` both
     // linearly interpolate order statistics, so the two doubles agree

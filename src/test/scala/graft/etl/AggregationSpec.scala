@@ -59,4 +59,32 @@ class AggregationSpec extends SparkSpec {
     val full = rollup(o)
     assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
   }
+
+  test("funnelStages walks the hand-built chains (order, window, breaks)") {
+    import org.apache.spark.sql.functions.col
+    def ev(u: Long, t: String, sec: Long) = (u, t, sec)
+    val rows = Seq(
+      // user 1: clean chain → stage 3
+      ev(1, "view", 100), ev(1, "click", 200), ev(1, "purchase", 300),
+      // user 2: click only BEFORE the first view; purchase before any
+      // valid click → chain breaks at stage 1
+      ev(2, "click", 50), ev(2, "view", 100), ev(2, "purchase", 90),
+      // user 3: purchase earlier than the chosen click → stage 2
+      ev(3, "view", 100), ev(3, "click", 200), ev(3, "purchase", 150),
+      // user 4: click outside the 3600 s window of the first view
+      ev(4, "view", 100), ev(4, "click", 100 + 3601),
+      // user 5: no view at all → stage 0
+      ev(5, "click", 100),
+      // users 6/7: purchase just inside vs just outside the window
+      ev(6, "view", 0), ev(6, "click", 10), ev(6, "purchase", 3599),
+      ev(7, "view", 0), ev(7, "click", 10), ev(7, "purchase", 3700))
+      .toDF("user_id", "event_type", "sec")
+      .select(col("user_id"), col("event_type"),
+        col("sec").cast("timestamp").as("ts"))
+    val out = Aggregation.funnelStages(rows, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSec = 3600L)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0,
+      6L -> 3, 7L -> 2))
+  }
 }
