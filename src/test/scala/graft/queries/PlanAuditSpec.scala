@@ -493,6 +493,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("window_funnel_steps: one shuffle total — the stage windows " +
+    "share a key exchange and the collapse reuses its partitioning") {
+    val p = plan("window_funnel_steps")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), "per-stage self-joins must not appear\n" + p)
+  }
+
   test("dedup_lsh_tuning: every per-config expectation folds into ONE " +
     "aggregation pass over the pair table") {
     val p = plan("dedup_lsh_tuning")
