@@ -119,4 +119,31 @@ object Aggregation {
       (col(keyCol) +: stages.indices.map(i => col(s"t${i + 1}"))) :+
         stageReached.cast("int").as("stage_reached"): _*)
   }
+
+  /** Cohort-retention matrix — the product-analytics staple: keys
+    * cohorted by the UTC day of their first event, then for each
+    * (cohort day, day offset) the number of distinct keys active that
+    * many days after joining. Days are integer days-since-epoch, so
+    * every output cell is an exact integer count.
+    *
+    * Scale shape: one hash agg keyed on the key for first-event days,
+    * joined back ON THE SAME KEY (the exchange layout is reused — the
+    * ngram-novelty pattern), then a (key, cohort, day) distinct and
+    * the final (cohort, offset) count, both partial-aggregable. No
+    * window, no per-cohort scan; the matrix is |cohorts| × |offsets|
+    * rows.
+    */
+  def cohortRetention(df: DataFrame, keyCol: String,
+                      tsCol: String): DataFrame = {
+    val e = df.select(col(keyCol),
+      datediff(to_date(col(tsCol)), lit("1970-01-01")).as("__d"))
+    val first = e.groupBy(col(keyCol)).agg(min(col("__d")).as("__cohort"))
+    e.join(first, keyCol)
+      .select(col(keyCol), col("__cohort"),
+        (col("__d") - col("__cohort")).as("__off"))
+      .distinct()
+      .groupBy(col("__cohort").as("cohort_day"),
+        col("__off").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

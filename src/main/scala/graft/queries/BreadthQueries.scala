@@ -647,6 +647,13 @@ object BreadthQueries {
           Tables.lineitem(s, dir), Tables.orders(s, dir)),
         "src", "dst", "w", iterations = 5)),
 
+    // cohort-retention matrix: users cohorted by first-event UTC day,
+    // distinct actives per (cohort, day offset) — exact integer cells,
+    // first-day agg joined back on the SAME key (exchange reuse)
+    "agg_cohort_retention" -> ((s, dir) =>
+      graft.etl.Aggregation.cohortRetention(
+        Tables.events(s, dir), "user_id", "ts")),
+
     // ordered-funnel analysis (ClickHouse windowFunnel shape): per
     // user, the earliest view→click→purchase chain within 1 h of the
     // first view, epoch-µs exact; one shuffle on the key (unordered-
@@ -1039,6 +1046,19 @@ object BreadthQueries {
 
     "graph_pagerank_fixed" -> pagerankOracleSql,
     "graph_label_propagation" -> labelPropagationOracleSql,
+
+    "agg_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS d
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort, e.d - f.cohort AS off
+        |      FROM e JOIN f ON e.user_id = f.user_id)
+        |SELECT CAST(cohort AS INTEGER) AS cohort_day,
+        |  CAST(off AS INTEGER) AS day_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
 
     // sequential per-stage min formulation (join + filtered MIN per
     // stage) — different plan shape, identical epoch-µs integers

@@ -87,4 +87,21 @@ class AggregationSpec extends SparkSpec {
     assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0,
       6L -> 3, 7L -> 2))
   }
+
+  test("cohortRetention counts distinct actives per (cohort, offset)") {
+    import org.apache.spark.sql.functions.col
+    val day = 86400L
+    // u1 joins day 0 (twice that day — distinct), active days 1 and 5;
+    // u2 joins day 0, active day 1; u3 joins day 1 only
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, day + 5), (1L, 5 * day + 5),
+      (2L, 30L), (2L, day + 9),
+      (3L, day + 2))
+      .toDF("user_id", "sec")
+      .select(col("user_id"), col("sec").cast("timestamp").as("ts"))
+    val out = Aggregation.cohortRetention(rows, "user_id", "ts").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0, 0) -> 2L, (0, 1) -> 2L, (0, 5) -> 1L,
+      (1, 0) -> 1L))
+  }
 }
