@@ -1007,6 +1007,24 @@ object NorthStarQueries {
         k = 10, posThreshold = 0.35)
     }),
 
+    // hybrid retrieval: RRF fusion of the lexical BM25 top-50 and the
+    // dense cosine top-50 (vec_id ≡ doc_id on the embedded corpus
+    // slice). Only RANKS cross the sparse/dense boundary — no score
+    // calibration — and contributions are micro-unit longs, so the
+    // fused order is engine-exact. Both inputs arrive already top-k;
+    // the fusion itself is corpus-size-independent
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      val lex = TextAnalysis.bm25TopK(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", Seq("spark", "join", "window", "vector"), 50)
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.bruteForceTopK(
+        emb.where(col("vec_id") === 0), emb, "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, dense), "doc_id", "rank", topK = 20)
+    }),
+
     // 128 planes = 16 bands × 8 bits + query-side multi-probe: band-key
     // space 256 keeps buckets ~n/256 (subquadratic candidates); see
     // Similarity.srpPlan for the sizing rule at other corpus scales.
@@ -1072,6 +1090,24 @@ object NorthStarQueries {
           Similarity.cellFor(cents)(col("embedding")).as("cell"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec_id"))
+    }),
+
+    // cluster-quality gate: simplified (centroid-based) silhouette of
+    // the same 8-cell / 3-iter k-means model — per-cell mean of
+    // s = (b−a)/max(a,b) over own/runner-up cosine distances. Trains
+    // and materializes its own centroid table (no ordering dependency
+    // on agg_kmeans_cells); one map-only corpus pass + 8-row agg
+    "sim_cluster_silhouette" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        numCells = 8, iters = 3)
+      cents.zipWithIndex
+        .map { case ((v, n), i) => (i, v.map(_.toDouble), n) }.toSeq
+        .toDF("cell", "centroid", "norm")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(OracleAux.dir(dir, "silhouette_centroids"))
+      Similarity.clusterSilhouette(emb, "vec_id", "embedding", cents)
     }),
 
     // Product-Quantization ADC top-k (Jégou et al. 2011): m=8
@@ -1859,6 +1895,40 @@ object NorthStarQueries {
         |  FROM embeddings e)
         |SELECT cell, count(*) AS n, min(vec_id) AS min_vec_id
         |FROM a GROUP BY 1""".stripMargin,
+
+    // simplified silhouette against the materialized centroid table:
+    // own/runner-up by (sim DESC, cell DESC) on unrounded cosines,
+    // sims rounded to 6 dp before a/b, s folded as micro-unit longs
+    "sim_cluster_silhouette" ->
+      s"""WITH c AS (
+        |  SELECT cell, centroid, norm
+        |  FROM read_parquet('${OracleAux.sqlDir("silhouette_centroids")}/*.parquet')
+        |),
+        |p AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS pnorm
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT p.vec_id, c.cell,
+        |    list_dot_product(CAST(p.embedding AS DOUBLE[]), c.centroid)
+        |      / (p.pnorm * c.norm) AS sim
+        |  FROM p CROSS JOIN c),
+        |r AS (
+        |  SELECT vec_id, cell, sim, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, cell DESC) AS rk FROM s),
+        |t AS (
+        |  SELECT o.vec_id, o.cell,
+        |    1.0 - round(o.sim, 6) AS a, 1.0 - round(n.sim, 6) AS b
+        |  FROM r o JOIN r n ON o.vec_id = n.vec_id AND n.rk = 2
+        |  WHERE o.rk = 1),
+        |m AS (
+        |  SELECT cell, CAST(round(CASE WHEN greatest(a, b) = 0 THEN 0.0
+        |    ELSE (b - a) / greatest(a, b) END * 1e6) AS BIGINT) AS sm
+        |  FROM t)
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(sm) / 1e6 / count(*), 6) AS mean_silhouette
+        |FROM m GROUP BY 1""".stripMargin,
 
     // transitive closure over the materialized pair list, then
     // cluster id = min reachable node — exact twin of min-label
@@ -3402,6 +3472,56 @@ object NorthStarQueries {
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
         |  round(score, 6) AS score
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    // hybrid RRF: the bm25 CTE chain (top 50) + the cosine ranking
+    // (query vec_id 0, top 50), fused via integer micro-unit
+    // round(1e6/(60+rank)) contributions — rank-only fusion, so both
+    // engines agree exactly
+    "sim_hybrid_rrf" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'window', 'vector') GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |cm AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) * tf.tf
+        |      * 2.2 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))
+        |      * 1e6) AS BIGINT) AS c
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |g AS (SELECT doc_id, sum(c) AS bm FROM cm GROUP BY doc_id),
+        |lex AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm DESC, doc_id ASC) AS rank
+        |  FROM g) WHERE rank <= 50),
+        |dq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |ds AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(dq.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS score
+        |  FROM embeddings e, dq WHERE e.vec_id <> 0),
+        |dense AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM ds) WHERE rank <= 50),
+        |u AS (
+        |  SELECT doc_id, CAST(round(1e6 / (60 + rank)) AS BIGINT) AS c FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, CAST(round(1e6 / (60 + rank)) AS BIGINT) AS c FROM dense),
+        |f AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lists,
+        |  CAST(sum(c) AS BIGINT) AS rrf_micro FROM u GROUP BY 1)
+        |SELECT doc_id, n_lists, rrf_micro, CAST(rank AS INTEGER) AS rank
+        |FROM (
+        |  SELECT doc_id, n_lists, rrf_micro,
+        |    row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+        |  FROM f) WHERE rank <= 20""".stripMargin,
 
     // cosines rounded to 6 dp BEFORE the positive/negative split and
     // the ranking — same discipline as the Spark side

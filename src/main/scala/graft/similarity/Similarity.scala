@@ -934,4 +934,95 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("score"), 6).as("score"))
   }
+
+  /** Cluster-quality evaluation: SIMPLIFIED silhouette (Hruschka et
+    * al. 2004 — the centroid-based form sklearn documents as the
+    * tractable alternative to pairwise silhouette) over a trained
+    * centroid model. Per point: `a` = cosine distance to its own
+    * (nearest) centroid, `b` = distance to the runner-up centroid,
+    * `s = (b − a) / max(a, b)`; the output is per-cell count + mean s.
+    * This is the gate a curation pipeline runs after clustering
+    * (SemDeDup / IVF build) to decide whether k is sane before
+    * committing to a partition layout.
+    *
+    * Scale shape: ONE map-only pass — all k per-centroid cosines are
+    * spelled in a single projection (fine for the ≤64-cell regime; see
+    * [[nearestCells]]'s scaladoc for the larger-k path), the point
+    * norm computed once, then a k-row hash agg. Pairwise silhouette is
+    * O(n²) and is exactly what this form exists to avoid; the centroid
+    * model is driver state (k·dim floats), never a shuffled side.
+    *
+    * Determinism: own/runner-up selection on unrounded sims with the
+    * assignment tie-break (sim desc, cell desc) — the proven
+    * engine-exact ordering from the k-means assignment oracle; sims
+    * round to 6 dp before a/b, and s folds as micro-unit longs so the
+    * per-cell mean is FP-order-invariant.
+    */
+  def clusterSilhouette(points: DataFrame, idCol: String, vecCol: String,
+                        cents: Array[(Seq[Float], Double)]): DataFrame = {
+    require(cents.length >= 2, "silhouette needs >= 2 clusters")
+    val sims = cents.zipWithIndex.map { case ((cv, cn), i) =>
+      struct(
+        (dot(col(vecCol), typedlit(cv)) / (col("__pn") * lit(cn)))
+          .as("sim"),
+        lit(i).as("cell"))
+    }
+    val cmp: (Column, Column) => Column = (l, r) =>
+      when(l("sim") > r("sim"), -1).when(l("sim") < r("sim"), 1)
+        .when(l("cell") > r("cell"), -1).when(l("cell") < r("cell"), 1)
+        .otherwise(0)
+    val top = points
+      .withColumn("__pn", l2Norm(col(vecCol)))
+      .select(col(idCol), array_sort(array(sims: _*), cmp).as("__s"))
+      .select(col(idCol),
+        element_at(col("__s"), 1).as("__own"),
+        element_at(col("__s"), 2).as("__next"))
+    val a = lit(1.0) - round(col("__own")("sim"), 6)
+    val b = lit(1.0) - round(col("__next")("sim"), 6)
+    val sil = when(greatest(a, b) === 0, lit(0.0))
+      .otherwise((b - a) / greatest(a, b))
+    top
+      .select(col("__own")("cell").as("cell"),
+        round(sil * 1e6).cast("long").as("__sm"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__sm")) / 1e6 / count(lit(1)), 6)
+          .as("mean_silhouette"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    * hybrid-retrieval combiner: given N independent rankings of the
+    * same id space (lexical BM25, dense cosine, ...), score each id as
+    * Σ 1/(kConst + rank_r) over the lists it appears in and keep the
+    * global top `topK`. RRF is the standard way modern retrieval
+    * stacks fuse sparse and dense signals without score calibration —
+    * only ranks cross the boundary, so wildly different score scales
+    * (BM25 vs cosine) compose safely.
+    *
+    * Determinism: each contribution is round(1e6/(kConst+rank)) summed
+    * as a long — integer-exact on any engine, no FP-order sensitivity.
+    * Ties break on id asc.
+    *
+    * Scale shape: the inputs are already top-k lists (each ≤ k_r rows
+    * — the upstream operators did the corpus-sized work under their
+    * own scale stories), so the fusion itself is a union + hash-agg
+    * over Σk_r rows and a bounded final sort: corpus-size-independent.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              topK: Int, kConst: Int = 60): DataFrame = {
+    require(rankings.nonEmpty && topK > 0 && kConst > 0,
+      "need rankings, topK > 0, kConst > 0")
+    val contribs = rankings.map(r =>
+      r.select(col(idCol).cast("long").as(idCol),
+        round(lit(1e6) / (lit(kConst) + col(rankCol).cast("int")))
+          .cast("long").as("__c")))
+      .reduce(_ unionByName _)
+    val fused = contribs.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_lists"),
+        sum(col("__c")).as("rrf_micro"))
+    val w = Window.orderBy(col("rrf_micro").desc, col(idCol).asc)
+    fused.orderBy(col("rrf_micro").desc, col(idCol).asc).limit(topK)
+      .select(col(idCol), col("n_lists"), col("rrf_micro"),
+        row_number().over(w).cast("int").as("rank"))
+  }
 }

@@ -439,4 +439,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out((4L, 2)) == ((2L, -0.707107, None)))
     assert(out.size == 4)
   }
+
+  test("clusterSilhouette: per-cell mean of (b-a)/max(a,b)") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f)),     // own c0: a=0, b=1   → s=1
+      (1L, Array(0f, 1f)),     // own c1: a=0, b=1   → s=1
+      (2L, Array(0.6f, 0.8f))) // own c1: a=0.2, b=0.4 → s=0.5
+      .toDF("vec_id", "embedding")
+    val cents = Array((Seq(1f, 0f), 1.0), (Seq(0f, 1f), 1.0))
+    val out = Similarity.clusterSilhouette(emb, "vec_id", "embedding", cents)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out == Map(0 -> ((1L, 1.0)), 1 -> ((2L, 0.75))))
+  }
+
+  test("rrfFuse: micro-unit RRF, id tie-break, topK cut") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), "id", "rank", topK = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    // contributions: rank1 → 16393 (1e6/61), rank2 → 16129, rank3 → 15873
+    // 10: 16393+16129 = 32522; 20: 16129+16393 = 32522 (tie → id asc);
+    // 30: 15873; 40: 15873 (cut by topK=3 after the 30 tie-break)
+    assert(out.toSeq == Seq(
+      (10L, 2, 32522L, 1), (20L, 2, 32522L, 2), (30L, 1, 15873L, 3)))
+  }
 }
