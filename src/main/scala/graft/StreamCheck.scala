@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.Trigger
   *    the identical batch join.
   *
   * Usage: `runMain graft.StreamCheck [sfDir]
-  * [--check=fraud|stateful|streamjoin|session|dedup|staticjoin|drift|quality|cms|latedrop|all]`
+  * [--check=fraud|stateful|streamjoin|outerjoin|session|dedup|staticjoin|drift|quality|cms|latedrop|all]`
   * (defaults: sf0.01, all). Exit 1 if any selected check fails.
   */
 object StreamCheck {
@@ -42,6 +42,7 @@ object StreamCheck {
       "fraud" -> (() => checkFraud(spark, sfDir)),
       "stateful" -> (() => checkStateful(spark, sfDir)),
       "streamjoin" -> (() => checkStreamJoin(spark, sfDir)),
+      "outerjoin" -> (() => checkOuterJoin(spark, sfDir)),
       "session" -> (() => checkSession(spark, sfDir)),
       "dedup" -> (() => checkDedup(spark, sfDir)),
       "staticjoin" -> (() => checkStaticJoin(spark, sfDir)),
@@ -505,5 +506,74 @@ object StreamCheck {
         col("amount"))
     parityLine("streaming_stream_join", sfDir, outDir, batch, "",
       (System.nanoTime() - t0) / 1e9, extraOk = true)
+  }
+
+  /** LEFT OUTER stream-stream interval join — the watermark-driven
+    * null-emission semantics the inner-join check can't see. An
+    * unmatched view emits its null-extended row only when the
+    * watermark proves no matching purchase can still arrive
+    * (wm > vts + 1h); with `AvailableNow` the final no-data batch
+    * advances the watermark to max(ts) − 10 s and flushes evictable
+    * state, but views in the last-hour tail legitimately stay in
+    * state unemitted. The contract therefore splits:
+    *
+    *  - matched rows == the batch inner join, exactly (multiset);
+    *  - every unmatched view with `vts + 1h < max(ts) − 10s` (its
+    *    eviction PROVABLY due) must appear null-extended, and there
+    *    must be > 0 of them (the semantics actually fired);
+    *  - every null-extended row must correspond to a view the batch
+    *    left-anti join also finds unmatched (no spurious nulls) —
+    *    tail views may be absent, never wrong.
+    */
+  private def checkOuterJoin(spark: SparkSession, sfDir: String): Boolean = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
+    val t0 = System.nanoTime()
+    def views(df: DataFrame) = df.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("vts"),
+        col("event_id").as("view_id"))
+    def buys(df: DataFrame) = df.where(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("bts"),
+        col("event_id").as("buy_id"), col("value").as("amount"))
+    val cond = "v_user = b_user AND bts >= vts AND bts <= vts + interval 1 hour"
+    val joined = views(eventsStream(spark, sfDir)).withWatermark("vts", "10 seconds")
+      .join(buys(eventsStream(spark, sfDir)).withWatermark("bts", "10 seconds"),
+        expr(cond), "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("vts"),
+        col("buy_id"), col("amount"))
+    runToParquet(joined, ckpt, outDir)
+
+    val ev = graft.model.Tables.events(spark, sfDir)
+    val inner = views(ev).join(buys(ev), expr(cond))
+      .select(col("v_user").as("user_id"), col("view_id"), col("vts"),
+        col("buy_id"), col("amount"))
+    val anti = views(ev).join(buys(ev), expr(cond), "left_anti")
+      .select(col("v_user").as("user_id"), col("view_id"), col("vts"))
+    // the global watermark is the MIN of the two sides' watermarks
+    // (each side: its own max event time − 10 s)
+    val maxV = views(ev).agg(max(col("vts"))).head.getTimestamp(0)
+    val maxB = buys(ev).agg(max(col("bts"))).head.getTimestamp(0)
+    val wmBase = if (maxV.before(maxB)) maxV else maxB
+    val certain = anti.where(
+      col("vts") + expr("interval 1 hour") < lit(wmBase) - expr("interval 10 seconds"))
+
+    val out = spark.read.parquet(outDir)
+    val sInner = out.where(col("buy_id").isNotNull)
+    val sNull = out.where(col("buy_id").isNull)
+      .select("user_id", "view_id", "vts")
+    val innerMissing = inner.exceptAll(sInner).count()
+    val innerExtra = sInner.exceptAll(inner).count()
+    val nullMissing = certain.exceptAll(sNull).count()
+    val nullExtra = sNull.exceptAll(anti).count()
+    val (nInner, nNull, nCertain) = (sInner.count(), sNull.count(), certain.count())
+    val parity = nInner > 0 && nNull > 0 && innerMissing == 0 &&
+      innerExtra == 0 && nullMissing == 0 && nullExtra == 0
+    println(
+      s"""{"check":"streaming_outer_join","sf":"$sfDir","rows":${nInner + nNull},""" +
+      s""""parity":$parity,"missing_vs_batch":${innerMissing + nullMissing},""" +
+      s""""extra_vs_batch":${innerExtra + nullExtra},"matched_rows":$nInner,""" +
+      s""""null_rows":$nNull,"certain_nulls":$nCertain,""" +
+      s""""sec":${js((System.nanoTime() - t0) / 1e9)}}""")
+    parity
   }
 }
