@@ -218,6 +218,29 @@ object Sampling {
     * assignment needs NO join against a group table because the hash
     * is stateless in the group key.
     */
+  /** Exact-k uniform sample PER KEY — the distributed "reservoir":
+    * rank rows within each key by the md5 draw of `id:salt` and keep
+    * the k smallest. Same distribution as classic reservoir sampling
+    * but deterministic, rerun-stable, and engine-portable (the same
+    * [[hashBucket]] rationale), which is what a per-domain spot-check
+    * sample or per-source eval draw actually needs.
+    *
+    * Scale shape: executes through the [[graft.plans.TopKPerKey]]
+    * bounded-heap operator — each map task keeps ≤ k rows per key
+    * before the exchange, the shuffle carries ≤ k·|keys| rows, and no
+    * key's full group is ever sorted. A `row_number` window would
+    * shuffle and sort every row of every group instead.
+    */
+  def reservoirPerKey(df: DataFrame, idCol: String, keyCol: String,
+                      k: Int, salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val drawn = df.withColumn("draw",
+      conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":" + salt))), 1, 8), 16, 10).cast("long"))
+    graft.plans.TopKPerKey.topKPerKey(drawn, Seq(keyCol),
+      Seq("draw" -> false, idCol -> false), k)
+  }
+
   def leakFreeSplit(df: DataFrame, groupCol: String, salt: String,
                     trainPct: Int = 80, validPct: Int = 10): DataFrame = {
     require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,

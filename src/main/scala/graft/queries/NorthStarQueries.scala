@@ -475,6 +475,14 @@ object NorthStarQueries {
         .withColumn("boost", round(col("p_temp") / col("p_raw"), 6))
     }),
 
+    // per-key uniform reservoir: 10 docs per source by md5 draw,
+    // through the TopKPerKey bounded heap (map-side ≤ k per key, the
+    // exchange carries ≤ k·|keys| rows — never a full-group sort)
+    "sample_reservoir_per_key" -> ((s, dir) =>
+      graft.etl.Sampling.reservoirPerKey(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "doc_id", "source", k = 10, salt = "res1")),
+
     // leak-free train/valid/test split: the split decision hashes the
     // GROUP key (source), so near-duplicate docs within one source can
     // never straddle train and test — map-only, no group table join
@@ -2649,6 +2657,20 @@ object NorthStarQueries {
         |  round(round(CAST(w6 AS DOUBLE) / tw, 6)
         |    / round(CAST(n_tokens AS DOUBLE) / tn, 6), 6) AS boost
         |FROM p, tot""".stripMargin,
+
+    // the same md5-prefix draw, ranked per source — k smallest kept
+    "sample_reservoir_per_key" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':res1'),
+        |      1, 8)) AS UBIGINT) AS BIGINT) AS draw
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY draw ASC, doc_id ASC) AS rk
+        |  FROM h)
+        |SELECT doc_id, source, n_chars, draw, CAST(rk AS INTEGER) AS rank
+        |FROM r WHERE rk <= 10""".stripMargin,
 
     "sample_leakfree_split" ->
       """WITH b AS (

@@ -160,4 +160,29 @@ class SamplingSpec extends SparkSpec {
       "temperature must up-weight the tail relative to the head")
     assert(run(sf()) == rows, "deterministic re-run")
   }
+
+  test("reservoirPerKey: exactly k per key, the k smallest draws, " +
+    "layout-invariant") {
+    val d = Tables.documents(spark, sf()).select("doc_id", "source", "n_chars")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.reservoirPerKey(df, "doc_id", "source", k = 5, salt = "res1")
+        .select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = ids(d)
+    // reference: full window rank over the same draw
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("__draw").asc, col("doc_id").asc)
+    val ref = d.withColumn("__draw",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":res1"))),
+          1, 8), 16, 10).cast("long"))
+      .withColumn("__rk", row_number().over(w)).where(col("__rk") <= 5)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == ref, "heap-per-key must equal the window-rank reference")
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.size == 5, s"$src must yield exactly k rows")
+    }
+    assert(got == ids(d.repartition(13)), "sample must not depend on layout")
+  }
 }
