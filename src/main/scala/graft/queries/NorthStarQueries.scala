@@ -1100,6 +1100,26 @@ object NorthStarQueries {
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec_id"))
     }),
 
+    // MMR diversified re-rank over the dense top-30 per query (k=10,
+    // λ=0.7): sequential in k, parallel across queries (one
+    // flatMapGroups task each, candK² local cosines). Candidates with
+    // double vecs materialize so the oracle replays the greedy loop
+    // exactly via a recursive CTE
+    "sim_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 4)
+      val cands = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        k = 30)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          col("score").as("rel"))
+      cands.join(emb.select(col("vec_id").as("cand_id"),
+          col("embedding").cast("array<double>").as("vec")), "cand_id")
+        .select("query_id", "cand_id", "rel", "vec")
+        .write.mode("overwrite").parquet(OracleAux.dir(dir, "mmr_cands"))
+      Similarity.mmrRerank(s.read.parquet(OracleAux.dir(dir, "mmr_cands")),
+        k = 10, lambda = 0.7)
+    }),
+
     // cluster-quality gate: simplified (centroid-based) silhouette of
     // the same 8-cell / 3-iter k-means model — per-cell mean of
     // s = (b−a)/max(a,b) over own/runner-up cosine distances. Trains
@@ -1903,6 +1923,46 @@ object NorthStarQueries {
         |  FROM embeddings e)
         |SELECT cell, count(*) AS n, min(vec_id) AS min_vec_id
         |FROM a GROUP BY 1""".stripMargin,
+
+    // the greedy MMR loop replayed as a recursive CTE over the
+    // materialized candidates: anchor = best rel per query; each step's
+    // LATERAL picks argmax of 0.7·rel − (1−0.7)·max-sim-to-picked.
+    // The λ literals are ::DOUBLE-cast because DuckDB otherwise parses
+    // 1.0 − 0.7 as DECIMAL (exactly 0.3) while the Scala loop computes
+    // the double 0.30000000000000004 — a 1e-17 drift that flips 1e-6
+    // rounding ties; sims round to 6 dp exactly as the Scala loop does
+    "sim_mmr_rerank" ->
+      s"""WITH RECURSIVE c AS (
+        |  SELECT query_id, cand_id, rel, vec,
+        |    sqrt(list_dot_product(vec, vec)) AS nrm
+        |  FROM read_parquet('${OracleAux.sqlDir("mmr_cands")}/*.parquet')),
+        |s AS (
+        |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+        |    round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS sim
+        |  FROM c a JOIN c b
+        |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+        |sel(query_id, step, cand_id, mmr, picked) AS (
+        |  SELECT query_id, 1 AS step, cand_id, rel AS mmr, [cand_id] AS picked
+        |  FROM (SELECT query_id, cand_id, rel,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY rel DESC, cand_id ASC) AS rk
+        |        FROM c) WHERE rk = 1
+        |  UNION ALL
+        |  SELECT g.query_id, g.step + 1, nxt.cand_id, nxt.mmr,
+        |    list_append(g.picked, nxt.cand_id)
+        |  FROM sel g, LATERAL (
+        |    SELECT cc.cand_id,
+        |      0.7::DOUBLE * cc.rel
+        |        - (1.0::DOUBLE - 0.7::DOUBLE) * (SELECT max(p.sim) FROM s p
+        |        WHERE p.query_id = g.query_id AND p.ca = cc.cand_id
+        |          AND list_contains(g.picked, p.cb)) AS mmr
+        |    FROM c cc WHERE cc.query_id = g.query_id
+        |      AND NOT list_contains(g.picked, cc.cand_id)
+        |    ORDER BY mmr DESC, cc.cand_id ASC LIMIT 1) nxt
+        |  WHERE g.step < 10)
+        |SELECT query_id, CAST(step AS INTEGER) AS step, cand_id,
+        |  round(mmr, 6) AS mmr
+        |FROM sel""".stripMargin,
 
     // simplified silhouette against the materialized centroid table:
     // own/runner-up by (sim DESC, cell DESC) on unrounded cosines,

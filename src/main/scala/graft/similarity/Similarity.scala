@@ -935,6 +935,89 @@ object Similarity {
         round(col("score"), 6).as("score"))
   }
 
+  /** MMR diversified re-rank (Carbonell & Goldstein 1998): greedily
+    * pick k of each query's candidates maximizing
+    * `λ·rel(c) − (1−λ)·max_{p∈picked} sim(c, p)` — the
+    * redundancy-penalized top-k retrieval stacks bolt onto ANN so ten
+    * near-identical passages don't fill the context window.
+    *
+    * Input: a candidate table `(query_id, cand_id, rel, vec)` — the
+    * output of an upstream retriever (top-candK per query, rel rounded
+    * to 6 dp), vectors as double arrays. The greedy loop is inherently
+    * sequential IN k but embarrassingly parallel ACROSS queries, so it
+    * runs inside `flatMapGroups` — one task per query, candK² local
+    * cosines, zero driver involvement. At 100 TB the corpus-sized work
+    * happened upstream (ANN under its own scale story); this stage
+    * touches candK·|Q| rows only.
+    *
+    * Determinism: pairwise cosines accumulate left-to-right in double
+    * (the [[dot]] semantics) and round to 6 dp via
+    * `BigDecimal.valueOf` + HALF_UP — i.e. Spark's own `round()`
+    * semantics (shortest-decimal-string ties), which DuckDB's
+    * `round(x, 6)` matches bit-for-bit (a naive
+    * `floor(x·1e6 + 0.5)/1e6` does NOT: it misrounds doubles like
+    * 0.20303949999999998 whose shortest decimal form is a tie);
+    * candidates sort by id before the loop so iteration order is
+    * layout-free; ties on the MMR objective break by cand_id asc.
+    */
+  def mmrRerank(cands: DataFrame, k: Int, lambda: Double): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    require(k > 0 && lambda >= 0 && lambda <= 1, "need k > 0, λ in [0,1]")
+    val ds = cands.select(col("query_id").cast("long"),
+        col("cand_id").cast("long"), col("rel").cast("double"),
+        col("vec").cast("array<double>"))
+      .as[(Long, Long, Double, Array[Double])]
+    val lam = lambda
+    ds.groupByKey(_._1).flatMapGroups {
+      (qid: Long, it: Iterator[(Long, Long, Double, Array[Double])]) =>
+        val cs = it.toArray.sortBy(_._2)
+        val n = cs.length
+        def dotv(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        def r6(x: Double): Double =
+          BigDecimal.decimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val nrm = cs.map(c => math.sqrt(dotv(c._4, c._4)))
+        val sim = Array.tabulate(n, n)((i, j) =>
+          if (i == j) 0.0
+          else r6(dotv(cs(i)._4, cs(j)._4) / (nrm(i) * nrm(j))))
+        val picked = Array.fill(n)(false)
+        val msp = Array.fill(n)(Double.NegativeInfinity)
+        val out = Array.newBuilder[(Long, Int, Long, Double)]
+        var step = 1
+        val kk = math.min(k, n)
+        while (step <= kk) {
+          var best = -1; var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val score =
+                if (step == 1) cs(i)._3
+                else lam * cs(i)._3 - (1.0 - lam) * msp(i)
+              if (best < 0 || score > bestScore ||
+                  (score == bestScore && cs(i)._2 < cs(best)._2)) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          out += ((qid, step, cs(best)._2, r6(bestScore)))
+          picked(best) = true
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) msp(j) = math.max(msp(j), sim(j)(best))
+            j += 1
+          }
+          step += 1
+        }
+        out.result().iterator
+    }.toDF("query_id", "step", "cand_id", "mmr")
+  }
+
   /** Cluster-quality evaluation: SIMPLIFIED silhouette (Hruschka et
     * al. 2004 — the centroid-based form sklearn documents as the
     * tractable alternative to pairwise silhouette) over a trained

@@ -440,6 +440,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("mmrRerank: greedy diversity selection, per-query groups, " +
+    "k capped at group size") {
+    import spark.implicits._
+    // query 0: cand 2 duplicates cand 1's direction (sim 1.0) so MMR
+    // must skip it for the orthogonal 3 and 4 despite higher rel
+    val cands = Seq(
+      (0L, 1L, 0.9, Seq(1.0, 0.0, 0.0)),
+      (0L, 2L, 0.85, Seq(1.0, 0.0, 0.0)),
+      (0L, 3L, 0.8, Seq(0.0, 1.0, 0.0)),
+      (0L, 4L, 0.7, Seq(0.0, 0.0, 1.0)),
+      (1L, 7L, 0.5, Seq(1.0, 0.0, 0.0)),
+      (1L, 9L, 0.6, Seq(0.0, 1.0, 0.0)))
+      .toDF("query_id", "cand_id", "rel", "vec")
+    val out = Similarity.mmrRerank(cands, k = 3, lambda = 0.7)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      (0L, 1) -> ((1L, 0.9)), (0L, 2) -> ((3L, 0.56)),
+      (0L, 3) -> ((4L, 0.49)),
+      (1L, 1) -> ((9L, 0.6)), (1L, 2) -> ((7L, 0.35))))
+  }
+
   test("clusterSilhouette: per-cell mean of (b-a)/max(a,b)") {
     import spark.implicits._
     val emb = Seq(
