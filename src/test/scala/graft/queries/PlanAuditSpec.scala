@@ -510,4 +510,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(agg <= 8, s"expected one partial+final agg chain, got $agg\n$p")
     assert(p.contains("Generate explode"), p) // config rows from 1 row
   }
+
+  test("sample_reservoir_per_key: bounded heap on both sides of the " +
+    "exchange — never a full-group window sort") {
+    val p = plan("sample_reservoir_per_key")
+    assert(p.contains("PartialTopK"), "map-side heap must bound the shuffle\n" + p)
+    assert(p.contains("FinalTopK"), p)
+    assert(!p.contains("Window"), "rank must come from the heap, not a window\n" + p)
+    assert(!p.contains("Sort"), "no per-group sort of the full input\n" + p)
+  }
+
+  test("sim_cluster_silhouette: map-only projections into ONE " +
+    "partial+final agg — no join, a single exchange of 8-cell partials") {
+    val p = plan("sim_cluster_silhouette")
+    assert(!p.contains("Join"), "centroids must be plan literals\n" + p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("sim_mmr_rerank: one exchange on query_id feeding per-group " +
+    "MapGroups — the greedy loop parallelizes across queries") {
+    val p = plan("sim_mmr_rerank")
+    assert(p.contains("MapGroups"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), "pairwise sims are computed in-group\n" + p)
+  }
+
+  test("agg_cohort_retention: every agg partial-aggregates before its " +
+    "exchange and the first-day join is a hash join, never a cartesian") {
+    val p = plan("agg_cohort_retention")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    // distinct + count chains: >= 3 partial/final HashAggregate pairs
+    assert("HashAggregate".r.findAllIn(p).size >= 6, p)
+  }
 }
