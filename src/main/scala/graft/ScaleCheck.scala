@@ -121,6 +121,50 @@ object ScaleCheck {
         graft.similarity.Similarity.lshTopK(
           embX.where(col("vec_id") < 8), embX, "vec_id", "embedding", 10).count()
       }
+      // Silhouette probe: FIXED 8-cell model, corpus ×32 — one map-only
+      // pass + an 8-row agg, so time should grow at most linearly (and
+      // mostly ride input parallelism). Gate tests the suffixed timed
+      // names (the only() contract).
+      if (Seq("silhouette_x1", "silhouette_x32").exists(only)) {
+        val cents = graft.similarity.Similarity.trainCentroids(
+          emb0, "vec_id", "embedding", numCells = 8, iters = 3)
+        time("silhouette_x1") {
+          graft.similarity.Similarity.clusterSilhouette(
+            emb0, "vec_id", "embedding", cents).count()
+        }
+        time("silhouette_x32") {
+          graft.similarity.Similarity.clusterSilhouette(
+            embX, "vec_id", "embedding", cents).count()
+        }
+      }
+      // MMR probe: candK fixed at 30, query count ×32 — each query's
+      // greedy loop is one MapGroups task, so wall time should stay
+      // near-flat as queries grow into the core count. Candidate
+      // construction (the upstream retriever) is materialized outside
+      // the timed region.
+      if (Seq("mmr_x1", "mmr_x32").exists(only)) {
+        def candsFor(qn: Long, path: String): Unit =
+          graft.similarity.Similarity.bruteForceTopK(
+            emb0.where(col("vec_id") < qn), emb0, "vec_id", "embedding",
+            k = 30)
+            .select(col("query_id"), col("neighbor_id").as("cand_id"),
+              col("score").as("rel"))
+            .join(emb0.select(col("vec_id").as("cand_id"),
+              col("embedding").cast("array<double>").as("vec")), "cand_id")
+            .write.mode("overwrite").parquet(path)
+        candsFor(4, "/tmp/mmr_c1.parquet")
+        candsFor(128, "/tmp/mmr_c32.parquet")
+        time("mmr_x1") {
+          graft.similarity.Similarity.mmrRerank(
+            spark.read.parquet("/tmp/mmr_c1.parquet"),
+            k = 10, lambda = 0.7).count()
+        }
+        time("mmr_x32") {
+          graft.similarity.Similarity.mmrRerank(
+            spark.read.parquet("/tmp/mmr_c32.parquet"),
+            k = 10, lambda = 0.7).count()
+        }
+      }
       // IVF probe, ivfPlan-sized per corpus, build and query timed
       // SEPARATELY: build (assign n rows against √(n·nprobe) centroids)
       // is the one-time n^1.5 index cost amortized over queries; the
