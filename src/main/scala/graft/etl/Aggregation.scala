@@ -133,6 +133,40 @@ object Aggregation {
     * window, no per-cohort scan; the matrix is |cohorts| × |offsets|
     * rows.
     */
+  /** Robust per-group outlier gate — the Iglewicz–Hoaglin modified
+    * z-score: `0.6745·|x − median| / MAD`, outlier when > `zThresh`
+    * (their recommended 3.5). Median/MAD instead of mean/stddev
+    * because telemetry value columns are exactly where the moments
+    * are poisoned by the outliers being hunted.
+    *
+    * Exact medians via `percentile` (two grouped passes: median, then
+    * median absolute deviation) + a scoring pass — three linear scans
+    * with the group stats broadcast back (|groups| rows, model-sized).
+    * Each intermediate rounds to 4 dp so both engines score identical
+    * doubles. At 100 TB swap `percentile` for `approx_percentile` —
+    * one pass, sketch-mergeable — at the cost of oracle exactness;
+    * the plan shape is otherwise unchanged.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+                  zThresh: Double = 3.5): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(round(expr(s"percentile($valCol, 0.5)"), 4).as("med"))
+    val mad = df.join(broadcast(med), keyCol)
+      .withColumn("__ad", round(abs(col(valCol) - col("med")), 4))
+      .groupBy(col(keyCol))
+      .agg(min(col("med")).as("med"),
+        round(expr("percentile(__ad, 0.5)"), 4).as("mad"))
+    df.join(broadcast(mad), keyCol)
+      .withColumn("__z", when(col("mad") > 0,
+        round(abs(col(valCol) - col("med")) * 0.6745 / col("mad"), 4)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("__z") > zThresh, 1L).otherwise(0L)).as("n_outliers"),
+        max(col("__z")).as("max_z"))
+  }
+
   def cohortRetention(df: DataFrame, keyCol: String,
                       tsCol: String): DataFrame = {
     val e = df.select(col(keyCol),

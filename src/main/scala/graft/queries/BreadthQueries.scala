@@ -647,6 +647,14 @@ object BreadthQueries {
           Tables.lineitem(s, dir), Tables.orders(s, dir)),
         "src", "dst", "w", iterations = 5)),
 
+    // robust outlier gate: Iglewicz–Hoaglin modified z-score per event
+    // type (exact median + MAD, 3.5 threshold); group stats broadcast
+    // back, every intermediate rounded to 4 dp on both engines
+    "agg_mad_outliers" -> ((s, dir) =>
+      graft.etl.Aggregation.madOutliers(
+        Tables.events(s, dir).select("event_type", "value"),
+        "event_type", "value")),
+
     // cohort-retention matrix: users cohorted by first-event UTC day,
     // distinct actives per (cohort, day offset) — exact integer cells,
     // first-day agg joined back on the SAME key (exchange reuse)
@@ -1046,6 +1054,32 @@ object BreadthQueries {
 
     "graph_pagerank_fixed" -> pagerankOracleSql,
     "graph_label_propagation" -> labelPropagationOracleSql,
+
+    // same three-pass median/MAD arithmetic; scalar literals ::DOUBLE
+    // so DuckDB doesn't run them as DECIMAL
+    "agg_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, round(abs(e.value - m.med), 4) AS ad
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(ad, 0.5), 4) AS mad
+        |  FROM d GROUP BY 1),
+        |s AS (
+        |  SELECT e.event_type, m.med, a.mad,
+        |    CASE WHEN a.mad > 0 THEN
+        |      round(abs(e.value - m.med) * 0.6745::DOUBLE / a.mad, 4)
+        |    END AS z
+        |  FROM events e JOIN med m USING (event_type)
+        |    JOIN mad a USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(med) AS med, min(mad) AS mad,
+        |  CAST(sum(CASE WHEN z > 3.5::DOUBLE THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  max(z) AS max_z
+        |FROM s GROUP BY 1""".stripMargin,
 
     "agg_cohort_retention" ->
       """WITH e AS (

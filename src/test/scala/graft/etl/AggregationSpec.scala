@@ -88,6 +88,21 @@ class AggregationSpec extends SparkSpec {
       6L -> 3, 7L -> 2))
   }
 
+  test("madOutliers: modified z-score flags the spike; MAD=0 group " +
+    "yields no outliers and null max_z") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 100.0), ("b", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("event_type", "value")
+    val out = Aggregation.madOutliers(rows, "event_type", "value")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    // a: med 3, MAD 1; z(100) = 0.6745·97 = 65.4265 — the only z > 3.5
+    assert(out("a") == ((5L, 3.0, 1.0, 1L, Some(65.4265))))
+    // b: med 5, MAD 0 → no z-scores at all
+    assert(out("b") == ((3L, 5.0, 0.0, 0L, None)))
+  }
+
   test("cohortRetention counts distinct actives per (cohort, offset)") {
     import org.apache.spark.sql.functions.col
     val day = 86400L
