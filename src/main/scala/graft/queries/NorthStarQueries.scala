@@ -303,6 +303,12 @@ object NorthStarQueries {
     "text_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(Tables.documents(s, dir), "text", 25)),
 
+    // Zipf-exponent fit over the top-500 terms: exact integer
+    // micro-moment sums → engine-exact OLS slope/intercept; the only
+    // corpus-sized work is the term-count pass
+    "text_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(Tables.documents(s, dir), "text", 500)),
+
     // one distributed BPE-training step: adjacent char-pair counts
     // weighted by word frequency, over the distinct-word vocabulary —
     // rank 1 is the next merge
@@ -2112,6 +2118,37 @@ object NorthStarQueries {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    // same micro-moment OLS; HUGEINT sums are DuckDB's exact-integer
+    // twin of Spark's decimal(38,0)
+    "text_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |f AS (SELECT term, count(*) AS freq FROM tf GROUP BY 1),
+        |top AS (SELECT freq, rank FROM (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC)
+        |    AS rank FROM f) WHERE rank <= 500),
+        |p AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS HUGEINT) AS x,
+        |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS HUGEINT) AS y
+        |  FROM top),
+        |s AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS k, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM p),
+        |sl AS (
+        |  SELECT k, sx, sy,
+        |    CAST(k * sxy - sx * sy AS DOUBLE)
+        |      / CAST(k * sxx - sx * sx AS DOUBLE) AS slope_raw
+        |  FROM s)
+        |SELECT CAST(k AS BIGINT) AS k_terms,
+        |  round(slope_raw, 6) AS zipf_slope,
+        |  round((CAST(sy AS DOUBLE) / 1e6
+        |    - slope_raw * (CAST(sx AS DOUBLE) / 1e6)) / CAST(k AS DOUBLE), 6)
+        |    AS zipf_intercept
+        |FROM sl""".stripMargin,
 
     "text_vocab_topk" ->
       """WITH v AS (

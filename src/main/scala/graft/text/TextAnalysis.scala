@@ -1092,6 +1092,45 @@ object TextAnalysis {
           .as("cum_frac"))
   }
 
+  /** Zipf-law fit — the corpus-health diagnostic: OLS slope/intercept
+    * of ln(freq) over ln(rank) for the top-`k` terms. A natural corpus
+    * sits near slope −1 (Zipf 1949); template spam or boilerplate
+    * flattens the head, OCR noise fattens the tail — so the exponent
+    * is a one-number drift gate for ingest monitoring.
+    *
+    * Scale shape: the term-count pass is the only corpus-sized work
+    * (partial-agg'd); the global top-k rides the bounded-heap rewrite
+    * (orderBy+limit → TopK), and the fit runs over k rows. The
+    * regression uses EXACT integer micro-sums (ln values round to
+    * micro-units, moments sum as decimal(38,0)) so the slope is
+    * partition-order-invariant and engine-exact — the
+    * `agg_stats_battery` discipline.
+    */
+  def zipfFit(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("term").asc)
+    val top = vocab.orderBy(col("freq").desc, col("term").asc).limit(k)
+      .select(col("freq"), row_number().over(w).as("rank"))
+    val pts = top.select(
+      round(log(col("rank").cast("double")) * 1e6)
+        .cast("decimal(38,0)").as("x"),
+      round(log(col("freq").cast("double")) * 1e6)
+        .cast("decimal(38,0)").as("y"))
+    val s = pts.agg(count(lit(1)).cast("decimal(38,0)").as("k"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    s.withColumn("slope_raw",
+        (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("k").cast("long").as("k_terms"),
+        round(col("slope_raw"), 6).as("zipf_slope"),
+        round((col("sy").cast("double") / 1e6 -
+          col("slope_raw") * (col("sx").cast("double") / 1e6)) /
+          col("k").cast("double"), 6).as("zipf_intercept"))
+  }
+
   /** Count-Min-Sketch over the corpus token stream — the third sketch
     * family next to HLL cardinality (`sourceOverlapSketch`) and
     * approx-percentile: fixed-memory frequency estimation (Cormode &

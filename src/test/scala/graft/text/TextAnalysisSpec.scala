@@ -312,6 +312,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == List(("a", 3L, 1, 0.5), ("b", 2L, 2, 0.833333)))
   }
 
+  test("zipfFit reproduces the exact micro-moment OLS") {
+    val out = TextAnalysis.zipfFit(
+      Seq("a a a a a a a a b b b b c c d").toDF("text"), "text", 4)
+      .collect().head
+    // reference: identical micro-unit integer arithmetic in plain Scala
+    def mic(x: Double): Long = BigDecimal.decimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def r6(x: Double): Double = BigDecimal.decimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pts = Seq(8L, 4L, 2L, 1L).zipWithIndex.map { case (f, i) =>
+      (BigInt(mic(math.log(i + 1.0))), BigInt(mic(math.log(f.toDouble)))) }
+    val k = BigInt(pts.size)
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slopeRaw = (k * sxy - sx * sy).toDouble / (k * sxx - sx * sx).toDouble
+    val intercept =
+      (sy.toDouble / 1e6 - slopeRaw * (sx.toDouble / 1e6)) / k.toDouble
+    assert(out.getLong(0) == 4L)
+    assert(out.getDouble(1) == r6(slopeRaw))
+    assert(out.getDouble(2) == r6(intercept))
+    // halving frequencies over ranks 1..4 → slope near −1.5, head at ln 8
+    assert(out.getDouble(1) < -1.0 && out.getDouble(1) > -2.0)
+  }
+
   test("bpePairCounts counts adjacent char pairs weighted by word freq") {
     val out = TextAnalysis.bpePairCounts(
         Seq("abab ab", "cd").toDF("text"), "text", 3)
