@@ -303,6 +303,13 @@ object NorthStarQueries {
     "text_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(Tables.documents(s, dir), "text", 25)),
 
+    // PMI collocations: top-25 adjacent pairs (min pair count 5) by
+    // ln(N·c(ab)/(c(a)·c(b))); counts to double before the ratio, PMI
+    // rounded to 6 dp before the rank cutoff
+    "text_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, dir), "text",
+        k = 25, minCount = 5L)),
+
     // Zipf-exponent fit over the top-500 terms: exact integer
     // micro-moment sums → engine-exact OLS slope/intercept; the only
     // corpus-sized work is the term-count pass
@@ -2118,6 +2125,31 @@ object NorthStarQueries {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    // same double-ratio PMI; the bigram extraction reuses the
+    // text_bigram_logprob unnest(range) idiom
+    "text_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |u AS (SELECT tok, count(*) AS cu
+        |      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM (SELECT unnest(t) AS tok FROM toks)),
+        |bg AS (
+        |  SELECT t[i+1] AS w1, t[i+2] AS w2, t[i+1] || ' ' || t[i+2] AS bigram
+        |  FROM (SELECT t, unnest(range(0, greatest(len(t) - 1, 0))) AS i
+        |        FROM toks)),
+        |cb AS (SELECT w1, w2, bigram, count(*) AS cb FROM bg
+        |       GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+        |s AS (
+        |  SELECT cb.bigram, cb.cb,
+        |    round(ln(CAST(n.n AS DOUBLE) * CAST(cb.cb AS DOUBLE)
+        |      / (CAST(u1.cu AS DOUBLE) * CAST(u2.cu AS DOUBLE))), 6) AS pmi
+        |  FROM cb JOIN u u1 ON cb.w1 = u1.tok JOIN u u2 ON cb.w2 = u2.tok
+        |    CROSS JOIN n)
+        |SELECT bigram, cb, pmi, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT bigram, cb, pmi,
+        |    row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rank
+        |  FROM s) WHERE rank <= 25""".stripMargin,
 
     // same micro-moment OLS; HUGEINT sums are DuckDB's exact-integer
     // twin of Spark's decimal(38,0)

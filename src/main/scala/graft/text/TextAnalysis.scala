@@ -1092,6 +1092,49 @@ object TextAnalysis {
           .as("cum_frac"))
   }
 
+  /** PMI collocation mining (Church & Hanks 1990): the top-k adjacent
+    * token pairs by pointwise mutual information
+    * `ln(N·c(ab) / (c(a)·c(b)))`, with a minimum pair-count floor (PMI
+    * is notoriously noisy on hapax pairs — the floor is part of the
+    * published recipe). This is how a curation pipeline finds
+    * multi-word units ("los angeles") worth protecting from
+    * token-level ops, and template phrases worth flagging.
+    *
+    * Scale shape: one token pass (unigram counts) + one bigram pass,
+    * both partial-agg'd; the min-count filter shrinks the pair table
+    * BEFORE the two unigram joins (hash joins on the token key — at
+    * corpus scale the filtered pair side is the small one and AQE
+    * broadcasts it); N folds in-plan as a broadcast 1-row agg. Counts
+    * go to double before the ratio so no integer product can overflow;
+    * PMI rounds to 6 dp BEFORE the rank cutoff.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, k: Int,
+                      minCount: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExprs.token_ngrams
+    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val nTok = toks.agg(count(lit(1)).as("n"))
+    val bg = df.select(
+        explode(token_ngrams(tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      .where(col("cb") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val scored = bg
+      .join(uni.select(col("tok").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(nTok))
+      .select(col("bigram"), col("cb"),
+        round(log(col("n").cast("double") * col("cb").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))), 6)
+          .as("pmi"))
+    val w = Window.orderBy(col("pmi").desc, col("bigram").asc)
+    scored.orderBy(col("pmi").desc, col("bigram").asc).limit(k)
+      .select(col("bigram"), col("cb"), col("pmi"),
+        row_number().over(w).cast("int").as("rank"))
+  }
+
   /** Zipf-law fit — the corpus-health diagnostic: OLS slope/intercept
     * of ln(freq) over ln(rank) for the top-`k` terms. A natural corpus
     * sits near slope −1 (Zipf 1949); template spam or boilerplate

@@ -312,6 +312,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == List(("a", 3L, 1, 0.5), ("b", 2L, 2, 0.833333)))
   }
 
+  test("pmiCollocations: ln(N·cab/(ca·cb)) with a min-count floor") {
+    val out = TextAnalysis.pmiCollocations(
+      Seq("new york new york", "big apple").toDF("text"), "text",
+      k = 5, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toList
+    // N=6 tokens; only "new york" survives the floor (cb=2);
+    // PMI = ln(6·2/(2·2)) = ln 3
+    val ln3 = BigDecimal.decimal(math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == List(("new york", 2L, ln3, 1)))
+  }
+
   test("zipfFit reproduces the exact micro-moment OLS") {
     val out = TextAnalysis.zipfFit(
       Seq("a a a a a a a a b b b b c c d").toDF("text"), "text", 4)
