@@ -1,0 +1,106 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting + local clustering coefficient over an
+  * undirected edge list — the graph-density signal a crawl-curation
+  * pipeline uses to separate organically-linked communities from
+  * link-farm cliques (spam rings are near-cliques: high clustering
+  * at high degree), and the classic "how cohesive is this co-purchase
+  * neighbourhood" market-basket measure.
+  *
+  * Algorithm: degree-ordered node-iterator (Schank & Wagner 2005;
+  * the MapReduce adaptation is Suri & Vassilvitskii 2011 / Cohen
+  * 2009). Each undirected edge is DIRECTED from its (degree, id)-
+  * smaller endpoint to the larger; wedges are enumerated only at the
+  * lowest-ranked vertex of each triangle, then closed against the
+  * canonical edge set. The ordering is the whole trick: out-degree
+  * under it is bounded by O(√m), so wedge count is O(m^1.5) worst
+  * case instead of Σ d(v)² — the difference between a hub node with
+  * degree 10⁶ generating 10¹² wedges and generating none.
+  *
+  * Scale shape (100 TB): three shuffles — degree agg, the wedge
+  * self-join on the low endpoint, and the closing-edge hash join —
+  * all on key columns, no cartesian anywhere (plan-audited). The
+  * degree table is node-sized (≪ edges) and joins back onto the edge
+  * list as the small side of a hash join; AQE broadcasts it outright
+  * on harness scales. Skewed hubs are exactly what the degree
+  * ordering neutralises, so no salting is needed. Everything is
+  * integer except the final coefficient, which rounds to 6 dp on
+  * both engines.
+  */
+object Triangles {
+
+  /** Per-node triangle participation over an undirected edge list
+    * given as `(aCol, bCol)` rows in ANY orientation, possibly with
+    * duplicates / self-loops (both are dropped by canonicalisation).
+    * Returns one row per node that appears in at least one edge:
+    * `(node: long, degree: long, triangles: long, lcc: double)` with
+    * `lcc = round(2·T / (d·(d−1)), 6)` and 0.0 for degree-1 nodes.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String,
+                     bCol: String): DataFrame = {
+    val raw = edges.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val e = raw.select(least(col("a"), col("b")).as("u"),
+      greatest(col("a"), col("b")).as("v")).distinct()
+
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+
+    // direct u—v from the (degree, id)-smaller endpoint to the larger;
+    // carry the head's (degree, id) so the wedge join can order heads
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val de = withDeg.select(
+      when(uLower, col("u")).otherwise(col("v")).as("lo"),
+      when(uLower, col("v")).otherwise(col("u")).as("hi"),
+      when(uLower, col("dv")).otherwise(col("du")).as("dhi"))
+
+    // wedges at the lowest-ranked vertex, heads ordered so each
+    // triangle is generated exactly once, closed on the canonical edge
+    val w1 = de.select(col("lo"), col("hi").as("h1"), col("dhi").as("d1"))
+    val w2 = de.select(col("lo"), col("hi").as("h2"), col("dhi").as("d2"))
+    val wedges = w1.join(w2, Seq("lo"))
+      .where(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("h1") < col("h2")))
+      .select(col("lo"),
+        least(col("h1"), col("h2")).as("u"),
+        greatest(col("h1"), col("h2")).as("v"))
+    val tri = wedges.join(e, Seq("u", "v"))
+
+    val perNode = tri.select(col("lo").as("node"))
+      .unionAll(tri.select(col("u").as("node")))
+      .unionAll(tri.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - lit(1L))), 6))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
+  /** The harness graph: part co-purchase — two parts are adjacent iff
+    * some order contains both (the market-basket projection of
+    * lineitem). Unlike [[PageRank.purchaseGraph]] this one is NOT
+    * bipartite: every multi-part order contributes a clique, so the
+    * graph is triangle-rich by construction.
+    */
+  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val pr = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").cast("long").as("pk")).distinct()
+    val a = pr.select(col("ok"), col("pk").as("pa"))
+    val b = pr.select(col("ok"), col("pk").as("pb"))
+    a.join(b, Seq("ok")).where(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst")).distinct()
+  }
+}

@@ -685,7 +685,17 @@ object BreadthQueries {
       graft.graph.LabelPropagation.labelPropagationFixed(
         graft.graph.PageRank.purchaseGraph(
           Tables.lineitem(s, dir), Tables.orders(s, dir)),
-        "src", "dst", "w", iterations = 4))
+        "src", "dst", "w", iterations = 4)),
+
+    // exact triangle counts + clustering coefficient
+    // (graft.graph.Triangles): degree-ordered wedge enumeration over
+    // the part co-purchase graph — O(m^1.5) wedges regardless of hub
+    // skew. Oracle is the naive a<b<c triple join (no ordering trick),
+    // so the two formulations cross-check each other
+    "graph_triangle_counts" -> ((s, dir) =>
+      graft.graph.Triangles.triangleCounts(
+        graft.graph.Triangles.coPurchaseEdges(Tables.lineitem(s, dir)),
+        "src", "dst"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1054,6 +1064,37 @@ object BreadthQueries {
 
     "graph_pagerank_fixed" -> pagerankOracleSql,
     "graph_label_propagation" -> labelPropagationOracleSql,
+
+    // independent formulation: canonical a<b<c triple join, no degree
+    // ordering — agreement with the Spark side proves the wedge-
+    // direction trick counts each triangle exactly once
+    "graph_triangle_counts" ->
+      """WITH pr AS (
+        |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tc AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.node, d.degree, COALESCE(t.triangles, 0) AS triangles,
+        |  CASE WHEN d.degree >= 2 THEN
+        |    round(2.0 * COALESCE(t.triangles, 0) /
+        |          (d.degree * (d.degree - 1)), 6)
+        |  ELSE 0.0 END AS lcc
+        |FROM deg d LEFT JOIN tc t ON d.node = t.node""".stripMargin,
 
     // same three-pass median/MAD arithmetic; scalar literals ::DOUBLE
     // so DuckDB doesn't run them as DECIMAL

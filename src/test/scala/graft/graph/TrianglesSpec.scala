@@ -1,0 +1,60 @@
+package graft.graph
+
+import graft.SparkSpec
+
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+    Triangles.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("K4 plus a pendant: hand-computed degrees, triangles, lcc") {
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles, each node in 3 of them;
+    // node 5 hangs off 4. deg(4)=4 so lcc(4)=2*3/(4*3)=0.5
+    val got = run(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)))
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((3L, 3L, 1.0)))
+    assert(got(4L) == ((4L, 3L, 0.5)))
+    assert(got(5L) == ((1L, 0L, 0.0)))
+  }
+
+  test("canonicalisation: reversed duplicates and self-loops collapse") {
+    // the same triangle stated three ways + a self-loop: one triangle
+    val got = run(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 1L)))
+    assert(got == Map(1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((2L, 1L, 1.0))))
+  }
+
+  test("triangle-free graph (star) reports zeros") {
+    val got = run(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(got(1L)._2 == 0L && got(2L)._2 == 0L)
+    assert(got(1L)._3 == 0.0)
+  }
+
+  test("global count matches the naive all-triples reference on a random-ish graph") {
+    // deterministic pseudo-random graph over 12 nodes
+    val edges = (for (a <- 1L to 12L; b <- (a + 1) to 12L
+                      if (a * 31 + b * 17) % 3 == 0) yield (a, b)).toSeq
+    val es = edges.toSet
+    val want = (for (x <- 1L to 12L; y <- (x + 1) to 12L; z <- (y + 1) to 12L
+                     if es((x, y)) && es((y, z)) && es((x, z)))
+      yield 1).sum
+    val got = run(edges)
+    assert(got.values.map(_._2).sum == 3L * want)
+  }
+
+  test("co-purchase harness graph is triangle-rich and canonical") {
+    val e = Triangles.coPurchaseEdges(
+      graft.model.Tables.lineitem(spark, sf()))
+    val rows = e.collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    val tri = Triangles.triangleCounts(e, "src", "dst")
+    assert(tri.where($"triangles" > 0).count() > 0)
+  }
+}
