@@ -167,6 +167,43 @@ object Aggregation {
         max(col("__z")).as("max_z"))
   }
 
+  /** Exact weighted median per group — the robust centre a pipeline
+    * reports when rows carry unequal mass (quantity-weighted price,
+    * token-weighted score): the LOWER weighted median, i.e. the
+    * smallest value whose cumulative weight reaches half the group
+    * total. Plain `percentile` can't express it; Edgeworth's weighted-
+    * median is the textbook definition (and the 50 % case of weighted
+    * percentiles generally).
+    *
+    * Shape: ONE shuffle on the group key. The cumulative weight is a
+    * running window sum ordered by value — the SQL-standard RANGE
+    * frame makes ties well-defined (all rows of equal value share one
+    * cumulative figure, so the result can't depend on shuffle order) —
+    * and the total is the same window without ordering, so both reuse
+    * one exchange; the final groupBy collapses on the identical key,
+    * shuffle-free. Weights go through `long`, so the halving test
+    * `2·cw ≥ tot` is integer-exact — no FP threshold can flip a row.
+    * At 100 TB the per-group window sort is the cost; groups are the
+    * parallelism unit, and a skewed mega-group falls back to the
+    * two-pass percentile form (see [[madOutliers]]'s note).
+    */
+  def weightedMedian(df: DataFrame, keyCol: String, valCol: String,
+                     wCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col(keyCol))
+    val cum = byKey.orderBy(col(valCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = df.select(col(keyCol), col(valCol),
+      col(wCol).cast("long").as("__w"))
+    t.withColumn("__cw", sum(col("__w")).over(cum))
+      .withColumn("__tot", sum(col("__w")).over(byKey))
+      .groupBy(col(keyCol))
+      .agg(min(col("__tot")).as("total_weight"),
+        count(lit(1)).as("n_rows"),
+        min(when(col("__cw") * 2 >= col("__tot"), col(valCol)))
+          .as("weighted_median"))
+  }
+
   def cohortRetention(df: DataFrame, keyCol: String,
                       tsCol: String): DataFrame = {
     val e = df.select(col(keyCol),

@@ -655,6 +655,15 @@ object BreadthQueries {
         Tables.events(s, dir).select("event_type", "value"),
         "event_type", "value")),
 
+    // exact lower weighted median (quantity-weighted price per return
+    // flag): one shuffle, RANGE-frame cumulative weight so ties can't
+    // depend on shuffle order, integer 2·cw ≥ tot halving test
+    "agg_weighted_median" -> ((s, dir) =>
+      graft.etl.Aggregation.weightedMedian(
+        Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_extendedprice", "l_quantity"),
+        "l_returnflag", "l_extendedprice", "l_quantity")),
+
     // cohort-retention matrix: users cohorted by first-event UTC day,
     // distinct actives per (cohort, day offset) — exact integer cells,
     // first-day agg joined back on the SAME key (exchange reuse)
@@ -1064,6 +1073,25 @@ object BreadthQueries {
 
     "graph_pagerank_fixed" -> pagerankOracleSql,
     "graph_label_propagation" -> labelPropagationOracleSql,
+
+    // same RANGE-frame cumulative-weight formulation; weights cast to
+    // BIGINT on both sides so the halving test is integer-exact
+    "agg_weighted_median" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_returnflag, l_extendedprice, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM t)
+        |SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS total_weight,
+        |  count(*) AS n_rows,
+        |  min(CASE WHEN cw * 2 >= tot THEN l_extendedprice END)
+        |    AS weighted_median
+        |FROM c GROUP BY 1""".stripMargin,
 
     // independent formulation: canonical a<b<c triple join, no degree
     // ordering — agreement with the Spark side proves the wedge-

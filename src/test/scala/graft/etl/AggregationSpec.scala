@@ -119,4 +119,22 @@ class AggregationSpec extends SparkSpec {
     assert(out == Map((0, 0) -> 2L, (0, 1) -> 2L, (0, 5) -> 1L,
       (1, 0) -> 1L))
   }
+
+  test("weightedMedian: lower weighted median with ties and a " +
+    "heavy-tail group") {
+    val rows = Seq(
+      // a: cum weights 1,3,13 of 13 → first 2·cw ≥ 13 at value 3.0
+      ("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 3.0, 10L),
+      // b: tied values share one RANGE-frame cum weight: cw(1.0)=4 of
+      // 6 → 2·4 ≥ 6 already at 1.0 regardless of row order
+      ("b", 1.0, 2L), ("b", 1.0, 2L), ("b", 9.0, 2L),
+      // c: single row is its own median
+      ("c", 7.5, 3L))
+      .toDF("k", "v", "w")
+    val out = Aggregation.weightedMedian(rows, "k", "v", "w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map("a" -> ((13L, 3L, 3.0)), "b" -> ((6L, 3L, 1.0)),
+      "c" -> ((3L, 1L, 7.5))))
+  }
 }
