@@ -316,6 +316,13 @@ object NorthStarQueries {
     "text_zipf_fit" -> ((s, dir) =>
       TextAnalysis.zipfFit(Tables.documents(s, dir), "text", 500)),
 
+    // winnowing fingerprint selection (MOSS): rightmost-min-of-window
+    // over md5 3-gram hashes, w=4, via the declarative l/r interval
+    // test — one per-doc window shuffle, ~2/(w+1) of positions kept
+    "text_winnow_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir),
+        "doc_id", "text", k = 3, w = 4)),
+
     // one distributed BPE-training step: adjacent char-pair counts
     // weighted by word frequency, over the distinct-word vocabulary —
     // rank 1 is the next merge
@@ -2150,6 +2157,43 @@ object NorthStarQueries {
         |  SELECT bigram, cb, pmi,
         |    row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rank
         |  FROM s) WHERE rank <= 25""".stripMargin,
+
+    // same l/r interval test over the same md5 3-gram hashes — the
+    // sequential MOSS scan re-expressed with lag/lead, so agreement
+    // checks the declarative rightmost-min characterisation itself
+    "text_winnow_fingerprints" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, s.p AS pos,
+        |    CAST(CAST(('0x' || substr(md5(s.g), 1, 8)) AS UBIGINT)
+        |      AS BIGINT) AS fp
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |          i -> {'p': i, 'g': t[i] || ' ' || t[i+1] || ' ' || t[i+2]}))
+        |          AS s
+        |        FROM toks WHERE len(t) >= 3)),
+        |x AS (
+        |  SELECT doc_id, pos, fp,
+        |    count(*) OVER (PARTITION BY doc_id) AS n,
+        |    lag(fp, 1) OVER w1 AS lg1, lag(fp, 2) OVER w1 AS lg2,
+        |    lag(fp, 3) OVER w1 AS lg3,
+        |    lead(fp, 1) OVER w1 AS ld1, lead(fp, 2) OVER w1 AS ld2,
+        |    lead(fp, 3) OVER w1 AS ld3,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY fp ASC, pos DESC) AS rns
+        |  FROM g WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)),
+        |s AS (
+        |  SELECT doc_id, pos, fp, n, rns,
+        |    CASE WHEN lg1 < fp THEN 1 WHEN lg2 < fp THEN 2
+        |         WHEN lg3 < fp THEN 3 ELSE 4 END AS l,
+        |    CASE WHEN ld1 <= fp THEN 1 WHEN ld2 <= fp THEN 2
+        |         WHEN ld3 <= fp THEN 3 ELSE 4 END AS r
+        |  FROM x)
+        |SELECT doc_id, CAST(pos AS INTEGER) AS pos, fp FROM s
+        |WHERE (n >= 4 AND greatest(1, pos - 3, pos - l + 1)
+        |         <= least(pos, n - 3, pos + r - 4))
+        |   OR (n < 4 AND rns = 1)""".stripMargin,
 
     // same micro-moment OLS; HUGEINT sums are DuckDB's exact-integer
     // twin of Spark's decimal(38,0)

@@ -1433,4 +1433,69 @@ object TextAnalysis {
       .select(col(idCol), col("n_terms_hit"), col("bm25"),
         row_number().over(w).cast("int").as("rank"))
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS copy-detection algorithm): hash every
+    * token k-gram, slide a window of `w` consecutive hashes, and in
+    * each window keep the minimum hash, rightmost occurrence on ties.
+    * The guarantee is the point: any shared substring of ≥ w+k−1
+    * tokens between two documents yields at least one SHARED
+    * fingerprint, at an expected density of only 2/(w+1) — a
+    * position-robust near-dup signature that survives insertions,
+    * unlike fixed-stride sampling.
+    *
+    * The published algorithm is a sequential scan; this is its exact
+    * DECLARATIVE twin. A position p is the rightmost minimum of some
+    * window iff, with l = distance to the nearest earlier position
+    * whose hash is strictly smaller (capped at w) and r = distance to
+    * the nearest later position whose hash is ≤ (capped at w), some
+    * valid window start j satisfies p−l < j < p+r−w+1 — which reduces
+    * to the interval test
+    * `greatest(1, p−w+1, p−l+1) ≤ least(p, n−w+1, p+r−w)`.
+    * Since l and r are capped at w, w−1 `lag`/`lead` probes compute
+    * them exactly — no self-join over positions. Docs with fewer than
+    * w grams form a single window: the rightmost global minimum.
+    *
+    * Scale shape: ONE shuffle (everything — lag/lead, the doc-length
+    * count and the short-doc row_number — shares the per-doc window
+    * partition), then a map-side filter; output is ~2/(w+1) of gram
+    * positions. Hashes are the first 8 md5 hex digits as a BIGINT —
+    * the repo's portable-hash convention (engine-independent, unlike
+    * xxhash64 which DuckDB lacks).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExprs.token_ngrams
+    require(k >= 1 && w >= 2)
+    val byDoc = Window.partitionBy(col(idCol))
+    val ordered = byDoc.orderBy(col("pos"))
+    val g = docs
+      .select(col(idCol),
+        posexplode(token_ngrams(tokens(col(textCol)), k))
+          .as(Seq("pos0", "gram")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10)
+          .cast("long").as("fp"))
+    val l = (1 until w).foldLeft(null: Column) { (acc, i) =>
+      val c = lag(col("fp"), i).over(ordered) < col("fp")
+      if (acc == null) when(c, lit(i)) else acc.when(c, lit(i))
+    }.otherwise(lit(w))
+    val r = (1 until w).foldLeft(null: Column) { (acc, i) =>
+      val c = lead(col("fp"), i).over(ordered) <= col("fp")
+      if (acc == null) when(c, lit(i)) else acc.when(c, lit(i))
+    }.otherwise(lit(w))
+    g.withColumn("__n", count(lit(1)).over(byDoc))
+      .withColumn("__l", l)
+      .withColumn("__r", r)
+      .withColumn("__rns", row_number().over(
+        byDoc.orderBy(col("fp").asc, col("pos").desc)))
+      .where(
+        (col("__n") >= w &&
+          greatest(lit(1), col("pos") - (w - 1), col("pos") - col("__l") + 1)
+            <= least(col("pos"), col("__n") - (w - 1),
+              col("pos") + col("__r") - w)) ||
+        (col("__n") < w && col("__rns") === 1))
+      .select(col(idCol), col("pos"), col("fp"))
+  }
 }

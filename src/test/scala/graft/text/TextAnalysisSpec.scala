@@ -492,6 +492,67 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  /** Sequential reference: the MOSS scan exactly as published — every
+    * window of w hashes keeps its rightmost minimum. Same md5-prefix
+    * hash as the operator, independent selection logic.
+    */
+  private def winnowRef(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+    val toks = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    if (toks.length < k) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = toks.sliding(k).map { g =>
+      val hex = md.digest(g.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }.toVector
+    val n = hs.length
+    if (n < w) {
+      // single window: rightmost global min
+      val m = hs.min
+      val p = hs.lastIndexOf(m)
+      Set((p + 1, m))
+    } else {
+      (0 to n - w).map { j =>
+        val win = hs.slice(j, j + w)
+        val m = win.min
+        val p = j + win.lastIndexOf(m)
+        (p + 1, hs(p))
+      }.toSet
+    }
+  }
+
+  test("winnowFingerprints matches the sequential MOSS reference, " +
+    "including all-equal-hash runs and short docs") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "a a a a a a a a",           // every gram identical: max ties
+      3L -> "x y z",                     // exactly one gram (n=1 < w)
+      4L -> "x y",                       // no gram at all
+      5L -> "one two three four five six seven one two three four five")
+    val got = TextAnalysis.winnowFingerprints(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k = 3, w = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rs) =>
+        d -> rs.map(r => (r.getInt(1), r.getLong(2))).toSet
+      }
+    val want = docs.map { case (d, t) => d -> winnowRef(t, 3, 4) }
+      .filter(_._2.nonEmpty).toMap
+    assert(got == want)
+  }
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 token run share " +
+    "a fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta"  // 6 = w+k-1
+    val docs = Seq(
+      1L -> s"p q r $shared s t u",
+      2L -> s"m n $shared o").toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(2)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+  }
+
   test("luhnCheckDigit always yields a luhnValid card (property)") {
     val ids = (0L until 200L).toDF("id")
       .select(lpad($"id".cast("string"), 15, "4").as("p"))
