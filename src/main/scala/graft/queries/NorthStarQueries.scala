@@ -323,6 +323,13 @@ object NorthStarQueries {
       TextAnalysis.winnowFingerprints(Tables.documents(s, dir),
         "doc_id", "text", k = 3, w = 4)),
 
+    // MOSS near-dup pairing over winnowed fingerprints: pairs sharing
+    // ≥2 distinct fingerprints; df≤20 hot-bucket cap bounds the
+    // self-join at maxDf² per fingerprint
+    "text_winnow_neardups" -> ((s, dir) =>
+      TextAnalysis.winnowNearDups(Tables.documents(s, dir),
+        "doc_id", "text", k = 3, w = 4, minShared = 2, maxDf = 20)),
+
     // one distributed BPE-training step: adjacent char-pair counts
     // weighted by word frequency, over the distinct-word vocabulary —
     // rank 1 is the next merge
@@ -1624,6 +1631,46 @@ object NorthStarQueries {
     sb.toString
   }
 
+  /** Shared winnowing-selection CTE chain (k=3, w=4): md5 3-gram
+    * hashes with positions, the lag/lead l/r distances, and the n/rns
+    * bookkeeping. `winnowKeep` is the rightmost-min interval test over
+    * it. Factored so the fingerprint and pairing oracles can't drift.
+    */
+  private val winnowCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, u.p AS pos,
+      |    CAST(CAST(('0x' || substr(md5(u.g), 1, 8)) AS UBIGINT)
+      |      AS BIGINT) AS fp
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |          i -> {'p': i, 'g': t[i] || ' ' || t[i+1] || ' ' || t[i+2]}))
+      |          AS u
+      |        FROM toks WHERE len(t) >= 3)),
+      |x AS (
+      |  SELECT doc_id, pos, fp,
+      |    count(*) OVER (PARTITION BY doc_id) AS n,
+      |    lag(fp, 1) OVER w1 AS lg1, lag(fp, 2) OVER w1 AS lg2,
+      |    lag(fp, 3) OVER w1 AS lg3,
+      |    lead(fp, 1) OVER w1 AS ld1, lead(fp, 2) OVER w1 AS ld2,
+      |    lead(fp, 3) OVER w1 AS ld3,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY fp ASC, pos DESC) AS rns
+      |  FROM g WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)),
+      |s AS (
+      |  SELECT doc_id, pos, fp, n, rns,
+      |    CASE WHEN lg1 < fp THEN 1 WHEN lg2 < fp THEN 2
+      |         WHEN lg3 < fp THEN 3 ELSE 4 END AS l,
+      |    CASE WHEN ld1 <= fp THEN 1 WHEN ld2 <= fp THEN 2
+      |         WHEN ld3 <= fp THEN 3 ELSE 4 END AS r
+      |  FROM x)""".stripMargin
+
+  private val winnowKeep: String =
+    """((n >= 4 AND greatest(1, pos - 3, pos - l + 1)
+      |         <= least(pos, n - 3, pos + r - 4))
+      |   OR (n < 4 AND rns = 1))""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // pair step over the materialized fingerprints (written by the query
     // itself immediately before the check reads it)
@@ -2162,38 +2209,23 @@ object NorthStarQueries {
     // sequential MOSS scan re-expressed with lag/lead, so agreement
     // checks the declarative rightmost-min characterisation itself
     "text_winnow_fingerprints" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, s.p AS pos,
-        |    CAST(CAST(('0x' || substr(md5(s.g), 1, 8)) AS UBIGINT)
-        |      AS BIGINT) AS fp
-        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        |          i -> {'p': i, 'g': t[i] || ' ' || t[i+1] || ' ' || t[i+2]}))
-        |          AS s
-        |        FROM toks WHERE len(t) >= 3)),
-        |x AS (
-        |  SELECT doc_id, pos, fp,
-        |    count(*) OVER (PARTITION BY doc_id) AS n,
-        |    lag(fp, 1) OVER w1 AS lg1, lag(fp, 2) OVER w1 AS lg2,
-        |    lag(fp, 3) OVER w1 AS lg3,
-        |    lead(fp, 1) OVER w1 AS ld1, lead(fp, 2) OVER w1 AS ld2,
-        |    lead(fp, 3) OVER w1 AS ld3,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY fp ASC, pos DESC) AS rns
-        |  FROM g WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)),
-        |s AS (
-        |  SELECT doc_id, pos, fp, n, rns,
-        |    CASE WHEN lg1 < fp THEN 1 WHEN lg2 < fp THEN 2
-        |         WHEN lg3 < fp THEN 3 ELSE 4 END AS l,
-        |    CASE WHEN ld1 <= fp THEN 1 WHEN ld2 <= fp THEN 2
-        |         WHEN ld3 <= fp THEN 3 ELSE 4 END AS r
-        |  FROM x)
+      s"""WITH $winnowCtes
         |SELECT doc_id, CAST(pos AS INTEGER) AS pos, fp FROM s
-        |WHERE (n >= 4 AND greatest(1, pos - 3, pos - l + 1)
-        |         <= least(pos, n - 3, pos + r - 4))
-        |   OR (n < 4 AND rns = 1)""".stripMargin,
+        |WHERE $winnowKeep""".stripMargin,
+
+    // MOSS pairing over the same selection: distinct per-doc
+    // fingerprints, df-capped buckets, a<b self-join
+    "text_winnow_neardups" ->
+      s"""WITH $winnowCtes,
+        |sel AS (
+        |  SELECT DISTINCT doc_id, fp FROM s WHERE $winnowKeep),
+        |dfc AS (SELECT fp, count(*) AS df FROM sel GROUP BY 1),
+        |kept AS (SELECT sel.doc_id, sel.fp FROM sel
+        |         JOIN dfc ON sel.fp = dfc.fp WHERE dfc.df <= 20)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // same micro-moment OLS; HUGEINT sums are DuckDB's exact-integer
     // twin of Spark's decimal(38,0)

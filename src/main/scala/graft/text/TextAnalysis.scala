@@ -1498,4 +1498,33 @@ object TextAnalysis {
         (col("__n") < w && col("__rns") === 1))
       .select(col(idCol), col("pos"), col("fp"))
   }
+
+  /** MOSS copy-detection pairing over [[winnowFingerprints]]: document
+    * pairs sharing at least `minShared` distinct winnowed fingerprints
+    * — the report MOSS shows, and the shape a curation pipeline uses
+    * as a cheap position-robust near-dup screen ahead of exact
+    * verification.
+    *
+    * Scale shape: the pairing is a fingerprint-bucket self-join, so a
+    * boilerplate phrase appearing in millions of docs would explode
+    * one bucket quadratically. `maxDf` drops fingerprints whose
+    * document frequency exceeds the cap BEFORE pairing — the same
+    * hot-bucket guard as the MinHash-LSH and boilerplate paths (a
+    * fingerprint that common identifies nothing anyway). Bucket work
+    * is then ≤ maxDf² per fingerprint: linear in corpus size.
+    */
+  def winnowNearDups(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, w: Int = 4, minShared: Int = 2,
+                     maxDf: Int = 20): DataFrame = {
+    val sel = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val dfc = sel.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+    val kept = sel.join(dfc.where(col("__df") <= maxDf), "fp")
+    kept.select(col("fp"), col(idCol).as("doc_a"))
+      .join(kept.select(col("fp"), col(idCol).as("doc_b")), "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
 }

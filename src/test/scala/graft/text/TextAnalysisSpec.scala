@@ -553,6 +553,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert((fps(1L) intersect fps(2L)).nonEmpty)
   }
 
+  test("winnowNearDups pairs overlapping docs and the df cap kills " +
+    "boilerplate fingerprints") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val boiler = "copyright two thousand all rights reserved forever"
+    val docs = Seq(
+      1L -> s"$shared one two three",
+      2L -> s"zero $shared nine",
+      3L -> s"totally different content here with many words $boiler",
+      4L -> s"unrelated text about something else entirely $boiler")
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowNearDups(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 2, maxDf = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    // 3–4 share only the boilerplate run → with maxDf=1 every shared
+    // fingerprint (df=2) is dropped and no pair survives
+    val capped = TextAnalysis.winnowNearDups(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 1, maxDf = 1)
+      .collect()
+    assert(capped.isEmpty)
+  }
+
   test("luhnCheckDigit always yields a luhnValid card (property)") {
     val ids = (0L until 200L).toDF("id")
       .select(lpad($"id".cast("string"), 15, "4").as("p"))
