@@ -704,7 +704,15 @@ object BreadthQueries {
     "graph_triangle_counts" -> ((s, dir) =>
       graft.graph.Triangles.triangleCounts(
         graft.graph.Triangles.coPurchaseEdges(Tables.lineitem(s, dir)),
-        "src", "dst"))
+        "src", "dst")),
+
+    // k-core peeling (graft.graph.KCore): 6 fixed rounds at k=80 over
+    // the part co-purchase graph (converged at sf0.01 — round 6 drops
+    // nobody); unrolled like the other fixed-iteration graph ops
+    "graph_kcore_peel" -> ((s, dir) =>
+      graft.graph.KCore.kCoreTruncated(
+        graft.graph.Triangles.coPurchaseEdges(Tables.lineitem(s, dir)),
+        "src", "dst", coreK = 80, rounds = 6))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1124,6 +1132,8 @@ object BreadthQueries {
         |  ELSE 0.0 END AS lcc
         |FROM deg d LEFT JOIN tc t ON d.node = t.node""".stripMargin,
 
+    "graph_kcore_peel" -> kcoreOracleSql,
+
     // same three-pass median/MAD arithmetic; scalar literals ::DOUBLE
     // so DuckDB doesn't run them as DECIMAL
     "agg_mad_outliers" ->
@@ -1256,6 +1266,37 @@ object BreadthQueries {
        |l0 AS (SELECT node, node AS lbl FROM nodes),
        |$iters
        |SELECT node, lbl AS community FROM l4""".stripMargin
+  }
+
+  /** Unrolled 6-round twin of graph_kcore_peel: each round recomputes
+    * degrees and keeps edges whose BOTH endpoints clear the k=80 bar.
+    * Every CTE is MATERIALIZED — DuckDB inlines plain CTEs, and each
+    * round references the previous one three times, so an un-hinted
+    * chain expands 3^6-fold (the same blowup the Spark side truncates
+    * with per-round checkpoints).
+    */
+  private def kcoreOracleSql: String = {
+    val rounds = (1 to 6).map { r =>
+      s"""k$r AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT node, count(*) AS d FROM (
+         |      SELECT u AS node FROM e${r - 1}
+         |      UNION ALL SELECT v FROM e${r - 1}) GROUP BY 1)
+         |  WHERE d >= 80),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${r - 1} e
+         |  JOIN k$r a ON e.u = a.node JOIN k$r b ON e.v = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+       |  FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk),
+       |$rounds
+       |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+       |  SELECT u AS node FROM e6 UNION ALL SELECT v FROM e6)
+       |GROUP BY 1""".stripMargin
   }
 
   /** Unrolled 5-iteration twin of graph_pagerank_fixed — same all-
