@@ -545,4 +545,33 @@ class PlanAuditSpec extends SparkSpec {
     // distinct + count chains: >= 3 partial/final HashAggregate pairs
     assert("HashAggregate".r.findAllIn(p).size >= 6, p)
   }
+
+  test("graph_triangle_counts: wedge enumeration and closing are hash " +
+    "joins — never a cartesian or nested loop") {
+    val p = plan("graph_triangle_counts")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") || p.contains("Join"), p)
+  }
+
+  test("agg_weighted_median: ONE exchange — the cumulative and total " +
+    "window sums and the final agg all share the group-key partitioning") {
+    val p = plan("agg_weighted_median")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("text_winnow_fingerprints: one per-doc exchange shared by every " +
+    "window (lag/lead, count, short-doc row_number); no join") {
+    val p = plan("text_winnow_fingerprints")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("text_winnow_neardups: the pairing is a hash self-join on the " +
+    "fingerprint key, never a cartesian") {
+    val p = plan("text_winnow_neardups")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
