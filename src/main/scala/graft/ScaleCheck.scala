@@ -443,6 +443,59 @@ object ScaleCheck {
         }
       }
     }
+    // Triangle-count probe: ×32 disjoint replicas of the co-purchase
+    // graph — triangles can't close across replicas, so edges AND
+    // triangles both grow ×32; the degree ordering keeps per-replica
+    // wedge work constant → the whole probe must scale ~linearly.
+    // (Recorded on the FULL partMod=1 graph this session: 32.9 s →
+    // 469.6 s, ~14× on ×32 — the probe runs the registered partMod=4
+    // graph to stay cheap on routine sweeps.)
+    locally {
+      def triGraph(mult: Int) = {
+        val g0 = graft.graph.Triangles.coPurchaseEdges(
+          graft.model.Tables.lineitem(spark, sf), partMod = 4)
+        g0.crossJoin(spark.range(mult).select(col("id").as("rep")))
+          .select((col("src") + col("rep") * 100000000L).as("src"),
+            (col("dst") + col("rep") * 100000000L).as("dst"))
+      }
+      if (Seq("graph_tri_x1", "graph_tri_x32").exists(only)) {
+        Seq(("x1", 1), ("x32", 32)).foreach { case (tag, m) =>
+          triGraph(m).repartition(32).write.mode("overwrite")
+            .parquet(s"/tmp/tri_edges_$tag.parquet")
+          val edges = spark.read.parquet(s"/tmp/tri_edges_$tag.parquet")
+          time(s"graph_tri_$tag") {
+            graft.graph.Triangles.triangleCounts(edges, "src", "dst")
+              .agg(sum("triangles")).collect()(0).getLong(0)
+          }
+        }
+      }
+    }
+    // Winnow near-dup probe: ×32 replicas with per-replica token
+    // salting (disjoint gram spaces — otherwise every fingerprint's
+    // df multiplies and the hot-bucket cap would empty the join);
+    // fingerprint selection is per-doc and the df-capped pairing is
+    // per-bucket, so the pair stage must scale ~linearly
+    locally {
+      def saltedDocs(mult: Int) = {
+        val d0 = graft.model.Tables.documents(spark, sf)
+          .select("doc_id", "text")
+        d0.crossJoin(spark.range(mult).select(col("id").as("rep")))
+          .select((col("doc_id") + col("rep") * 100000000L).as("doc_id"),
+            array_join(transform(split(trim(col("text")), "\\s+"),
+              t => concat(col("rep"), lit("_"), t)), " ").as("text"))
+      }
+      if (Seq("winnow_pairs_x1", "winnow_pairs_x32").exists(only)) {
+        Seq(("x1", 1), ("x32", 32)).foreach { case (tag, m) =>
+          saltedDocs(m).repartition(32).write.mode("overwrite")
+            .parquet(s"/tmp/winnow_docs_$tag.parquet")
+          val docs = spark.read.parquet(s"/tmp/winnow_docs_$tag.parquet")
+          time(s"winnow_pairs_$tag") {
+            graft.text.TextAnalysis.winnowNearDups(docs, "doc_id", "text",
+              k = 3, w = 4, minShared = 2, maxDf = 20).count()
+          }
+        }
+      }
+    }
     // KS drift at ×32: one hash agg to distinct values + the
     // hierarchical prefix — distinct-value growth rides the agg, no
     // global sort to blow up

@@ -703,16 +703,18 @@ object BreadthQueries {
     // so the two formulations cross-check each other
     "graph_triangle_counts" -> ((s, dir) =>
       graft.graph.Triangles.triangleCounts(
-        graft.graph.Triangles.coPurchaseEdges(Tables.lineitem(s, dir)),
+        graft.graph.Triangles.coPurchaseEdges(Tables.lineitem(s, dir),
+          partMod = 4),
         "src", "dst")),
 
-    // k-core peeling (graft.graph.KCore): 6 fixed rounds at k=80 over
-    // the part co-purchase graph (converged at sf0.01 — round 6 drops
-    // nobody); unrolled like the other fixed-iteration graph ops
+    // k-core peeling (graft.graph.KCore): 10 fixed rounds at k=20 over
+    // the sampled co-purchase graph — converged at sf0.01 (the peel
+    // genuinely cascades: 500 → 404 nodes over 10 rounds)
     "graph_kcore_peel" -> ((s, dir) =>
       graft.graph.KCore.kCoreTruncated(
-        graft.graph.Triangles.coPurchaseEdges(Tables.lineitem(s, dir)),
-        "src", "dst", coreK = 80, rounds = 6))
+        graft.graph.Triangles.coPurchaseEdges(Tables.lineitem(s, dir),
+          partMod = 4),
+        "src", "dst", coreK = 20, rounds = 10))
   )
 
   def oracles: Map[String, String] = Map(
@@ -1107,7 +1109,7 @@ object BreadthQueries {
     "graph_triangle_counts" ->
       """WITH pr AS (
         |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
         |e AS (
         |  SELECT DISTINCT a.pk AS u, b.pk AS v
         |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk),
@@ -1276,26 +1278,27 @@ object BreadthQueries {
     * with per-round checkpoints).
     */
   private def kcoreOracleSql: String = {
-    val rounds = (1 to 6).map { r =>
+    val R = 10
+    val rounds = (1 to R).map { r =>
       s"""k$r AS MATERIALIZED (
          |  SELECT node FROM (
          |    SELECT node, count(*) AS d FROM (
          |      SELECT u AS node FROM e${r - 1}
          |      UNION ALL SELECT v FROM e${r - 1}) GROUP BY 1)
-         |  WHERE d >= 80),
+         |  WHERE d >= 20),
          |e$r AS MATERIALIZED (
          |  SELECT e.u, e.v FROM e${r - 1} e
          |  JOIN k$r a ON e.u = a.node JOIN k$r b ON e.v = b.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH pr AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
-       |  FROM lineitem),
+       |  FROM lineitem WHERE l_partkey % 4 = 0),
        |e0 AS MATERIALIZED (
        |  SELECT DISTINCT a.pk AS u, b.pk AS v
        |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk),
        |$rounds
        |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
-       |  SELECT u AS node FROM e6 UNION ALL SELECT v FROM e6)
+       |  SELECT u AS node FROM e$R UNION ALL SELECT v FROM e$R)
        |GROUP BY 1""".stripMargin
   }
 

@@ -33,13 +33,18 @@ class KCoreSpec extends SparkSpec {
     assert(run(messy, 2, 3) == run(chain, 2, 3))
   }
 
-  test("harness graph at the registered (k=80, 6 rounds) is converged: " +
-    "a 7th round drops nobody") {
+  test("harness graph at the registered (k=20, 10 rounds) is converged: " +
+    "an 11th round drops nobody, and the peel genuinely cascaded") {
     val e = Triangles.coPurchaseEdges(
-      graft.model.Tables.lineitem(spark, sf()))
-    val r6 = KCore.kCoreTruncated(e, "src", "dst", 80, 6)
-    val r7 = KCore.kCoreTruncated(e, "src", "dst", 80, 7)
-    assert(r6.count() == r7.count())
-    assert(r6.where($"degree" < 80).count() == 0)
+      graft.model.Tables.lineitem(spark, sf()), partMod = 4)
+    val r10 = KCore.kCoreTruncated(e, "src", "dst", 20, 10)
+    val r11 = KCore.kCoreTruncated(e, "src", "dst", 20, 11)
+    val n10 = r10.count()
+    assert(n10 == r11.count())
+    assert(r10.where($"degree" < 20).count() == 0)
+    // more than one round did work (a one-shot threshold filter would
+    // not need the loop)
+    val r1 = KCore.kCoreTruncated(e, "src", "dst", 20, 1)
+    assert(r1.count() > n10)
   }
 }

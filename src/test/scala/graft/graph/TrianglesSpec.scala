@@ -51,7 +51,7 @@ class TrianglesSpec extends SparkSpec {
 
   test("co-purchase harness graph is triangle-rich and canonical") {
     val e = Triangles.coPurchaseEdges(
-      graft.model.Tables.lineitem(spark, sf()))
+      graft.model.Tables.lineitem(spark, sf()), partMod = 4)
     val rows = e.collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     val tri = Triangles.triangleCounts(e, "src", "dst")
