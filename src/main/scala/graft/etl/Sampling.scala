@@ -241,6 +241,39 @@ object Sampling {
       Seq("draw" -> false, idCol -> false), k)
   }
 
+  /** Weighted sampling without replacement, per key (Efraimidis &
+    * Spirtes 2006, "Weighted random sampling with a reservoir"): each
+    * item draws a uniform u and gets priority u^(1/w); the k largest
+    * priorities per key are EXACTLY a weight-proportional sample
+    * without replacement — the published way to sample training docs
+    * by quality/length score rather than uniformly.
+    *
+    * Determinism + oracle parity: u comes from the md5 draw (first 12
+    * hex digits → a 48-bit integer m, u = (m+1)/(2^48+1) ∈ (0,1),
+    * exact in a double), and items are ranked by the monotone
+    * equivalent ln(u)/w — maximising u^(1/w) ⟺ maximising ln(u)/w
+    * since ln u < 0 < w — rounded to integer MICRO-units so both
+    * engines rank identical longs (ties broken by id; a cross-engine
+    * flip would need ln to land within 1e-10 of a rounding boundary).
+    *
+    * Scale shape: map-only draw + the bounded-heap top-k operator —
+    * partial heaps cap the shuffle at k rows per (key, partition),
+    * identical to [[reservoirPerKey]]. Non-positive weights are
+    * unsampleable by definition and are dropped.
+    */
+  def weightedSamplePerKey(df: DataFrame, idCol: String, keyCol: String,
+                           wCol: String, k: Int, salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val m = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + salt))), 1, 12), 16, 10).cast("double")
+    val u = (m + lit(1.0)) / lit(281474976710657.0) // 2^48 + 1
+    val drawn = df.where(col(wCol) > 0)
+      .withColumn("priority_micro",
+        round(log(u) / col(wCol).cast("double") * 1e6).cast("long"))
+    graft.plans.TopKPerKey.topKPerKey(drawn, Seq(keyCol),
+      Seq("priority_micro" -> true, idCol -> false), k)
+  }
+
   def leakFreeSplit(df: DataFrame, groupCol: String, salt: String,
                     trainPct: Int = 80, validPct: Int = 10): DataFrame = {
     require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,

@@ -518,6 +518,14 @@ object NorthStarQueries {
         Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
         "source", salt = "split1", trainPct = 80, validPct = 10)),
 
+    // weighted sampling without replacement (Efraimidis–Spirtes):
+    // top-10 docs per source by u^(1/n_chars) priority — long docs
+    // drawn proportionally more; md5 uniform + micro-unit ln(u)/w rank
+    "sample_weighted_per_key" -> ((s, dir) =>
+      graft.etl.Sampling.weightedSamplePerKey(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars", k = 10, salt = "wres1")),
+
     // balanced output sharding by byte budget (the corpus-export
     // writer): shard = floor(exclusive-prefix-byte-sum / budget) in
     // (source, doc_id) order via the same two-pass distributed prefix
@@ -2875,6 +2883,25 @@ object NorthStarQueries {
         |    ORDER BY draw ASC, doc_id ASC) AS rk
         |  FROM h)
         |SELECT doc_id, source, n_chars, draw, CAST(rk AS INTEGER) AS rank
+        |FROM r WHERE rk <= 10""".stripMargin,
+
+    // same md5 48-bit uniform and micro-unit ln(u)/w priority; DuckDB
+    // ranks with row_number under the identical (priority desc, id)
+    // total order
+    "sample_weighted_per_key" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(round(ln((CAST(CAST(('0x' ||
+        |        substr(md5(CAST(doc_id AS VARCHAR) || ':wres1'), 1, 12))
+        |        AS UBIGINT) AS DOUBLE) + 1.0) / 281474976710657.0)
+        |      / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS priority_micro
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY priority_micro DESC, doc_id ASC) AS rk
+        |  FROM h)
+        |SELECT doc_id, source, n_chars, priority_micro,
+        |  CAST(rk AS INTEGER) AS rank
         |FROM r WHERE rk <= 10""".stripMargin,
 
     "sample_leakfree_split" ->

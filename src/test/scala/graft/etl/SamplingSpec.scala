@@ -185,4 +185,42 @@ class SamplingSpec extends SparkSpec {
     }
     assert(got == ids(d.repartition(13)), "sample must not depend on layout")
   }
+
+  test("weightedSamplePerKey matches a driver-side A-ES reference and " +
+    "favours heavy weights") {
+    import spark.implicits._
+    // one key, 60 items: item 0 carries weight 5000, the rest 1-ish
+    val rows = (0L until 60L).map(i =>
+      (i, "k", if (i == 0L) 5000L else 1L + (i % 3)))
+    val got = Sampling.weightedSamplePerKey(
+        rows.toDF("id", "key", "w"), "id", "key", "w", k = 8, salt = "s1")
+      .select("id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // reference: same md5 draw, same micro-unit ln(u)/w priority
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pri(id: Long, w: Long): Long = {
+      val hex = md.digest(s"$id:s1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val m = java.lang.Long.parseLong(hex, 16).toDouble
+      math.round(math.log((m + 1.0) / 281474976710657.0) / w * 1e6)
+    }
+    val ref = rows.map { case (i, _, w) => (i, pri(i, w)) }
+      .sortBy { case (i, p) => (-p, i) }.take(8).zipWithIndex
+      .map { case ((i, _), r) => i -> (r + 1) }.toMap
+    assert(got == ref)
+    // u^(1/5000) ≈ 1 — the heavy item must be drawn, at rank 1
+    assert(got(0L) == 1)
+    // layout invariance
+    val re = Sampling.weightedSamplePerKey(
+        rows.toDF("id", "key", "w").repartition(7),
+        "id", "key", "w", k = 8, salt = "s1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(re == got.keySet)
+    // zero/negative weights can never be sampled
+    val z = Sampling.weightedSamplePerKey(
+        Seq((1L, "k", 0L), (2L, "k", -3L), (3L, "k", 2L))
+          .toDF("id", "key", "w"), "id", "key", "w", k = 3, salt = "s1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(z == Set(3L))
+  }
 }
