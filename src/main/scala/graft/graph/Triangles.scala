@@ -89,6 +89,69 @@ object Triangles {
           .otherwise(lit(0.0)).as("lcc"))
   }
 
+  /** One-row graph-health summary — the numbers a crawl-graph monitor
+    * tracks per snapshot: size, triangle mass, global clustering
+    * (transitivity), and Newman's degree assortativity (Newman 2002,
+    * "Assortative mixing in networks"). Spam/link-farm subgraphs show
+    * up as high clustering with strongly negative assortativity.
+    *
+    * Everything reduces to INTEGER sums over edges and degrees, so the
+    * result is engine- and partition-order-exact:
+    *   transitivity  = 3T / W,          W = Σᵥ C(d(v), 2)
+    *   assortativity = (4·M·Σjk − B²) / (2·M·Σ(j²+k²) − B²),
+    *                   B = Σ(j+k) over the M canonical edges
+    * (Newman's eq. 4 with numerator and denominator cleared of the
+    * 1/M factors). Both round to 6 dp only at the very end. Long
+    * arithmetic holds to ~10⁸ edges at the harness degree scale;
+    * beyond that swap the three sums to decimal(38,0) — the plan
+    * shape is unchanged.
+    *
+    * Scale shape: [[triangleCounts]] supplies T; the rest is one
+    * degree agg + two node-sized hash joins onto the edge list + a
+    * handful of 1-row aggregates combined by broadcast cross join.
+    */
+  def graphSummary(edges: DataFrame, aCol: String,
+                   bCol: String): DataFrame = {
+    val raw = edges.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val e = raw.select(least(col("a"), col("b")).as("u"),
+      greatest(col("a"), col("b")).as("v")).distinct()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(d * (d - 1)) div 2").as("n_wedges"))
+    val triStats = triangleCounts(e, "u", "v")
+      .agg((sum(col("triangles")) / 3).cast("long").as("n_triangles"))
+    val edgeStats = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("du") * col("dv")).as("__a"),
+        sum(col("du") + col("dv")).as("__b"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("__d"))
+    nodeStats.crossJoin(triStats).crossJoin(edgeStats)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .otherwise(lit(0.0)).as("transitivity"),
+        {
+          // integer numerator/denominator, one double division at the
+          // end (operators kept at end-of-line: a leading `-` on a
+          // continuation line is a discarded unary statement in Scala)
+          val num = lit(4L) * col("n_edges") * col("__a") -
+            col("__b") * col("__b")
+          val den = lit(2L) * col("n_edges") * col("__d") -
+            col("__b") * col("__b")
+          when(den =!= 0,
+            round(num.cast("double") / den.cast("double"), 6))
+            .as("assortativity")
+        })
+  }
+
   /** The harness graph: part co-purchase — two parts are adjacent iff
     * some order contains both (the market-basket projection of
     * lineitem). Unlike [[PageRank.purchaseGraph]] this one is NOT

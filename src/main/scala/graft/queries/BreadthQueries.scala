@@ -707,6 +707,14 @@ object BreadthQueries {
           partMod = 4),
         "src", "dst")),
 
+    // one-row graph-health summary: transitivity 3T/W + Newman degree
+    // assortativity, every sum integer-exact, 6 dp only at the end
+    "graph_summary_stats" -> ((s, dir) =>
+      graft.graph.Triangles.graphSummary(
+        graft.graph.Triangles.coPurchaseEdges(Tables.lineitem(s, dir),
+          partMod = 4),
+        "src", "dst")),
+
     // k-core peeling (graft.graph.KCore): 10 fixed rounds at k=20 over
     // the sampled co-purchase graph — converged at sf0.01 (the peel
     // genuinely cascades: 500 → 404 nodes over 10 rounds)
@@ -1135,6 +1143,41 @@ object BreadthQueries {
         |FROM deg d LEFT JOIN tc t ON d.node = t.node""".stripMargin,
 
     "graph_kcore_peel" -> kcoreOracleSql,
+
+    // HUGEINT keeps the cleared-fraction sums exact; one double
+    // division at the end mirrors the Spark side
+    "graph_summary_stats" ->
+      """WITH pr AS (
+        |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |ns AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |es AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |    CAST(sum(du.d * dv.d) AS BIGINT) AS a,
+        |    CAST(sum(du.d + dv.d) AS BIGINT) AS b,
+        |    CAST(sum(du.d * du.d + dv.d * dv.d) AS BIGINT) AS dd
+        |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node)
+        |SELECT ns.n_nodes, es.n_edges, tri.n_triangles, ns.n_wedges,
+        |  CASE WHEN ns.n_wedges > 0 THEN
+        |    round(3.0 * tri.n_triangles / ns.n_wedges, 6)
+        |  ELSE 0.0 END AS transitivity,
+        |  CASE WHEN 2 * es.n_edges * es.dd - es.b * es.b <> 0 THEN
+        |    round(CAST(4 * es.n_edges * es.a - es.b * es.b AS DOUBLE)
+        |        / CAST(2 * es.n_edges * es.dd - es.b * es.b AS DOUBLE), 6)
+        |  END AS assortativity
+        |FROM ns, tri, es""".stripMargin,
 
     // same three-pass median/MAD arithmetic; scalar literals ::DOUBLE
     // so DuckDB doesn't run them as DECIMAL

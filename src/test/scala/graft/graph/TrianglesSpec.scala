@@ -49,6 +49,28 @@ class TrianglesSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3L * want)
   }
 
+  test("graphSummary: hand-computed K4+pendant stats") {
+    // K4 {1..4} + edge 4-5: n=5, m=7, T=4, W=3·C(3,2)+C(4,2)+0=15
+    // transitivity 12/15 = 0.8; Newman sums over the 7 edges:
+    // A=Σjk=67, B=Σ(j+k)=44, D=Σ(j²+k²)=146 →
+    // r = (4·7·67−44²)/(2·7·146−44²) = −60/108 = −0.555556
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val r = Triangles.graphSummary(e, "src", "dst").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 7L, 4L, 15L)))
+    assert(r.getDouble(4) == 0.8)
+    assert(r.getDouble(5) == -0.555556)
+  }
+
+  test("graphSummary: regular graph has undefined (null) assortativity") {
+    // a 4-cycle is 2-regular: denominator is 0 → NULL, transitivity 0
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r = Triangles.graphSummary(e, "src", "dst").collect()(0)
+    assert(r.getLong(2) == 0L && r.getDouble(4) == 0.0)
+    assert(r.isNullAt(5))
+  }
+
   test("co-purchase harness graph is triangle-rich and canonical") {
     val e = Triangles.coPurchaseEdges(
       graft.model.Tables.lineitem(spark, sf()), partMod = 4)
