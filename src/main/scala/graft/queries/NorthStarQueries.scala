@@ -316,6 +316,12 @@ object NorthStarQueries {
     "text_zipf_fit" -> ((s, dir) =>
       TextAnalysis.zipfFit(Tables.documents(s, dir), "text", 500)),
 
+    // RAKE keyword extraction: stopword-delimited candidate phrases,
+    // deg/freq word scores in micro-units, top-25 phrases
+    "text_rake_keywords" -> ((s, dir) =>
+      TextAnalysis.rakeKeywords(Tables.documents(s, dir), "doc_id",
+        "text", TextAnalysis.StopwordsEn, k = 25)),
+
     // winnowing fingerprint selection (MOSS): rightmost-min-of-window
     // over md5 3-gram hashes, w=4, via the declarative l/r interval
     // test — one per-doc window shuffle, ~2/(w+1) of positions kept
@@ -2212,6 +2218,52 @@ object NorthStarQueries {
         |  SELECT bigram, cb, pmi,
         |    row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rank
         |  FROM s) WHERE rank <= 25""".stripMargin,
+
+    // same stopword-run islands (prefix-count grouping), same
+    // micro-unit deg/freq arithmetic
+    "text_rake_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.p AS pos, u.tok,
+        |    u.tok IN ('the','a','of','and','to','in','is','it') AS stop
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(t) + 1),
+        |            i -> {'p': i, 'tok': t[i]})) AS u
+        |        FROM (SELECT doc_id,
+        |                string_split_regex(trim(text), '\s+') AS t
+        |              FROM documents))),
+        |g AS (
+        |  SELECT doc_id, pos, tok, stop,
+        |    sum(CASE WHEN stop THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM toks),
+        |ph AS (
+        |  SELECT string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    count(*) AS n_words
+        |  FROM g WHERE NOT stop GROUP BY doc_id, grp
+        |  HAVING count(*) <= 4),
+        |words AS (
+        |  SELECT w, CAST(round(sum(n_words) * 1000000 / count(*))
+        |    AS BIGINT) AS score_micro
+        |  FROM (SELECT n_words, unnest(string_split(phrase, ' ')) AS w
+        |        FROM ph)
+        |  GROUP BY 1),
+        |pc AS (
+        |  SELECT phrase, CAST(min(n_words) AS INTEGER) AS n_words,
+        |    count(*) AS phrase_count
+        |  FROM ph GROUP BY 1),
+        |scored AS (
+        |  SELECT p.phrase, p.n_words, p.phrase_count,
+        |    sum(ws.score_micro) AS score_micro
+        |  FROM (SELECT phrase, n_words, phrase_count,
+        |          unnest(string_split(phrase, ' ')) AS w
+        |        FROM pc) p
+        |  JOIN words ws ON p.w = ws.w
+        |  GROUP BY 1, 2, 3)
+        |SELECT phrase, n_words, phrase_count, score_micro,
+        |  CAST(rk AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC,
+        |        phrase ASC) AS rk FROM scored)
+        |WHERE rk <= 25""".stripMargin,
 
     // same l/r interval test over the same md5 3-gram hashes — the
     // sequential MOSS scan re-expressed with lag/lead, so agreement

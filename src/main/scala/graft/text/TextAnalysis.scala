@@ -1499,6 +1499,70 @@ object TextAnalysis {
       .select(col(idCol), col("pos"), col("fp"))
   }
 
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
+    * "Automatic keyword extraction from individual documents"):
+    * candidate phrases are the maximal token runs BETWEEN stopwords;
+    * each member word scores deg(w)/freq(w) where freq counts the
+    * word's occurrences across all candidates and deg sums the lengths
+    * of the phrases it appears in (the rake-nltk convention — degree
+    * counts co-occurrences including self); a phrase scores the sum
+    * over its tokens, and the top-k distinct phrases win. The corpus
+    * signal a curation pipeline uses for cheap topic/keyword tagging
+    * without a model.
+    *
+    * Engine parity: word scores go to MICRO-units with one integer
+    * rounding (`round(deg·1e6 / freq)`), so phrase sums are exact
+    * longs; ranking is (score desc, phrase asc) — no double ever
+    * crosses engines. The phrase run-grouping is the stopword prefix
+    * count (a per-doc window sum), the same island trick as
+    * sessionization.
+    *
+    * Scale shape: one per-doc window shuffle for run grouping, one
+    * phrase agg, one word agg (model-sized — the distinct-word table),
+    * a broadcast-friendly join back, and a bounded-heap global top-k
+    * (`TakeOrderedAndProject`), never a full sort.
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String], k: Int,
+                   maxPhraseLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val toks = docs
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("__stop", col("tok").isin(stopwords: _*))
+      .withColumn("__grp",
+        sum(col("__stop").cast("int")).over(ordered))
+    val phrases = toks.where(!col("__stop"))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok"))))
+        .as("__run"))
+      .select(array_join(expr("transform(__run, r -> r.tok)"), " ")
+          .as("phrase"),
+        size(col("__run")).as("n_words"))
+      .where(col("n_words") <= maxPhraseLen)
+    val words = phrases
+      .select(col("n_words"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("__freq"),
+        sum(col("n_words")).as("__deg"))
+      .withColumn("__score_micro",
+        round(col("__deg") * lit(1000000L) / col("__freq")).cast("long"))
+    val pc = phrases.groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("phrase_count"))
+    val scored = pc
+      .select(col("phrase"), col("n_words"), col("phrase_count"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(broadcast(words.select(col("w"), col("__score_micro"))), "w")
+      .groupBy(col("phrase"), col("n_words"), col("phrase_count"))
+      .agg(sum(col("__score_micro")).as("score_micro"))
+    val w = Window.orderBy(col("score_micro").desc, col("phrase").asc)
+    scored.orderBy(col("score_micro").desc, col("phrase").asc).limit(k)
+      .select(col("phrase"), col("n_words"), col("phrase_count"),
+        col("score_micro"),
+        row_number().over(w).cast("int").as("rank"))
+  }
+
   /** MOSS copy-detection pairing over [[winnowFingerprints]]: document
     * pairs sharing at least `minShared` distinct winnowed fingerprints
     * — the report MOSS shows, and the shape a curation pipeline uses

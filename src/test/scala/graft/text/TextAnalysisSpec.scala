@@ -553,6 +553,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert((fps(1L) intersect fps(2L)).nonEmpty)
   }
 
+  test("rakeKeywords: hand-computed phrase scores on a tiny doc") {
+    // "deep learning | best deep model": deg/freq — deep 5/2=2.5M,
+    // learning 2/1=2M, best 3/1=3M, model 3/1=3M →
+    // "best deep model"=8.5M, "deep learning"=4.5M
+    val docs = Seq((1L, "deep learning is the best deep model"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(docs, "doc_id", "text",
+        Seq("is", "the"), k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    assert(out == Seq(
+      ("best deep model", 3, 1L, 8500000L, 1),
+      ("deep learning", 2, 1L, 4500000L, 2)))
+  }
+
+  test("rakeKeywords: repeated phrases counted once with multiplicity, " +
+    "over-long runs dropped") {
+    val docs = Seq(
+      (1L, "big data is big data"),
+      (2L, "a one two three four five run")).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(docs, "doc_id", "text",
+        Seq("is", "a"), k = 5, maxPhraseLen = 4)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    // "big data" occurs twice as a candidate; the 6-token run exceeds
+    // maxPhraseLen and produces no candidate at all
+    assert(out == Map("big data" -> 2L))
+  }
+
   test("winnowNearDups pairs overlapping docs and the df cap kills " +
     "boilerplate fingerprints") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
