@@ -188,20 +188,37 @@ object Aggregation {
     * two-pass percentile form (see [[madOutliers]]'s note).
     */
   def weightedMedian(df: DataFrame, keyCol: String, valCol: String,
-                     wCol: String): DataFrame = {
+                     wCol: String): DataFrame =
+    weightedPercentiles(df, keyCol, valCol, wCol, Seq(50))
+      .withColumnRenamed("wp_50", "weighted_median")
+
+  /** Exact weighted percentiles per group — [[weightedMedian]]
+    * generalised to any integer-percent cut list: `wp_p` is the
+    * smallest value whose cumulative weight reaches p% of the group
+    * total (the lower weighted percentile). Same single-shuffle
+    * RANGE-frame plan as the median — ALL cuts read the same two
+    * window sums, so extra percentiles are free — and the threshold
+    * test `100·cw ≥ p·tot` stays in integers, so no FP cut can
+    * disagree across engines.
+    */
+  def weightedPercentiles(df: DataFrame, keyCol: String, valCol: String,
+                          wCol: String, ps: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "percentiles must be integer percents in [1, 100]")
     val byKey = Window.partitionBy(col(keyCol))
     val cum = byKey.orderBy(col(valCol))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val t = df.select(col(keyCol), col(valCol),
       col(wCol).cast("long").as("__w"))
+    val cuts = ps.map(p =>
+      min(when(col("__cw") * 100 >= lit(p.toLong) * col("__tot"),
+        col(valCol))).as(s"wp_$p"))
     t.withColumn("__cw", sum(col("__w")).over(cum))
       .withColumn("__tot", sum(col("__w")).over(byKey))
       .groupBy(col(keyCol))
       .agg(min(col("__tot")).as("total_weight"),
-        count(lit(1)).as("n_rows"),
-        min(when(col("__cw") * 2 >= col("__tot"), col(valCol)))
-          .as("weighted_median"))
+        (count(lit(1)).as("n_rows") +: cuts): _*)
   }
 
   def cohortRetention(df: DataFrame, keyCol: String,

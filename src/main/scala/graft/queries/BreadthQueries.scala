@@ -664,6 +664,16 @@ object BreadthQueries {
           .select("l_returnflag", "l_extendedprice", "l_quantity"),
         "l_returnflag", "l_extendedprice", "l_quantity")),
 
+    // the generalisation: p10/p25/p75/p90 weighted cuts from the SAME
+    // two window sums — extra percentiles cost nothing beyond the
+    // conditional-min aggregates
+    "agg_weighted_percentiles" -> ((s, dir) =>
+      graft.etl.Aggregation.weightedPercentiles(
+        Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_extendedprice", "l_quantity"),
+        "l_returnflag", "l_extendedprice", "l_quantity",
+        Seq(10, 25, 75, 90))),
+
     // cohort-retention matrix: users cohorted by first-event UTC day,
     // distinct actives per (cohort, day offset) — exact integer cells,
     // first-day agg joined back on the SAME key (exchange reuse)
@@ -1109,6 +1119,27 @@ object BreadthQueries {
         |  count(*) AS n_rows,
         |  min(CASE WHEN cw * 2 >= tot THEN l_extendedprice END)
         |    AS weighted_median
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // identical cumulative-weight CTE; each cut is an integer-threshold
+    // conditional min
+    "agg_weighted_percentiles" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_returnflag, l_extendedprice, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM t)
+        |SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS total_weight,
+        |  count(*) AS n_rows,
+        |  min(CASE WHEN cw * 100 >= 10 * tot THEN l_extendedprice END) AS wp_10,
+        |  min(CASE WHEN cw * 100 >= 25 * tot THEN l_extendedprice END) AS wp_25,
+        |  min(CASE WHEN cw * 100 >= 75 * tot THEN l_extendedprice END) AS wp_75,
+        |  min(CASE WHEN cw * 100 >= 90 * tot THEN l_extendedprice END) AS wp_90
         |FROM c GROUP BY 1""".stripMargin,
 
     // independent formulation: canonical a<b<c triple join, no degree

@@ -137,4 +137,16 @@ class AggregationSpec extends SparkSpec {
     assert(out == Map("a" -> ((13L, 3L, 3.0)), "b" -> ((6L, 3L, 1.0)),
       "c" -> ((3L, 1L, 7.5))))
   }
+
+  test("weightedPercentiles: integer-threshold cuts, ends included") {
+    // weights 1,2,10 of 13: cum 1,3,13 → p10: 100·1≥130? no; 100·3≥130
+    // yes → 2.0; p25: 300≥325? no → 3.0; p75/p90 → 3.0; p100 = max
+    val rows = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 3.0, 10L))
+      .toDF("k", "v", "w")
+    val out = Aggregation.weightedPercentiles(rows, "k", "v", "w",
+        Seq(10, 25, 75, 100))
+      .collect().map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6))).head
+    assert(out == ((2.0, 3.0, 3.0, 3.0)))
+  }
 }
