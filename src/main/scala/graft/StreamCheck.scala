@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.Trigger
   *    the identical batch join.
   *
   * Usage: `runMain graft.StreamCheck [sfDir]
-  * [--check=fraud|stateful|streamjoin|outerjoin|session|dedup|staticjoin|drift|quality|cms|latedrop|all]`
+  * [--check=fraud|stateful|streamjoin|outerjoin|session|dedup|staticjoin|drift|quality|cms|latedrop|winnow|all]`
   * (defaults: sf0.01, all). Exit 1 if any selected check fails.
   */
 object StreamCheck {
@@ -49,7 +49,8 @@ object StreamCheck {
       "drift" -> (() => checkDrift(spark, sfDir)),
       "quality" -> (() => checkQuality(spark, sfDir)),
       "cms" -> (() => checkCms(spark, sfDir)),
-      "latedrop" -> (() => checkLateDrop(spark, sfDir)))
+      "latedrop" -> (() => checkLateDrop(spark, sfDir)),
+      "winnow" -> (() => checkWinnowScreen(spark, sfDir)))
     val selected = checks.filter { case (n, _) => mode == "all" || mode == n }
     require(selected.nonEmpty, s"unknown --check=$mode")
     val ok = selected.map { case (_, f) => f() }.forall(identity)
@@ -374,6 +375,47 @@ object StreamCheck {
     val batch = graft.text.QualityClassifier.score(
       docs, "doc_id", "text", w, b, numBuckets = 256, threshold = 0.5)
     parityLine("streaming_quality_gate", sfDir, outDir, batch, "",
+      (System.nanoTime() - t0) / 1e9, extraOk = true)
+  }
+
+  /** Streaming near-dup screen: winnowing fingerprints computed
+    * IN-FLIGHT on arriving documents (the map-only array-HOF
+    * formulation of [[graft.text.TextAnalysis.winnowFingerprints]] is
+    * stream-legal — zero shuffles, zero state; the windowed twin would
+    * be rejected by Structured Streaming outright) and matched against
+    * a STATIC fingerprint index of the existing corpus via a broadcast
+    * stream-static join — the online "is this incoming doc an excerpt
+    * of something we already have" gate, the streaming face of the
+    * batch `text_winnow_neardups` query. Parity: the identical batch
+    * screen must produce exactly the same (doc, pos, fp) match rows.
+    */
+  private def checkWinnowScreen(spark: SparkSession,
+                                sfDir: String): Boolean = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
+    val t0 = System.nanoTime()
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    // static index: fingerprints of the standing corpus (¾ slice),
+    // hot fingerprints df-capped exactly as in the batch pairing
+    val idx = {
+      val sel = graft.text.TextAnalysis.winnowFingerprints(
+          docs.where(col("doc_id") % 4 =!= 0), "doc_id", "text", 3, 4)
+        .select(col("fp")).groupBy("fp").agg(count(lit(1)).as("df"))
+      sel.where(col("df") <= 20).select("fp")
+    }
+    def screen(in: DataFrame) =
+      graft.text.TextAnalysis.winnowFingerprints(
+          in.where(col("doc_id") % 4 === 0), "doc_id", "text", 3, 4)
+        .join(broadcast(idx), "fp")
+        .select(col("doc_id"), col("pos"), col("fp"))
+    val schema = spark.read
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .select("doc_id", "text")
+    runToParquet(screen(stream), ckpt, outDir)
+    parityLine("streaming_winnow_screen", sfDir, outDir, screen(docs), "",
       (System.nanoTime() - t0) / 1e9, extraOk = true)
   }
 

@@ -1456,15 +1456,58 @@ object TextAnalysis {
     * them exactly — no self-join over positions. Docs with fewer than
     * w grams form a single window: the rightmost global minimum.
     *
-    * Scale shape: ONE shuffle (everything — lag/lead, the doc-length
-    * count and the short-doc row_number — shares the per-doc window
-    * partition), then a map-side filter; output is ~2/(w+1) of gram
-    * positions. Hashes are the first 8 md5 hex digits as a BIGINT —
-    * the repo's portable-hash convention (engine-independent, unlike
-    * xxhash64 which DuckDB lacks).
+    * Scale shape: MAP-ONLY — a document's grams all live in its own
+    * row, so the whole selection is array higher-order functions
+    * (`transform`/`filter`/`element_at`) over the per-row hash array:
+    * zero shuffles, zero state, and therefore directly usable inside a
+    * stream (the windowed lag/lead twin, kept as
+    * [[winnowFingerprintsWindowed]] for the spec cross-check, costs a
+    * per-doc shuffle and is illegal in Structured Streaming). Output
+    * is ~2/(w+1) of gram positions. Hashes are the first 8 md5 hex
+    * digits as a BIGINT — the repo's portable-hash convention
+    * (engine-independent, unlike xxhash64 which DuckDB lacks).
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4): DataFrame = {
+    import graft.functions.VectorExprs.token_ngrams
+    require(k >= 1 && w >= 2)
+    // smallest lag/lead distance with a smaller (resp. ≤) hash, capped
+    // at w; document edges fall out of the p±i bound guards
+    val lCase = (1 until w).map(i =>
+      s"WHEN p > $i AND element_at(__hs, p - $i) < element_at(__hs, p) " +
+        s"THEN $i").mkString(" ")
+    val rCase = (1 until w).map(i =>
+      s"WHEN p + $i <= __n AND element_at(__hs, p + $i) <= element_at(__hs, p) " +
+        s"THEN $i").mkString(" ")
+    val keep =
+      s"""filter(sequence(1, greatest(__n, 1)), p -> p <= __n AND (
+         |  CASE WHEN __n >= $w THEN
+         |    greatest(1, p - ${w - 1}, p - (CASE $lCase ELSE $w END) + 1)
+         |      <= least(p, __n - ${w - 1}, p + (CASE $rCase ELSE $w END) - $w)
+         |  ELSE p = array_max(filter(sequence(1, greatest(__n, 1)),
+         |         q -> q <= __n AND element_at(__hs, q) = array_min(__hs)))
+         |  END))""".stripMargin
+    docs
+      .select(col(idCol),
+        token_ngrams(tokens(col(textCol)), k).as("__grams"))
+      .withColumn("__hs", expr(
+        "transform(__grams, g -> " +
+          "cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint))"))
+      .withColumn("__n", size(col("__hs")))
+      .select(col(idCol),
+        explode(expr(s"transform($keep, " +
+          "p -> struct(p as pos, element_at(__hs, p) as fp))")).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+  }
+
+  /** The lag/lead window twin of [[winnowFingerprints]] — one per-doc
+    * shuffle instead of map-only. Kept (test scope via the spec) as an
+    * independent formulation of the rightmost-min interval test; the
+    * spec asserts row-set equality on the harness corpus.
+    */
+  private[text] def winnowFingerprintsWindowed(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorExprs.token_ngrams
     require(k >= 1 && w >= 2)

@@ -561,10 +561,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("text_winnow_fingerprints: one per-doc exchange shared by every " +
-    "window (lag/lead, count, short-doc row_number); no join") {
+  test("text_winnow_fingerprints is MAP-ONLY: array HOFs per row — no " +
+    "exchange, no window, no join") {
     val p = plan("text_winnow_fingerprints")
-    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
     assert(!p.contains("Join"), p)
   }
 

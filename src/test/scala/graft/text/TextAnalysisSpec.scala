@@ -541,6 +541,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("map-only and windowed winnowing formulations agree on the " +
+    "harness corpus") {
+    val docs = graft.model.Tables.documents(spark, sf())
+      .select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val a = rows(TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 3, 4))
+    val b = rows(TextAnalysis.winnowFingerprintsWindowed(
+      docs, "doc_id", "text", 3, 4))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 token run share " +
     "a fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta"  // 6 = w+k-1
