@@ -470,6 +470,29 @@ object ScaleCheck {
         }
       }
     }
+    // k-core probe: same disjoint-replica construction — peeling
+    // cascades stay inside replicas, so rounds don't grow with ×32;
+    // per-round cost is one degree agg + two hash joins ∝ |edges|
+    locally {
+      def kcGraph(mult: Int) = {
+        val g0 = graft.graph.Triangles.coPurchaseEdges(
+          graft.model.Tables.lineitem(spark, sf), partMod = 4)
+        g0.crossJoin(spark.range(mult).select(col("id").as("rep")))
+          .select((col("src") + col("rep") * 100000000L).as("src"),
+            (col("dst") + col("rep") * 100000000L).as("dst"))
+      }
+      if (Seq("graph_kcore_x1", "graph_kcore_x32").exists(only)) {
+        Seq(("x1", 1), ("x32", 32)).foreach { case (tag, m) =>
+          kcGraph(m).repartition(32).write.mode("overwrite")
+            .parquet(s"/tmp/kcore_edges_$tag.parquet")
+          val edges = spark.read.parquet(s"/tmp/kcore_edges_$tag.parquet")
+          time(s"graph_kcore_$tag") {
+            graft.graph.KCore.kCoreTruncated(edges, "src", "dst", 20, 10)
+              .count()
+          }
+        }
+      }
+    }
     // Winnow near-dup probe: ×32 replicas with per-replica token
     // salting (disjoint gram spaces — otherwise every fingerprint's
     // df multiplies and the hot-bucket cap would empty the join);
