@@ -1074,6 +1074,13 @@ object NorthStarQueries {
       Similarity.rrfFuse(Seq(lex, dense), "doc_id", "rank", topK = 20)
     }),
 
+    // per-dimension corpus standardization (whitening): micro-unit
+    // integer moments, cleared-fraction z with one sqrt; 64-row stats
+    // broadcast back → map-only scoring
+    "sim_embedding_standardize" -> ((s, dir) =>
+      Similarity.standardizeEmbeddings(
+        Tables.embeddings(s, dir), "vec_id", "embedding")),
+
     // 128 planes = 16 bands × 8 bits + query-side multi-probe: band-key
     // space 256 keeps buckets ~n/256 (subquadratic candidates); see
     // Similarity.srpPlan for the sizing rule at other corpus scales.
@@ -3780,6 +3787,29 @@ object NorthStarQueries {
         |FROM r WHERE rank <= 10""".stripMargin,
 
     // hybrid RRF: the bm25 CTE chain (top 50) + the cosine ranking
+    // same micro-unit moments; DuckDB's unnest-with-position struct
+    // trick supplies (dim, v); zero-based dim matches posexplode
+    "sim_embedding_standardize" ->
+      """WITH x AS (
+        |  SELECT vec_id, u.d AS dim,
+        |    CAST(round(CAST(u.v AS DOUBLE) * 1e6) AS BIGINT) AS xm
+        |  FROM (SELECT vec_id,
+        |          unnest(list_transform(range(1, len(embedding) + 1),
+        |            i -> {'d': i - 1, 'v': embedding[i]})) AS u
+        |        FROM embeddings)),
+        |s AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xm) AS BIGINT) AS s1,
+        |    CAST(sum(xm * xm) AS BIGINT) AS s2
+        |  FROM x GROUP BY 1),
+        |v AS (SELECT *, n * s2 - s1 * s1 AS varnum FROM s)
+        |SELECT x.vec_id, CAST(x.dim AS INTEGER) AS dim,
+        |  CASE WHEN v.varnum > 0 THEN
+        |    round(CAST(v.n * x.xm - v.s1 AS DOUBLE)
+        |          / sqrt(CAST(v.varnum AS DOUBLE)), 4)
+        |  END AS z
+        |FROM x JOIN v ON x.dim = v.dim""".stripMargin,
+
     // (query vec_id 0, top 50), fused via integer micro-unit
     // round(1e6/(60+rank)) contributions — rank-only fusion, so both
     // engines agree exactly

@@ -1108,4 +1108,45 @@ object Similarity {
       .select(col(idCol), col("n_lists"), col("rrf_micro"),
         row_number().over(w).cast("int").as("rank"))
   }
+
+  /** Per-dimension corpus standardization (feature whitening) — the
+    * z-score transform an embedding pipeline applies before indexing
+    * or distance thresholds so no dimension dominates by scale. The
+    * published preprocessing step of SemDeDup-style dedup and of
+    * whitened-PCA retrieval stacks.
+    *
+    * Determinism: FP sums reorder under partitioning, so each float
+    * first rounds to an integer MICRO-unit; the per-dim first and
+    * second moments are then exact long sums, and the z-score clears
+    * its fractions to  z = (n·x − Σx) / √(n·Σx² − (Σx)²)  — exact
+    * integers inside, one IEEE sqrt (correctly rounded on every
+    * platform, unlike ln) and one division at the end, rounded to
+    * 4 dp. A zero-variance dimension standardizes to NULL rather than
+    * a division blow-up. Overflow: n·Σx² in micro² holds to ~10⁸ rows
+    * at |x|≤1 embedding scale; past that the moment sums switch to
+    * decimal(38,0) with the plan shape unchanged.
+    *
+    * Scale shape: one posexplode + ONE hash agg to the dim-sized
+    * moment table (64 rows — model-sized), broadcast back onto the
+    * exploded stream: map-only scoring, a single corpus shuffle.
+    */
+  def standardizeEmbeddings(emb: DataFrame, idCol: String,
+                            vecCol: String): DataFrame = {
+    val x = emb.select(col(idCol),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col(idCol), col("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("__x"))
+    val stats = x.groupBy(col("dim"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__s1"),
+        sum(col("__x") * col("__x")).as("__s2"))
+      .withColumn("__varnum",
+        col("__n") * col("__s2") - col("__s1") * col("__s1"))
+    x.join(broadcast(stats), "dim")
+      .select(col(idCol), col("dim"),
+        when(col("__varnum") > 0,
+          round((col("__n") * col("__x") - col("__s1")).cast("double")
+            / sqrt(col("__varnum").cast("double")), 4))
+          .as("z"))
+  }
 }

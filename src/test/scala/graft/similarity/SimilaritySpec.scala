@@ -490,4 +490,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (10L, 2, 32522L, 1), (20L, 2, 32522L, 2), (30L, 1, 15873L, 3)))
   }
+
+  test("standardizeEmbeddings: hand-computed z-scores, zero-variance " +
+    "dim yields null") {
+    import spark.implicits._
+    // dim0: 1,3,5 → z = ∓1.2247, 0; dim1: 10,10,40 → −0.7071 ×2,
+    // 1.4142; dim2: constant → varnum 0 → NULL
+    val emb = Seq(
+      (1L, Array(1.0f, 10.0f, 7.0f)),
+      (2L, Array(3.0f, 10.0f, 7.0f)),
+      (3L, Array(5.0f, 40.0f, 7.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.standardizeEmbeddings(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got((1L, 0)) == Some(-1.2247) && got((2L, 0)) == Some(0.0) &&
+      got((3L, 0)) == Some(1.2247))
+    assert(got((1L, 1)) == Some(-0.7071) && got((3L, 1)) == Some(1.4142))
+    assert(got((1L, 2)).isEmpty && got((3L, 2)).isEmpty)
+  }
 }
