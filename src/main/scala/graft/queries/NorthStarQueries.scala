@@ -336,6 +336,31 @@ object NorthStarQueries {
       TextAnalysis.winnowNearDups(Tables.documents(s, dir),
         "doc_id", "text", k = 3, w = 4, minShared = 2, maxDf = 20)),
 
+    // screen-accuracy evaluation (the dedup_minhash_est_error
+    // pattern): every winnow-screen pair gets its EXACT 3-gram
+    // Jaccard — the screen's quality becomes a measured, oracle-
+    // checked table instead of a claim. Pairs are deterministic and
+    // independently hash-checked by text_winnow_neardups; the aux
+    // parquet only transports them into the oracle
+    "text_winnow_screen_error" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      TextAnalysis.winnowNearDups(docs, "doc_id", "text",
+          k = 3, w = 4, minShared = 2, maxDf = 20)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+          col("shared_fps"))
+        .write.mode("overwrite")
+        .parquet(OracleAux.dir(dir, "winnow_pairs"))
+      val withSh = docs.select(col("doc_id").cast("long").as("doc_id"),
+        graft.dedup.Dedup.shingles(TextAnalysis.tokens(col("text")), 3)
+          .as("__sh"))
+      graft.dedup.Dedup.withJaccard(
+          s.read.parquet(OracleAux.dir(dir, "winnow_pairs")),
+          withSh, "doc_id", "__sh")
+        .select(col("id_a"), col("id_b"), col("shared_fps"),
+          round(col("jaccard"), 6).as("exact_jaccard"),
+          (round(col("jaccard"), 6) >= 0.5).as("is_neardup"))
+    }),
+
     // one distributed BPE-training step: adjacent char-pair counts
     // weighted by word frequency, over the distinct-word vocabulary —
     // rank 1 is the next merge
@@ -2279,6 +2304,29 @@ object NorthStarQueries {
       s"""WITH $winnowCtes
         |SELECT doc_id, CAST(pos AS INTEGER) AS pos, fp FROM s
         |WHERE $winnowKeep""".stripMargin,
+
+    // pairs from the materialized aux; exact Jaccard recomputed from
+    // text with the same shingle spelling as the minhash evaluator
+    "text_winnow_screen_error" ->
+      s"""WITH p AS (SELECT id_a, id_b, shared_fps
+        |  FROM read_parquet('${OracleAux.sqlDir("winnow_pairs")}/*.parquet')),
+        |d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                     for i in range(1, len(toks) - 1)])
+        |    ELSE [array_to_string(toks, ' ')] END AS s
+        |  FROM d)
+        |SELECT p.id_a, p.id_b, p.shared_fps,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(a.s || b.s)), 6) AS exact_jaccard,
+        |  (round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(a.s || b.s)), 6) >= 0.5) AS is_neardup
+        |FROM p JOIN sh a ON a.doc_id = p.id_a
+        |       JOIN sh b ON b.doc_id = p.id_b""".stripMargin,
 
     // MOSS pairing over the same selection: distinct per-doc
     // fingerprints, df-capped buckets, a<b self-join
