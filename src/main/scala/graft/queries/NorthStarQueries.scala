@@ -1106,6 +1106,12 @@ object NorthStarQueries {
       Similarity.standardizeEmbeddings(
         Tables.embeddings(s, dir), "vec_id", "embedding")),
 
+    // class-separability diagnostic: per label pair, centroid cosine
+    // + both classes' mean within-class distance (micro-exact)
+    "sim_label_separation" -> ((s, dir) =>
+      Similarity.labelSeparation(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label")),
+
     // 128 planes = 16 bands × 8 bits + query-side multi-probe: band-key
     // space 256 keeps buckets ~n/256 (subquadratic candidates); see
     // Similarity.srpPlan for the sizing rule at other corpus scales.
@@ -3857,6 +3863,47 @@ object NorthStarQueries {
         |          / sqrt(CAST(v.varnum AS DOUBLE)), 4)
         |  END AS z
         |FROM x JOIN v ON x.dim = v.dim""".stripMargin,
+
+    // same micro-unit centroids, per-row rounded distances, and
+    // cleared-fraction centroid cosine
+    "sim_label_separation" ->
+      """WITH x AS (
+        |  SELECT CAST(label AS INTEGER) AS label, vec_id, u.d AS dim,
+        |    CAST(round(CAST(u.v AS DOUBLE) * 1e6) AS BIGINT) AS xm
+        |  FROM (SELECT label, vec_id,
+        |          unnest(list_transform(range(1, len(embedding) + 1),
+        |            i -> {'d': i - 1, 'v': embedding[i]})) AS u
+        |        FROM embeddings)),
+        |cent AS (
+        |  SELECT label, dim,
+        |    CAST(round(CAST(sum(xm) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+        |  FROM x GROUP BY 1, 2),
+        |wd AS (
+        |  SELECT x.label, x.vec_id,
+        |    CAST(round(sqrt(CAST(sum((x.xm - c.cm) * (x.xm - c.cm))
+        |      AS DOUBLE))) AS BIGINT) AS dist
+        |  FROM x JOIN cent c ON x.label = c.label AND x.dim = c.dim
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(round(CAST(sum(dist) AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS mean_within_micro
+        |  FROM wd GROUP BY 1),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(sum(a.cm * b.cm) AS BIGINT) AS dot,
+        |    CAST(sum(a.cm * a.cm) AS BIGINT) AS na2,
+        |    CAST(sum(b.cm * b.cm) AS BIGINT) AS nb2
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT p.label_a, p.label_b,
+        |  round(CAST(p.dot AS DOUBLE)
+        |    / (sqrt(CAST(p.na2 AS DOUBLE)) * sqrt(CAST(p.nb2 AS DOUBLE))), 6)
+        |    AS centroid_cosine,
+        |  wa.mean_within_micro AS within_a_micro,
+        |  wb.mean_within_micro AS within_b_micro
+        |FROM p JOIN w wa ON p.label_a = wa.label
+        |       JOIN w wb ON p.label_b = wb.label""".stripMargin,
 
     // (query vec_id 0, top 50), fused via integer micro-unit
     // round(1e6/(60+rank)) contributions — rank-only fusion, so both

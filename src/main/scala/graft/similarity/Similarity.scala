@@ -1130,6 +1130,72 @@ object Similarity {
     * moment table (64 rows — model-sized), broadcast back onto the
     * exploded stream: map-only scoring, a single corpus shuffle.
     */
+  /** Label-separation report over a labeled embedding corpus — the
+    * "are my classes actually separable in this embedding space"
+    * diagnostic an embedding/eval pipeline runs before training on
+    * the labels: per label pair, the cosine between class CENTROIDS
+    * (between-class geometry) alongside each class's mean distance of
+    * members to their own centroid (within-class spread) — the two
+    * ingredients of a Fisher-style separation ratio, reported raw so
+    * the consumer picks the criterion.
+    *
+    * Determinism: embeddings go to micro-units; centroids are
+    * `round(Σx/n)` on exact long sums; every per-row distance rounds
+    * to an integer micro before the class average, and the centroid
+    * cosine is exact-integer dot/norms with two IEEE sqrts and one
+    * division at the end (6 dp). No FP sum ever reorders.
+    *
+    * Scale shape: one explode + grouped agg to the (labels × dims)
+    * centroid table (model-sized), broadcast back for the within pass
+    * (map-only + one key agg); the pairwise-centroid stage is
+    * label²×dims — driver-trivial at any corpus size.
+    */
+  def labelSeparation(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val x = emb.select(col(labelCol).cast("int").as("label"), col(idCol),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("label"), col(idCol), col("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("__xm"))
+    val cent = x.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("__n"), sum(col("__xm")).as("__s1"))
+      .select(col("label"), col("dim"),
+        round(col("__s1").cast("double") / col("__n")).cast("long")
+          .as("__cm"))
+    val within = x
+      .join(broadcast(cent), Seq("label", "dim"))
+      .withColumn("__d2",
+        (col("__xm") - col("__cm")) * (col("__xm") - col("__cm")))
+      .groupBy(col("label"), col(idCol))
+      .agg(sum(col("__d2")).as("__ss"))
+      .select(col("label"),
+        round(sqrt(col("__ss").cast("double"))).cast("long").as("__dist"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("__dist")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_within_micro"))
+    val ca = cent.select(col("label").as("label_a"), col("dim"),
+      col("__cm").as("__ca"))
+    val cb = cent.select(col("label").as("label_b"), col("dim"),
+      col("__cm").as("__cb"))
+    val pairs = ca.join(cb, "dim")
+      .where(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("__ca") * col("__cb")).as("__dot"),
+        sum(col("__ca") * col("__ca")).as("__na2"),
+        sum(col("__cb") * col("__cb")).as("__nb2"))
+      .select(col("label_a"), col("label_b"),
+        round(col("__dot").cast("double") /
+          (sqrt(col("__na2").cast("double")) *
+            sqrt(col("__nb2").cast("double"))), 6).as("centroid_cosine"))
+    pairs
+      .join(broadcast(within.select(col("label").as("label_a"),
+        col("mean_within_micro").as("within_a_micro"))), "label_a")
+      .join(broadcast(within.select(col("label").as("label_b"),
+        col("mean_within_micro").as("within_b_micro"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("centroid_cosine"),
+        col("within_a_micro"), col("within_b_micro"))
+  }
+
   def standardizeEmbeddings(emb: DataFrame, idCol: String,
                             vecCol: String): DataFrame = {
     val x = emb.select(col(idCol),

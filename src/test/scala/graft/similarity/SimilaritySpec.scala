@@ -491,6 +491,22 @@ class SimilaritySpec extends SparkSpec {
       (10L, 2, 32522L, 1), (20L, 2, 32522L, 2), (30L, 1, 15873L, 3)))
   }
 
+  test("labelSeparation: hand-computed two-class geometry") {
+    import spark.implicits._
+    // class 0 at (1,0)±nothing, class 1 centered (0,1): orthogonal
+    // centroids → cosine 0; class-0 members sit ON the centroid →
+    // within 0; class-1 members at (0,0.9)/(0,1.1) → dist 1e5 each
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.9f), 1),
+      (4L, Array(0.0f, 1.1f), 1)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelSeparation(emb, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(r == Seq((0, 1, 0.0, 0L, 100000L)))
+  }
+
   test("standardizeEmbeddings: hand-computed z-scores, zero-variance " +
     "dim yields null") {
     import spark.implicits._
