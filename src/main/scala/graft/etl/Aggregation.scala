@@ -254,6 +254,52 @@ object Aggregation {
         sum(col("__cents") * col("__w")).as("decayed_micro_cents"))
   }
 
+  /** Top session paths — the "behavior flow" report (ClickHouse's
+    * sequence functions / GA flow view): gap-based sessionization per
+    * key, the session's first `pathLen` event types joined in time
+    * order into a path string, then the global top-k paths by session
+    * count. The product-analytics companion to [[funnelStages]]: the
+    * funnel checks ONE hypothesized order, paths DISCOVER the orders
+    * that actually happen.
+    *
+    * Shape: the lag-gap flag and its running sum (the island trick)
+    * and the per-session row_number all share ONE per-key window
+    * partition; the (key, session) collapse reuses that partitioning
+    * (sub-key aggregation, no second shuffle); then one path-sized agg
+    * + a bounded-heap top-k. Ordering ties break on `idCol`, so the
+    * path strings are engine- and partition-order-exact.
+    */
+  def sessionPaths(df: DataFrame, keyCol: String, idCol: String,
+                   typeCol: String, tsCol: String, gapSec: Long,
+                   pathLen: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapSec > 0 && pathLen >= 1 && k >= 1)
+    val ordered = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us"), col(idCol))
+    val t = df.select(col(keyCol), col(idCol), col(typeCol).as("__ty"),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__new", when(lag(col("__us"), 1).over(ordered).isNull ||
+        col("__us") - lag(col("__us"), 1).over(ordered) > gapSec * 1000000L,
+        1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(col(keyCol), col("__sess"))
+        .orderBy(col("__us"), col(idCol))))
+    val paths = t.where(col("__rn") <= pathLen)
+      .groupBy(col(keyCol), col("__sess"))
+      .agg(sort_array(collect_list(struct(col("__rn"), col("__ty"))))
+        .as("__steps"))
+      .select(array_join(expr("transform(__steps, s -> s.__ty)"), ">")
+        .as("path"))
+    val counts = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val w = Window.orderBy(col("n_sessions").desc, col("path").asc)
+    counts.orderBy(col("n_sessions").desc, col("path").asc).limit(k)
+      .select(col("path"), col("n_sessions"),
+        row_number().over(w).cast("int").as("rank"))
+  }
+
   def cohortRetention(df: DataFrame, keyCol: String,
                       tsCol: String): DataFrame = {
     val e = df.select(col(keyCol),

@@ -664,6 +664,16 @@ object BreadthQueries {
           .select("l_returnflag", "l_extendedprice", "l_quantity"),
         "l_returnflag", "l_extendedprice", "l_quantity")),
 
+    // behavior-flow discovery: gap-sessionized (5 min) first-3-step
+    // paths, top-20 by session count; (ts, event_id) tie-break makes
+    // the path strings engine-exact
+    "window_session_paths" -> ((s, dir) =>
+      graft.etl.Aggregation.sessionPaths(
+        Tables.events(s, dir)
+          .select("user_id", "event_id", "event_type", "ts"),
+        "user_id", "event_id", "event_type", "ts",
+        gapSec = 300L, pathLen = 3, k = 20)),
+
     // half-life decay rollup: weight = 10⁶ div 2^(age div 3d) — the
     // stepped integer form of an exponential-decay counter, reference
     // instant = max(ts) so the result is reproducible
@@ -1128,6 +1138,33 @@ object BreadthQueries {
         |  min(CASE WHEN cw * 2 >= tot THEN l_extendedprice END)
         |    AS weighted_median
         |FROM c GROUP BY 1""".stripMargin,
+
+    // same island sessionization + ordered string_agg path
+    "window_session_paths" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 300000000 THEN 1 ELSE 0 END AS nw
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT *, sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |    ORDER BY us, event_id) AS rn
+        |  FROM s),
+        |p AS (
+        |  SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id, sess),
+        |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
+        |SELECT path, n_sessions, CAST(rk AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY n_sessions DESC,
+        |        path ASC) AS rk FROM c)
+        |WHERE rk <= 20""".stripMargin,
 
     // same stepped weight on DuckDB's integer ops (// and <<);
     // epoch_us is the µs twin of Spark's unix_micros

@@ -138,6 +138,26 @@ class AggregationSpec extends SparkSpec {
       "c" -> ((3L, 1L, 7.5))))
   }
 
+  test("sessionPaths: gap islands, path truncation, frequency rank") {
+    import org.apache.spark.sql.functions.col
+    // u1: events at 0,10,20 (one session: a>b>c), then 400 (new
+    // session: a); u2: 0,5 (a>b), 1000,1005,1010,1015 (a>b>c truncated
+    // at pathLen=3)
+    val rows = Seq(
+      (1L, 100L, "a", 0L), (1L, 101L, "b", 10L), (1L, 102L, "c", 20L),
+      (1L, 103L, "a", 400L),
+      (2L, 200L, "a", 0L), (2L, 201L, "b", 5L),
+      (2L, 202L, "a", 1000L), (2L, 203L, "b", 1005L),
+      (2L, 204L, "c", 1010L), (2L, 205L, "d", 1015L))
+      .toDF("user_id", "event_id", "event_type", "sec")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("sec").cast("timestamp").as("ts"))
+    val out = Aggregation.sessionPaths(rows, "user_id", "event_id",
+        "event_type", "ts", gapSec = 60L, pathLen = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("a>b>c", 2L, 1), ("a", 1L, 2), ("a>b", 1L, 3)))
+  }
+
   test("timeDecayAgg: stepped half-life weights, hand-computed") {
     import org.apache.spark.sql.functions.col
     // halflife 10 s; newest row (t=100) is the reference: ages 0, 5,
