@@ -575,4 +575,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("agg_time_decay_revenue: reference instant is a broadcast 1-row " +
+    "agg; ONE corpus aggregation exchange, no window") {
+    val p = plan("agg_time_decay_revenue")
+    assert(p.contains("BroadcastExchange"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("window_session_paths: island windows and the session collapse " +
+    "share the per-key partitioning; top-k is a heap, not a global sort") {
+    val p = plan("window_session_paths")
+    // one exchange for the per-user windows + session agg, one for the
+    // path count; the final top-20 must be TakeOrderedAndProject
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_embedding_standardize: dim-sized moment table broadcast " +
+    "back; the corpus stream never re-shuffles") {
+    val p = plan("sim_embedding_standardize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("sim_label_separation: centroid/within joins are hash joins, " +
+    "never a cartesian or nested loop") {
+    val p = plan("sim_label_separation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
