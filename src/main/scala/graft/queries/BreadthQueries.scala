@@ -664,6 +664,13 @@ object BreadthQueries {
           .select("l_returnflag", "l_extendedprice", "l_quantity"),
         "l_returnflag", "l_extendedprice", "l_quantity")),
 
+    // market-basket rules: part pairs co-bought in ≥2 orders, both
+    // rule directions, micro-unit confidence/lift, top-50 by lift
+    "agg_association_rules" -> ((s, dir) =>
+      graft.etl.AssociationRules.mineRules(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", minCount = 2L, k = 50)),
+
     // behavior-flow discovery: gap-sessionized (5 min) first-3-step
     // paths, top-20 by session count; (ts, event_id) tie-break makes
     // the path strings engine-exact
@@ -1138,6 +1145,34 @@ object BreadthQueries {
         |  min(CASE WHEN cw * 2 >= tot THEN l_extendedprice END)
         |    AS weighted_median
         |FROM c GROUP BY 1""".stripMargin,
+
+    // same count arithmetic; N and item counts from the same distinct
+    // basket-item table
+    "agg_association_rules" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, CAST(l_partkey AS BIGINT) AS i
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+        |it AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM bi GROUP BY 1),
+        |pr AS (
+        |  SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS cab
+        |  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (
+        |  SELECT ia AS ante, ib AS cons, cab FROM pr
+        |  UNION ALL SELECT ib, ia, cab FROM pr),
+        |s AS (
+        |  SELECT d.ante, d.cons, d.cab AS pair_n,
+        |    CAST(round(d.cab * 1000000 / ca.ci) AS BIGINT) AS conf_micro,
+        |    CAST(round(n.n * d.cab * 1000000.0 / (ca.ci * cb.ci)) AS BIGINT)
+        |      AS lift_micro
+        |  FROM d JOIN it ca ON d.ante = ca.i JOIN it cb ON d.cons = cb.i
+        |  CROSS JOIN n)
+        |SELECT ante, cons, pair_n, conf_micro, lift_micro,
+        |  CAST(rk AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY lift_micro DESC,
+        |        ante ASC, cons ASC) AS rk FROM s)
+        |WHERE rk <= 50""".stripMargin,
 
     // same island sessionization + ordered string_agg path
     "window_session_paths" ->
