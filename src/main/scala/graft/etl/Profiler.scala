@@ -1,0 +1,56 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Generic one-pass table profiler — the "crawl this table and tell
+  * me what's in it" primitive of catalog crawlers and data-quality
+  * harnesses (Glue crawler statistics, Deequ/dbt column profiles):
+  * per column, row/null/distinct counts and typed min/max.
+  *
+  * Schema-generic: the aggregate list is BUILT from `df.schema`, so
+  * one function profiles any table. Numeric and timestamp extremes
+  * land in `min_num`/`max_num` (timestamps as epoch-µs) and string
+  * extremes in `min_str`/`max_str` — typed channels instead of a
+  * cast-everything-to-string column, because string formatting of
+  * doubles/timestamps is exactly where cross-engine comparison breaks.
+  *
+  * Scale shape: ONE pass building an array-of-structs aggregate row,
+  * exploded to per-column rows. The exact multi-column
+  * `count(DISTINCT)` plans through Spark's Expand (input ×(cols+1)) —
+  * the honest cost of exact cardinalities; at 100 TB swap to
+  * `approx_count_distinct` (HLL, one expand-free pass) and keep the
+  * rest unchanged.
+  */
+object Profiler {
+
+  def profileTable(df: DataFrame): DataFrame = {
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val perCol: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      val (mnN, mxN, mnS, mxS) = f.dataType match {
+        case _: NumericType =>
+          (round(min(c).cast("double"), 6), round(max(c).cast("double"), 6),
+            nullS, nullS)
+        case _: TimestampType | _: TimestampNTZType =>
+          (min(unix_micros(c.cast("timestamp"))).cast("double"),
+            max(unix_micros(c.cast("timestamp"))).cast("double"),
+            nullS, nullS)
+        case _: StringType =>
+          (nullD, nullD, min(c), max(c))
+        case _ => (nullD, nullD, nullS, nullS)
+      }
+      struct(lit(f.name).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(c).as("n_distinct"),
+        mnN.as("min_num"), mxN.as("max_num"),
+        mnS.as("min_str"), mxS.as("max_str"))
+    }
+    df.agg(array(perCol: _*).as("__p"))
+      .select(explode(col("__p")).as("__s"))
+      .select(col("__s.*"))
+  }
+}

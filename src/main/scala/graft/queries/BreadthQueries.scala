@@ -664,6 +664,11 @@ object BreadthQueries {
           .select("l_returnflag", "l_extendedprice", "l_quantity"),
         "l_returnflag", "l_extendedprice", "l_quantity")),
 
+    // schema-generic table profile of lineitem: one pass, typed
+    // min/max channels, exact distincts (Expand — the documented cost)
+    "etl_profile_table" -> ((s, dir) =>
+      graft.etl.Profiler.profileTable(Tables.lineitem(s, dir))),
+
     // market-basket rules: part pairs co-bought in ≥2 orders, both
     // rule directions, micro-unit confidence/lift, top-50 by lift
     "agg_association_rules" -> ((s, dir) =>
@@ -1146,6 +1151,9 @@ object BreadthQueries {
         |    AS weighted_median
         |FROM c GROUP BY 1""".stripMargin,
 
+    // per-column UNION ALL twin generated from the same column list
+    "etl_profile_table" -> profileOracleSql,
+
     // same count arithmetic; N and item counts from the same distinct
     // basket-item table
     "agg_association_rules" ->
@@ -1438,6 +1446,41 @@ object BreadthQueries {
        |l0 AS (SELECT node, node AS lbl FROM nodes),
        |$iters
        |SELECT node, lbl AS community FROM l4""".stripMargin
+  }
+
+  /** Per-column profile twin: one UNION ALL branch per lineitem
+    * column, kinds matching the Spark side's type dispatch (num /
+    * ts-as-epoch-µs / str).
+    */
+  private def profileOracleSql: String = {
+    val cols = Seq(
+      "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+      "l_linenumber" -> "num", "l_quantity" -> "num",
+      "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+      "l_returnflag" -> "str", "l_linestatus" -> "str",
+      "l_shipdate" -> "ts")
+    cols.map { case (c, kind) =>
+      val (mnN, mxN, mnS, mxS) = kind match {
+        case "num" =>
+          (s"round(CAST(min($c) AS DOUBLE), 6)",
+            s"round(CAST(max($c) AS DOUBLE), 6)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case "ts" =>
+          (s"CAST(epoch_us(min($c)) AS DOUBLE)",
+            s"CAST(epoch_us(max($c)) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case _ =>
+          ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"min($c)", s"max($c)")
+      }
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  $mnN AS min_num, $mxN AS max_num,
+         |  $mnS AS min_str, $mxS AS max_str
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
   }
 
   /** Unrolled 6-round twin of graph_kcore_peel: each round recomputes

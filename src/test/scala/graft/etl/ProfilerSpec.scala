@@ -1,0 +1,34 @@
+package graft.etl
+
+import org.apache.spark.sql.functions.col
+import graft.SparkSpec
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profileTable: typed channels, nulls and distincts, any schema") {
+    val df = Seq(
+      (Some(1L), Some("x"), Some(2.5)),
+      (Some(1L), None, Some(-1.0)),
+      (None, Some("a"), None))
+      .toDF("k", "s", "v")
+    val p = Profiler.profileTable(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = p("k")
+    assert(k.getLong(1) == 3L && k.getLong(2) == 1L && k.getLong(3) == 1L)
+    assert(k.getDouble(4) == 1.0 && k.getDouble(5) == 1.0)
+    assert(k.isNullAt(6) && k.isNullAt(7))
+    val s = p("s")
+    assert(s.getLong(2) == 1L && s.getLong(3) == 2L)
+    assert(s.isNullAt(4) && s.getString(6) == "a" && s.getString(7) == "x")
+    val v = p("v")
+    assert(v.getDouble(4) == -1.0 && v.getDouble(5) == 2.5)
+  }
+
+  test("profileTable: timestamps profile as epoch micros") {
+    val df = Seq(5L, 10L).toDF("sec")
+      .select(col("sec").cast("timestamp").as("ts"))
+    val r = Profiler.profileTable(df).collect()(0)
+    assert(r.getDouble(4) == 5e6 && r.getDouble(5) == 1e7)
+  }
+}
