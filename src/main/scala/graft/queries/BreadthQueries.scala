@@ -669,6 +669,14 @@ object BreadthQueries {
     "etl_profile_table" -> ((s, dir) =>
       graft.etl.Profiler.profileTable(Tables.lineitem(s, dir))),
 
+    // ER candidate stage: customers blocked on all-but-last-2 name
+    // chars, levenshtein ≤ 1 verifier — Σblock² candidates, never n²
+    "join_fuzzy_blocked" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+      graft.etl.Profiler.fuzzySelfMatch(c, "c_custkey", "c_name",
+        expr("substring(c_name, 1, length(c_name) - 2)"), maxDist = 1)
+    }),
+
     // market-basket rules: part pairs co-bought in ≥2 orders, both
     // rule directions, micro-unit confidence/lift, top-50 by lift
     "agg_association_rules" -> ((s, dir) =>
@@ -1153,6 +1161,17 @@ object BreadthQueries {
 
     // per-column UNION ALL twin generated from the same column list
     "etl_profile_table" -> profileOracleSql,
+
+    // same blocking key and integer edit-distance verifier
+    "join_fuzzy_blocked" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS nm,
+        |    substr(c_name, 1, length(c_name) - 2) AS blk
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.nm, b.nm) <= 1""".stripMargin,
 
     // same count arithmetic; N and item counts from the same distinct
     // basket-item table

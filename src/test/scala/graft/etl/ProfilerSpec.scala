@@ -25,6 +25,19 @@ class ProfilerSpec extends SparkSpec {
     assert(v.getDouble(4) == -1.0 && v.getDouble(5) == 2.5)
   }
 
+  test("fuzzySelfMatch: blocking bounds candidates; distance filter " +
+    "keeps only near names") {
+    import org.apache.spark.sql.functions.expr
+    val df = Seq((1L, "user_aa"), (2L, "user_ab"), (3L, "user_zz"),
+      (4L, "admin_aa")).toDF("id", "name")
+    val out = Profiler.fuzzySelfMatch(df, "id", "name",
+        expr("substring(name, 1, length(name) - 2)"), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 1-2 match (dist 1, same block); 3 same block but dist 2; 4 is in
+    // another block entirely — never even a candidate
+    assert(out == Set((1L, 2L, 1)))
+  }
+
   test("profileTable: timestamps profile as epoch micros") {
     val df = Seq(5L, 10L).toDF("sec")
       .select(col("sec").cast("timestamp").as("ts"))
