@@ -1112,6 +1112,12 @@ object NorthStarQueries {
       Similarity.labelSeparation(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label")),
 
+    // feature-redundancy profile: top-30 dimension pairs by |Pearson r|
+    // (cleared-fraction integer moments; |r| rounded before the rank)
+    "sim_dim_correlation" -> ((s, dir) =>
+      Similarity.dimCorrelations(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 30)),
+
     // 128 planes = 16 bands × 8 bits + query-side multi-probe: band-key
     // space 256 keeps buckets ~n/256 (subquadratic candidates); see
     // Similarity.srpPlan for the sizing rule at other corpus scales.
@@ -3863,6 +3869,39 @@ object NorthStarQueries {
         |          / sqrt(CAST(v.varnum AS DOUBLE)), 4)
         |  END AS z
         |FROM x JOIN v ON x.dim = v.dim""".stripMargin,
+
+    // same moments via the pairwise self-join; rank under the same
+    // (|r| desc, dims) total order
+    "sim_dim_correlation" ->
+      """WITH x AS (
+        |  SELECT vec_id, u.d AS dim,
+        |    CAST(round(CAST(u.v AS DOUBLE) * 1e6) AS BIGINT) AS xm
+        |  FROM (SELECT vec_id,
+        |          unnest(list_transform(range(1, len(embedding) + 1),
+        |            i -> {'d': i - 1, 'v': embedding[i]})) AS u
+        |        FROM embeddings)),
+        |m AS (
+        |  SELECT a.dim AS dim_a, b.dim AS dim_b,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a.xm) AS BIGINT) AS sx,
+        |    CAST(sum(b.xm) AS BIGINT) AS sy,
+        |    CAST(sum(a.xm * a.xm) AS BIGINT) AS sxx,
+        |    CAST(sum(b.xm * b.xm) AS BIGINT) AS syy,
+        |    CAST(sum(a.xm * b.xm) AS BIGINT) AS sxy
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim < b.dim
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT CAST(dim_a AS INTEGER) AS dim_a,
+        |    CAST(dim_b AS INTEGER) AS dim_b,
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+        |  FROM m
+        |  WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0)
+        |SELECT dim_a, dim_b, corr, CAST(rk AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY abs(corr) DESC,
+        |        dim_a ASC, dim_b ASC) AS rk FROM s)
+        |WHERE rk <= 30""".stripMargin,
 
     // same micro-unit centroids, per-row rounded distances, and
     // cleared-fraction centroid cosine

@@ -1196,6 +1196,62 @@ object Similarity {
         col("within_a_micro"), col("within_b_micro"))
   }
 
+  /** Top-|correlation| embedding-dimension pairs — the redundancy
+    * profile of a feature space: strongly correlated dimensions mean
+    * wasted index width and motivate whitening/PCA before ANN (the
+    * diagnostic behind [[standardizeEmbeddings]]'s "no dimension
+    * should dominate" and PQ's subspace-independence assumption).
+    *
+    * Pearson r per dim pair from the five integer moment sums,
+    * fractions cleared exactly as in [[standardizeEmbeddings]]:
+    * r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²)) —
+    * micro-unit longs inside, two IEEE sqrts + one division at the
+    * end, 6 dp, rank by |r| with (dim_a, dim_b) tie-break.
+    *
+    * Scale shape: ONE self-join on the row id (64× amplification of
+    * the exploded stream — the honest cost of exact pairwise moments;
+    * d² partial-agg cells, corpus-size-independent output), then a
+    * bounded-heap top-k. At 100 TB run it on a row sample — the
+    * moments are sums, so any uniform sample estimates them.
+    */
+  def dimCorrelations(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 1)
+    val x = emb.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("__id"), col("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("__xm"))
+    val a = x.select(col("__id"), col("dim").as("dim_a"),
+      col("__xm").as("__xa"))
+    val b = x.select(col("__id"), col("dim").as("dim_b"),
+      col("__xm").as("__xb"))
+    val m = a.join(b, "__id").where(col("dim_a") < col("dim_b"))
+      .groupBy(col("dim_a"), col("dim_b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__xa")).as("__sx"), sum(col("__xb")).as("__sy"),
+        sum(col("__xa") * col("__xa")).as("__sxx"),
+        sum(col("__xb") * col("__xb")).as("__syy"),
+        sum(col("__xa") * col("__xb")).as("__sxy"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val vx = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val vy = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    val scored = m.select(col("dim_a"), col("dim_b"),
+        when(vx > 0 && vy > 0,
+          round(num / (sqrt(vx) * sqrt(vy)), 6)).as("corr"))
+      .where(col("corr").isNotNull)
+      .withColumn("abs_corr", abs(col("corr")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("abs_corr").desc, col("dim_a").asc, col("dim_b").asc)
+    scored
+      .orderBy(col("abs_corr").desc, col("dim_a").asc, col("dim_b").asc)
+      .limit(k)
+      .select(col("dim_a"), col("dim_b"), col("corr"),
+        row_number().over(w).cast("int").as("rank"))
+  }
+
   def standardizeEmbeddings(emb: DataFrame, idCol: String,
                             vecCol: String): DataFrame = {
     val x = emb.select(col(idCol),

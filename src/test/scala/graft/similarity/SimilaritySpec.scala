@@ -491,6 +491,19 @@ class SimilaritySpec extends SparkSpec {
       (10L, 2, 32522L, 1), (20L, 2, 32522L, 2), (30L, 1, 15873L, 3)))
   }
 
+  test("dimCorrelations: hand-computed signs and magnitudes; " +
+    "constant dims drop out") {
+    import spark.implicits._
+    // dim1 = dim0 (r=+1), dim2 = −dim0 (r=−1), dim3 constant (no r)
+    val emb = Seq(
+      (1L, Array(1.0f, 1.0f, -1.0f, 5.0f)),
+      (2L, Array(2.0f, 2.0f, -2.0f, 5.0f)),
+      (3L, Array(4.0f, 4.0f, -4.0f, 5.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.dimCorrelations(emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0, 1, 1.0), (0, 2, -1.0), (1, 2, -1.0)))
+  }
+
   test("labelSeparation: hand-computed two-class geometry") {
     import spark.implicits._
     // class 0 at (1,0)±nothing, class 1 centered (0,1): orthogonal
