@@ -1118,6 +1118,13 @@ object NorthStarQueries {
       Similarity.dimCorrelations(
         Tables.embeddings(s, dir), "vec_id", "embedding", k = 30)),
 
+    // power-iteration PCA: 8 fixed von Mises rounds over the exact
+    // micro-unit covariance — every iterate bit-replayed by the
+    // unrolled SQL oracle (pivot normalisation pins scale AND sign)
+    "sim_power_iteration" -> ((s, dir) =>
+      Similarity.topPrincipalDirection(
+        Tables.embeddings(s, dir), "vec_id", "embedding", iters = 8)),
+
     // 128 planes = 16 bands × 8 bits + query-side multi-probe: band-key
     // space 256 keeps buckets ~n/256 (subquadratic candidates); see
     // Similarity.srpPlan for the sizing rule at other corpus scales.
@@ -1687,6 +1694,59 @@ object NorthStarQueries {
       |JOIN wt ON d.w = wt.w
       |GROUP BY d.doc_id""".stripMargin)
     sb.toString
+  }
+
+  /** Unrolled power-iteration twin of sim_power_iteration: the same
+    * exact integer moments, covariance rounding, pivot normalisation
+    * (abs desc, dim asc), and sign-symmetric down-scaling. Every CTE
+    * is MATERIALIZED — each iteration references the previous twice.
+    */
+  private def powerIterOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT c.i AS j, CAST(sum(c.cij * v${k - 1}.vj) AS BIGINT) AS wj
+         |  FROM c JOIN v${k - 1} ON c.j = v${k - 1}.j GROUP BY 1),
+         |p$k AS MATERIALIZED (
+         |  SELECT wj FROM w$k ORDER BY abs(wj) DESC, j ASC LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT w$k.j, CAST(round(CAST(w$k.wj AS DOUBLE) * 1e6 / p$k.wj)
+         |    AS BIGINT) AS vj
+         |  FROM w$k, p$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (
+       |  SELECT vec_id, u.d AS dim,
+       |    CAST(round(CAST(u.v AS DOUBLE) * 1e6) AS BIGINT) AS xm
+       |  FROM (SELECT vec_id,
+       |          unnest(list_transform(range(1, len(embedding) + 1),
+       |            i -> {'d': i - 1, 'v': embedding[i]})) AS u
+       |        FROM embeddings)),
+       |d1 AS MATERIALIZED (
+       |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(xm) AS BIGINT) AS s1
+       |  FROM x GROUP BY 1),
+       |pm AS MATERIALIZED (
+       |  SELECT a.dim AS i, b.dim AS j,
+       |    CAST(sum(a.xm * b.xm) AS BIGINT) AS sxy
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |c AS MATERIALIZED (
+       |  SELECT pm.i, pm.j,
+       |    CAST(round(CAST(da.n * pm.sxy - da.s1 * db.s1 AS DOUBLE)
+       |      / (CAST(da.n AS DOUBLE) * da.n)) AS BIGINT) AS cij
+       |  FROM pm JOIN d1 da ON pm.i = da.dim JOIN d1 db ON pm.j = db.dim),
+       |v0 AS (SELECT dim AS j, CAST(1000000 AS BIGINT) AS vj FROM d1),
+       |$steps,
+       |uvec AS (
+       |  SELECT j, CAST(sign(vj) AS BIGINT) * (abs(vj) // 10000) AS uj
+       |  FROM v$iters),
+       |nm AS (
+       |  SELECT CAST(sum(c.cij * ua.uj * ub.uj) AS BIGINT) AS nm
+       |  FROM c JOIN uvec ua ON c.i = ua.j JOIN uvec ub ON c.j = ub.j),
+       |dn AS (SELECT CAST(sum(uj * uj) AS BIGINT) AS dn FROM uvec)
+       |SELECT CAST(v$iters.j AS INTEGER) AS dim,
+       |  v$iters.vj AS loading_micro,
+       |  CAST(round(CAST(nm.nm AS DOUBLE) / dn.dn) AS BIGINT)
+       |    AS lambda_micro2
+       |FROM v$iters, nm, dn""".stripMargin
   }
 
   /** Shared winnowing-selection CTE chain (k=3, w=4): md5 3-gram
@@ -3869,6 +3929,8 @@ object NorthStarQueries {
         |          / sqrt(CAST(v.varnum AS DOUBLE)), 4)
         |  END AS z
         |FROM x JOIN v ON x.dim = v.dim""".stripMargin,
+
+    "sim_power_iteration" -> powerIterOracleSql(8),
 
     // same moments via the pairwise self-join; rank under the same
     // (|r| desc, dims) total order

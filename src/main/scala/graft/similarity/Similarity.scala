@@ -1252,6 +1252,83 @@ object Similarity {
         row_number().over(w).cast("int").as("rank"))
   }
 
+  /** Round-half-away-from-zero to a long — the semantics BOTH Spark's
+    * `round()` (BigDecimal HALF_UP) and DuckDB's `round()` use, which
+    * JVM `math.round` does NOT share on negative halves (it rounds
+    * toward +∞). Driver-side model math that an oracle replays must
+    * use this, never `math.round`.
+    */
+  private def roundAway(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Top principal direction of the embedding covariance by FIXED-
+    * COUNT power iteration (the von Mises iteration — the 2-line PCA
+    * that needs no eigensolver library): the "what single axis carries
+    * the most variance" diagnostic behind whitening and PQ subspace
+    * rotation decisions.
+    *
+    * Split of labour: the CORPUS-sized work is one exact moment pass —
+    * per-dim sums and the full d×d micro-unit product-moment matrix
+    * (partial-agg'd; d² cells, corpus-size-independent) — after which
+    * the iteration runs on the driver over model-sized state (d² longs,
+    * the k-means-centroid precedent). Every driver step mirrors an
+    * engine-replayable operation: integer mat-vec sums (exact longs),
+    * pivot normalisation by the max-|component| entry (ties → lowest
+    * dim; also pins the sign: the pivot component is always +10⁶),
+    * and [[roundAway]] rounding of IEEE double divisions — so the
+    * unrolled SQL twin reproduces every iterate BIT-FOR-BIT, which is
+    * what makes an iterative eigensolver oracle-checkable at all.
+    * The Rayleigh quotient λ uses sign·(|v| div 10⁴) down-scaling
+    * (explicitly sign-symmetric: Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors — they disagree on negatives).
+    *
+    * Returns one row per dimension: (dim, loading_micro,
+    * lambda_micro2) with the λ column constant (variance along the
+    * direction, in micro² units).
+    */
+  def topPrincipalDirection(emb: DataFrame, idCol: String,
+                            vecCol: String, iters: Int = 8): DataFrame = {
+    require(iters >= 1)
+    val spark = emb.sparkSession
+    val x = emb.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("__id"), col("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("__xm"))
+    val d1 = x.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("__xm")).as("s1"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val d = d1.size
+    val n = d1.values.head._1
+    val pm = x.select(col("__id"), col("dim").as("i"), col("__xm").as("xa"))
+      .join(x.select(col("__id"), col("dim").as("j"),
+        col("__xm").as("xb")), "__id")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xa") * col("xb")).as("sxy"))
+      .collect()
+    val c = Array.ofDim[Long](d, d)
+    pm.foreach { r =>
+      val (i, j, sxy) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      val cleared = n * sxy - d1(i)._2 * d1(j)._2
+      c(i)(j) = roundAway(cleared.toDouble / (n.toDouble * n.toDouble))
+    }
+    var v = Array.fill(d)(1000000L)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val pivot = (0 until d).maxBy(i => (math.abs(w(i)), -i))
+      v = w.map(wi => roundAway(wi.toDouble * 1e6 / w(pivot)))
+    }
+    val u = v.map(vi => math.signum(vi) * (math.abs(vi) / 10000L))
+    val num = (for (i <- 0 until d; j <- 0 until d)
+      yield u(i) * c(i)(j) * u(j)).sum
+    val den = u.map(ui => ui * ui).sum
+    val lambda = roundAway(num.toDouble / den.toDouble)
+    import spark.implicits._
+    v.zipWithIndex.map { case (vi, i) => (i, vi, lambda) }.toSeq
+      .toDF("dim", "loading_micro", "lambda_micro2")
+  }
+
   def standardizeEmbeddings(emb: DataFrame, idCol: String,
                             vecCol: String): DataFrame = {
     val x = emb.select(col(idCol),

@@ -491,6 +491,23 @@ class SimilaritySpec extends SparkSpec {
       (10L, 2, 32522L, 1), (20L, 2, 32522L, 2), (30L, 1, 15873L, 3)))
   }
 
+  test("topPrincipalDirection: exactly colinear data recovers the " +
+    "axis ratio and Rayleigh variance") {
+    import spark.implicits._
+    // y = 2x exactly → C = [[a,2a],[2a,4a]] with a = 35e12/16; any
+    // start lands on direction (1,2) after one mat-vec, pivot dim 1 →
+    // loadings (500000, 1000000); λ = 5a = 10.9375e12
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
+      (3L, Array(3.0f, 6.0f)), (4L, Array(-1.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.topPrincipalDirection(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(out == Seq((0, 500000L, 10937500000000L),
+      (1, 1000000L, 10937500000000L)))
+  }
+
   test("dimCorrelations: hand-computed signs and magnitudes; " +
     "constant dims drop out") {
     import spark.implicits._
