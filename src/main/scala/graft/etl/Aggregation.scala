@@ -300,6 +300,90 @@ object Aggregation {
         row_number().over(w).cast("int").as("rank"))
   }
 
+  /** Winsorized aggregation — the robust-mean companion to
+    * [[madOutliers]]: values clip to the group's [pLo, pHi] exact
+    * percentiles before aggregating, so a fat tail moves the mean by
+    * at most the clip bound instead of unboundedly (Tukey/Dixon's
+    * winsorization, the standard pre-step for metrics over skewed
+    * usage data).
+    *
+    * Engine parity: clip bounds round to 4 dp (the [[madOutliers]]
+    * convention); every CLIPPED value then rounds to integer cents, so
+    * the group mean is an exact-integer sum divided once — no FP
+    * accumulation order anywhere. Two grouped passes (bounds, then
+    * clipped agg) with the bounds broadcast back, same shape as MAD.
+    */
+  def winsorizedAgg(df: DataFrame, keyCol: String, valCol: String,
+                    pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi)
+    val bounds = df.groupBy(col(keyCol))
+      .agg(round(expr(s"percentile($valCol, $pLo)"), 4).as("p_lo"),
+        round(expr(s"percentile($valCol, $pHi)"), 4).as("p_hi"))
+    df.join(broadcast(bounds), keyCol)
+      .withColumn("__clip",
+        round(greatest(least(col(valCol), col("p_hi")), col("p_lo")) * 100)
+          .cast("long"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        min(col("p_lo")).as("p_lo"), min(col("p_hi")).as("p_hi"),
+        sum(when(col(valCol) < col("p_lo"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col(valCol) > col("p_hi"), 1L).otherwise(0L))
+          .as("n_clipped_hi"),
+        round(sum(col("__clip")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_clipped_cents"))
+  }
+
+  /** RFM segmentation (Hughes' recency/frequency/monetary quintile
+    * scoring — the classic customer-value model): per key, days since
+    * last event, event count, and total spend in cents, each cut into
+    * quintiles. Score 5 is best on every axis, so recency ntiles on
+    * days ASCENDING-inverted and the other two descending-inverted.
+    *
+    * Determinism: ntile is only well-defined under a TOTAL order, so
+    * every ranking tie-breaks on the key; metrics are exact integers
+    * (days, counts, cents). The reference "today" is the corpus max
+    * date (reproducible, like [[timeDecayAgg]]).
+    *
+    * Shape: one grouped agg to the per-key metric table, then three
+    * ntile windows over it — the windows are over the AGGREGATED
+    * table (one row per key), not the event stream, so the sort cost
+    * is key-sized. Global ntile is a single-partition window: at
+    * 100 TB key counts, swap to percent_rank over a range-partitioned
+    * sort or approx quantile cuts; the scores change by at most one
+    * bucket at the boundaries.
+    */
+  def rfmScores(df: DataFrame, keyCol: String, tsCol: String,
+                valCol: String, buckets: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2)
+    val m = df.select(col(keyCol),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).as("__d"),
+        round(col(valCol) * 100).cast("long").as("__cents"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__d")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col("__cents")).as("monetary_cents"))
+    val today = m.agg(max(col("__last")).as("__today"))
+    val t = m.crossJoin(broadcast(today))
+      .select(col(keyCol), (col("__today") - col("__last")).as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    def score(metric: Column, asc: Boolean): Column = {
+      val o = if (asc) Seq(metric.asc, col(keyCol).asc)
+              else Seq(metric.desc, col(keyCol).asc)
+      ntile(buckets).over(Window.orderBy(o: _*))
+    }
+    // recency: fewer days = better → rank days ASC and score 5-first
+    t.select(col(keyCol), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        (lit(buckets + 1) - score(col("recency_days"), asc = true))
+          .cast("int").as("r_score"),
+        (lit(buckets + 1) - score(col("frequency"), asc = false))
+          .cast("int").as("f_score"),
+        (lit(buckets + 1) - score(col("monetary_cents"), asc = false))
+          .cast("int").as("m_score"))
+  }
+
   def cohortRetention(df: DataFrame, keyCol: String,
                       tsCol: String): DataFrame = {
     val e = df.select(col(keyCol),

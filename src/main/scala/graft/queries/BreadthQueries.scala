@@ -694,6 +694,20 @@ object BreadthQueries {
         "user_id", "event_id", "event_type", "ts",
         gapSec = 300L, pathLen = 3, k = 20)),
 
+    // RFM quintile segmentation per user (reference today = corpus max
+    // date; every ntile under a key-tie-broken total order)
+    "agg_rfm_scores" -> ((s, dir) =>
+      graft.etl.Aggregation.rfmScores(
+        Tables.events(s, dir).select("user_id", "ts", "value"),
+        "user_id", "ts", "value")),
+
+    // robust mean: values clipped to exact [p05, p95] per event type,
+    // clipped cents summed as integers — tail-proof and engine-exact
+    "agg_winsorized_mean" -> ((s, dir) =>
+      graft.etl.Aggregation.winsorizedAgg(
+        Tables.events(s, dir).select("event_type", "value"),
+        "event_type", "value")),
+
     // half-life decay rollup: weight = 10⁶ div 2^(age div 3d) — the
     // stepped integer form of an exponential-decay counter, reference
     // instant = max(ts) so the result is reproducible
@@ -1200,6 +1214,55 @@ object BreadthQueries {
         |FROM (SELECT *, row_number() OVER (ORDER BY lift_micro DESC,
         |        ante ASC, cons ASC) AS rk FROM s)
         |WHERE rk <= 50""".stripMargin,
+
+    // same integer metrics and tie-broken ntiles (CAST to INTEGER —
+    // Spark emits int32)
+    "agg_rfm_scores" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    max(CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) AS INTEGER)) AS last_d,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT user_id,
+        |    (SELECT max(last_d) FROM m) - last_d AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM m)
+        |SELECT user_id, CAST(recency_days AS INTEGER) AS recency_days,
+        |  frequency, monetary_cents,
+        |  CAST(6 - ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC)
+        |    AS INTEGER) AS r_score,
+        |  CAST(6 - ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)
+        |    AS INTEGER) AS f_score,
+        |  CAST(6 - ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC)
+        |    AS INTEGER) AS m_score
+        |FROM t""".stripMargin,
+
+    // same quantile_cont bounds (DuckDB's interpolating twin of
+    // Spark's percentile), integer-cents clipped mean
+    "agg_winsorized_mean" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 4) AS p_lo,
+        |    round(quantile_cont(value, 0.95), 4) AS p_hi
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type, e.value, b.p_lo, b.p_hi,
+        |    CAST(round(greatest(least(e.value, b.p_hi), b.p_lo) * 100)
+        |      AS BIGINT) AS clip
+        |  FROM events e JOIN b USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  min(p_lo) AS p_lo, min(p_hi) AS p_hi,
+        |  CAST(sum(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_lo,
+        |  CAST(sum(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_hi,
+        |  CAST(round(CAST(sum(clip) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS mean_clipped_cents
+        |FROM c GROUP BY 1""".stripMargin,
 
     // same island sessionization + ordered string_agg path
     "window_session_paths" ->

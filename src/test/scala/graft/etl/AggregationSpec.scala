@@ -138,6 +138,38 @@ class AggregationSpec extends SparkSpec {
       "c" -> ((3L, 1L, 7.5))))
   }
 
+  test("winsorizedAgg: clip counts and integer-cents mean, " +
+    "hand-computed at p25/p75") {
+    // values 1..4 + spike 100: p25 = 2 (interpolated), p75 = 4 exactly?
+    // quantile_cont over [1,2,3,4,100]: p25 = 2.0, p75 = 4.0 → clips:
+    // 1→2 (lo), 100→4 (hi); clipped = 2,2,3,4,4 → mean 300 cents
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 100.0)).toDF("k", "v")
+    val r = Aggregation.winsorizedAgg(rows, "k", "v", 0.25, 0.75)
+      .collect().head
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) == ((5L, 2.0, 4.0, 1L, 1L, 300L)))
+  }
+
+  test("rfmScores: best-on-axis gets 5, ties break on key") {
+    import org.apache.spark.sql.functions.col
+    val day = 86400L
+    // u1: recent + frequent + big; u2: old + rare + small
+    val rows = Seq(
+      (1L, 9 * day, 10.0), (1L, 9 * day + 5, 10.0),
+      (2L, 0L, 1.0))
+      .toDF("user_id", "sec", "value")
+      .select(col("user_id"), col("sec").cast("timestamp").as("ts"),
+        col("value"))
+    val out = Aggregation.rfmScores(rows, "user_id", "ts", "value",
+        buckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4),
+          r.getInt(5), r.getInt(6)))).toMap
+    assert(out(1L) == ((0, 2L, 2000L, 2, 2, 2)))
+    assert(out(2L) == ((9, 1L, 100L, 1, 1, 1)))
+  }
+
   test("sessionPaths: gap islands, path truncation, frequency rank") {
     import org.apache.spark.sql.functions.col
     // u1: events at 0,10,20 (one session: a>b>c), then 400 (new
