@@ -519,6 +519,59 @@ object ScaleCheck {
         }
       }
     }
+    // Association-rules probe: ×32 replicas of lineitem baskets with
+    // DISJOINT basket AND item namespaces — pair enumeration is
+    // per-basket (C(L,2), L bounded), so candidates grow ×32 linearly
+    // and cross-replica pairs can't exist; the minCount filter and
+    // model-sized item stats ride along
+    locally {
+      def baskets(mult: Int) = {
+        val li = graft.model.Tables.lineitem(spark, sf)
+          .select(col("l_orderkey").as("b"),
+            col("l_partkey").cast("long").as("i"))
+        li.crossJoin(spark.range(mult).select(col("id").as("rep")))
+          .select((col("b") + col("rep") * 100000000L).as("b"),
+            (col("i") + col("rep") * 100000000L).as("i"))
+      }
+      if (Seq("assoc_rules_x1", "assoc_rules_x32").exists(only)) {
+        Seq(("x1", 1), ("x32", 32)).foreach { case (tag, m) =>
+          baskets(m).repartition(32).write.mode("overwrite")
+            .parquet(s"/tmp/assoc_baskets_$tag.parquet")
+          val bk = spark.read.parquet(s"/tmp/assoc_baskets_$tag.parquet")
+          time(s"assoc_rules_$tag") {
+            graft.etl.AssociationRules.mineRules(bk, "b", "i",
+              minCount = 2L, k = 50).count()
+          }
+        }
+      }
+    }
+    // Session-paths probe: ×32 replicas of events with disjoint user
+    // namespaces — sessions never merge across replicas; all windows
+    // share one per-user partition, path strings replicate ×32 but
+    // the path-count agg is partial-agg'd
+    locally {
+      def users(mult: Int) = {
+        val e = graft.model.Tables.events(spark, sf)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts"))
+        e.crossJoin(spark.range(mult).select(col("id").as("rep")))
+          .select((col("user_id") + col("rep") * 100000000L).as("user_id"),
+            (col("event_id") + col("rep") * 1000000000L).as("event_id"),
+            col("event_type"), col("ts"))
+      }
+      if (Seq("session_paths_x1", "session_paths_x32").exists(only)) {
+        Seq(("x1", 1), ("x32", 32)).foreach { case (tag, m) =>
+          users(m).repartition(32).write.mode("overwrite")
+            .parquet(s"/tmp/spath_events_$tag.parquet")
+          val ev2 = spark.read.parquet(s"/tmp/spath_events_$tag.parquet")
+          time(s"session_paths_$tag") {
+            graft.etl.Aggregation.sessionPaths(ev2, "user_id", "event_id",
+              "event_type", "ts", gapSec = 300L, pathLen = 3, k = 20)
+              .count()
+          }
+        }
+      }
+    }
     // KS drift at ×32: one hash agg to distinct values + the
     // hierarchical prefix — distinct-value growth rides the agg, no
     // global sort to blow up
