@@ -519,6 +519,39 @@ object ScaleCheck {
         }
       }
     }
+    // Power-iteration probe: ×32 row-replicated embeddings (disjoint
+    // vec_ids) — the corpus-sized stage is the d²-amplifying pairwise
+    // moment pass (linear in rows, d² cells fixed); the driver-side
+    // iteration is constant. Covariance of replicated data is
+    // unchanged, so the result must be identical too — checked
+    locally {
+      def embN(mult: Int) = {
+        val e = graft.model.Tables.embeddings(spark, sf)
+          .select(col("vec_id"), col("embedding"))
+        e.crossJoin(spark.range(mult).select(col("id").as("rep")))
+          .select((col("vec_id") + col("rep") * 100000000L).as("vec_id"),
+            col("embedding"))
+      }
+      if (Seq("power_iter_x1", "power_iter_x32").exists(only)) {
+        var first: Array[(Int, Long)] = null
+        Seq(("x1", 1), ("x32", 32)).foreach { case (tag, m) =>
+          embN(m).repartition(32).write.mode("overwrite")
+            .parquet(s"/tmp/pi_emb_$tag.parquet")
+          val em = spark.read.parquet(s"/tmp/pi_emb_$tag.parquet")
+          var out: Array[(Int, Long)] = null
+          time(s"power_iter_$tag") {
+            out = graft.similarity.Similarity.topPrincipalDirection(
+                em, "vec_id", "embedding")
+              .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+            out.length.toLong
+          }
+          if (first == null) first = out
+          else println(s"[info] power_iter direction stable under x32 " +
+            s"replication: ${java.util.Arrays.equals(
+              first.map(_._2), out.map(_._2))}")
+        }
+      }
+    }
     // Association-rules probe: ×32 replicas of lineitem baskets with
     // DISJOINT basket AND item namespaces — pair enumeration is
     // per-basket (C(L,2), L bounded), so candidates grow ×32 linearly

@@ -101,10 +101,9 @@ object Triangles {
     *   assortativity = (4·M·Σjk − B²) / (2·M·Σ(j²+k²) − B²),
     *                   B = Σ(j+k) over the M canonical edges
     * (Newman's eq. 4 with numerator and denominator cleared of the
-    * 1/M factors). Both round to 6 dp only at the very end. Long
-    * arithmetic holds to ~10⁸ edges at the harness degree scale;
-    * beyond that swap the three sums to decimal(38,0) — the plan
-    * shape is unchanged.
+    * 1/M factors). Both round to 6 dp only at the very end. The three
+    * edge sums are decimal(38,0): M·ΣD grows as M², past a long at
+    * ~10⁷ edges — decimal keeps the fractions exact at any size.
     *
     * Scale shape: [[triangleCounts]] supplies T; the rest is one
     * degree agg + two node-sized hash joins onto the edge list + a
@@ -129,9 +128,13 @@ object Triangles {
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
       .agg(count(lit(1)).as("n_edges"),
-        sum(col("du") * col("dv")).as("__a"),
-        sum(col("du") + col("dv")).as("__b"),
-        sum(col("du") * col("du") + col("dv") * col("dv")).as("__d"))
+        // decimal(38,0) sums: M·ΣD grows as M² and overflows a long
+        // past ~10⁷ edges — decimal keeps Newman's cleared fractions
+        // exact at any graph size (DuckDB's HUGEINT twin likewise)
+        sum((col("du") * col("dv")).cast("decimal(38,0)")).as("__a"),
+        sum((col("du") + col("dv")).cast("decimal(38,0)")).as("__b"),
+        sum((col("du") * col("du") + col("dv") * col("dv"))
+          .cast("decimal(38,0)")).as("__d"))
     nodeStats.crossJoin(triStats).crossJoin(edgeStats)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         col("n_wedges"),

@@ -1122,9 +1122,10 @@ object Similarity {
     * integers inside, one IEEE sqrt (correctly rounded on every
     * platform, unlike ln) and one division at the end, rounded to
     * 4 dp. A zero-variance dimension standardizes to NULL rather than
-    * a division blow-up. Overflow: n·Σx² in micro² holds to ~10⁸ rows
-    * at |x|≤1 embedding scale; past that the moment sums switch to
-    * decimal(38,0) with the plan shape unchanged.
+    * a division blow-up. The second moments sum as decimal(38,0) —
+    * n·Σx² grows as n² and would overflow a long past ~20k rows at
+    * embedding scale (a ScaleCheck-probe-caught bound), while decimal
+    * keeps the cleared fraction exact to 10³⁸.
     *
     * Scale shape: one posexplode + ONE hash agg to the dim-sized
     * moment table (64 rows — model-sized), broadcast back onto the
@@ -1225,19 +1226,23 @@ object Similarity {
       col("__xm").as("__xa"))
     val b = x.select(col("__id"), col("dim").as("dim_b"),
       col("__xm").as("__xb"))
+    // second moments in decimal(38,0) and the cleared fractions in
+    // decimal arithmetic: n·Σxy grows as n² (long-overflow past ~20k
+    // rows at embedding scale — probe-caught bound, see
+    // topPrincipalDirection)
     val m = a.join(b, "__id").where(col("dim_a") < col("dim_b"))
       .groupBy(col("dim_a"), col("dim_b"))
       .agg(count(lit(1)).as("__n"),
         sum(col("__xa")).as("__sx"), sum(col("__xb")).as("__sy"),
-        sum(col("__xa") * col("__xa")).as("__sxx"),
-        sum(col("__xb") * col("__xb")).as("__syy"),
-        sum(col("__xa") * col("__xb")).as("__sxy"))
-    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
-      .cast("double")
-    val vx = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
-      .cast("double")
-    val vy = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
-      .cast("double")
+        sum((col("__xa") * col("__xa")).cast("decimal(38,0)")).as("__sxx"),
+        sum((col("__xb") * col("__xb")).cast("decimal(38,0)")).as("__syy"),
+        sum((col("__xa") * col("__xb")).cast("decimal(38,0)")).as("__sxy"))
+    val num = (col("__n") * col("__sxy") -
+      col("__sx").cast("decimal(38,0)") * col("__sy")).cast("double")
+    val vx = (col("__n") * col("__sxx") -
+      col("__sx").cast("decimal(38,0)") * col("__sx")).cast("double")
+    val vy = (col("__n") * col("__syy") -
+      col("__sy").cast("decimal(38,0)") * col("__sy")).cast("double")
     val scored = m.select(col("dim_a"), col("dim_b"),
         when(vx > 0 && vy > 0,
           round(num / (sqrt(vx) * sqrt(vy)), 6)).as("corr"))
@@ -1300,16 +1305,22 @@ object Similarity {
       .toMap
     val d = d1.size
     val n = d1.values.head._1
+    // product-moment sums in decimal(38,0): n·Σxy grows as n², which
+    // overflows a long past ~5k rows at embedding scale — this probe-
+    // caught bound is why the cleared fraction is BigInt on the driver
+    // (the SQL twin is exact the same way: DuckDB sums into HUGEINT)
     val pm = x.select(col("__id"), col("dim").as("i"), col("__xm").as("xa"))
       .join(x.select(col("__id"), col("dim").as("j"),
         col("__xm").as("xb")), "__id")
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("xa") * col("xb")).as("sxy"))
+      .agg(sum((col("xa") * col("xb")).cast("decimal(38,0)")).as("sxy"))
       .collect()
     val c = Array.ofDim[Long](d, d)
     pm.foreach { r =>
-      val (i, j, sxy) = (r.getInt(0), r.getInt(1), r.getLong(2))
-      val cleared = n * sxy - d1(i)._2 * d1(j)._2
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val sxy = BigInt(r.getDecimal(2).toBigInteger)
+      val cleared = BigInt(n) * sxy -
+        BigInt(d1(i)._2) * BigInt(d1(j)._2)
       c(i)(j) = roundAway(cleared.toDouble / (n.toDouble * n.toDouble))
     }
     var v = Array.fill(d)(1000000L)
@@ -1335,12 +1346,16 @@ object Similarity {
         posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col(idCol), col("dim"),
         round(col("v").cast("double") * 1e6).cast("long").as("__x"))
+    // second moments in decimal(38,0): n·Σx² grows as n² and would
+    // overflow a long past ~20k rows at embedding scale (probe-caught
+    // bound); decimal keeps the cleared fraction exact to 10³⁸
     val stats = x.groupBy(col("dim"))
       .agg(count(lit(1)).as("__n"),
         sum(col("__x")).as("__s1"),
-        sum(col("__x") * col("__x")).as("__s2"))
+        sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__s2"))
       .withColumn("__varnum",
-        col("__n") * col("__s2") - col("__s1") * col("__s1"))
+        col("__n") * col("__s2") -
+          col("__s1").cast("decimal(38,0)") * col("__s1"))
     x.join(broadcast(stats), "dim")
       .select(col(idCol), col("dim"),
         when(col("__varnum") > 0,
