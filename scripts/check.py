@@ -38,10 +38,28 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         ok = list(got.columns) == list(want.columns) and len(got) == len(want)
         if ok:
-            import pandas as pd
+            import pandas as pd, numpy as np
             try:
-                pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                # driver-faithful: dtype-strict (HUGEINT-vs-BIGINT leaks
+                # as object-vs-int64 here) ...
+                pd.testing.assert_frame_equal(got, want, check_dtype=True,
                                               check_exact=True)
+                # ... and signed-zero/bit-pattern-strict on float columns
+                # (assert_frame_equal treats -0.0 == 0.0; the driver's
+                # value hash does not)
+                for c in got.columns:
+                    if got[c].dtype.kind == "f":
+                        gb = np.asarray(got[c], dtype="f8").tobytes()
+                        wb = np.asarray(want[c], dtype="f8").tobytes()
+                        if gb != wb:
+                            bad = np.where(
+                                np.asarray(got[c], "f8").view("i8") !=
+                                np.asarray(want[c], "f8").view("i8"))[0][:5]
+                            raise AssertionError(
+                                f"float col {c} bit mismatch at rows "
+                                f"{bad.tolist()}: "
+                                f"got {[got[c].iloc[i] for i in bad]} "
+                                f"want {[want[c].iloc[i] for i in bad]}")
             except AssertionError as e:
                 ok = False
                 print(f"FAIL {name}: value mismatch: {str(e)[:400]}")

@@ -82,11 +82,14 @@ object Bench {
     // has been head-truncated two rounds running. So (a) persist the full
     // JSON to a file, and (b) make the LAST stdout line a compact summary
     // that always survives tail capture and parses standalone.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_full.json")
+    // repo-relative stable path (sbt runs with cwd = repo root) so the
+    // driver can read the untruncated JSON even when the stdout tail
+    // window clips the full per-query line
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(outFile),
-        (full + "\n").getBytes("UTF-8"))
+      val p = java.nio.file.Paths.get(outFile)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () /* bench numbers still go to stdout */ }
     println(full)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${med.size},"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"sf":"$sfDir","full_json":"$outFile"}""")

@@ -1188,10 +1188,13 @@ object BreadthQueries {
         |WHERE levenshtein(a.nm, b.nm) <= 1""".stripMargin,
 
     // same count arithmetic; N and item counts from the same distinct
-    // basket-item table
+    // basket-item table. conf/lift are round-half-up via exact integer
+    // arithmetic — (2·num + den) // (2·den) in HUGEINT — matching the
+    // Spark side's decimal(38,0) div (no doubles: N·c(ab)·10⁶ exceeds
+    // 2⁵³ at corpus scale, where double rounding would diverge)
     "agg_association_rules" ->
       """WITH bi AS (
-        |  SELECT DISTINCT l_orderkey AS b, CAST(l_partkey AS BIGINT) AS i
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),
         |n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
         |it AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM bi GROUP BY 1),
@@ -1204,8 +1207,11 @@ object BreadthQueries {
         |  UNION ALL SELECT ib, ia, cab FROM pr),
         |s AS (
         |  SELECT d.ante, d.cons, d.cab AS pair_n,
-        |    CAST(round(d.cab * 1000000 / ca.ci) AS BIGINT) AS conf_micro,
-        |    CAST(round(n.n * d.cab * 1000000.0 / (ca.ci * cb.ci)) AS BIGINT)
+        |    CAST((2 * CAST(d.cab AS HUGEINT) * 1000000 + ca.ci)
+        |         // (2 * ca.ci) AS BIGINT) AS conf_micro,
+        |    CAST((2 * CAST(n.n AS HUGEINT) * d.cab * 1000000
+        |            + CAST(ca.ci AS HUGEINT) * cb.ci)
+        |         // (2 * CAST(ca.ci AS HUGEINT) * cb.ci) AS BIGINT)
         |      AS lift_micro
         |  FROM d JOIN it ca ON d.ante = ca.i JOIN it cb ON d.cons = cb.i
         |  CROSS JOIN n)
@@ -1485,7 +1491,7 @@ object BreadthQueries {
         |  FROM counts ORDER BY cnt DESC, key LIMIT 10)
         |SELECT rank, key, cnt,
         |  cnt * 1000000 // total_rows AS share_ppm,
-        |  cum_cnt * 1000000 // total_rows AS cum_share_ppm,
+        |  CAST(cum_cnt * 1000000 // total_rows AS BIGINT) AS cum_share_ppm,
         |  n_keys, total_rows, p50_cnt, p99_cnt, max_cnt,
         |  round(CAST(max_cnt AS DOUBLE) * n_keys / total_rows, 6)
         |    AS skew_ratio,

@@ -2357,7 +2357,7 @@ object NorthStarQueries {
         |  FROM ph GROUP BY 1),
         |scored AS (
         |  SELECT p.phrase, p.n_words, p.phrase_count,
-        |    sum(ws.score_micro) AS score_micro
+        |    CAST(sum(ws.score_micro) AS BIGINT) AS score_micro
         |  FROM (SELECT phrase, n_words, phrase_count,
         |          unnest(string_split(phrase, ' ')) AS w
         |        FROM pc) p
@@ -3926,7 +3926,7 @@ object NorthStarQueries {
         |SELECT x.vec_id, CAST(x.dim AS INTEGER) AS dim,
         |  CASE WHEN v.varnum > 0 THEN
         |    round(CAST(v.n * x.xm - v.s1 AS DOUBLE)
-        |          / sqrt(CAST(v.varnum AS DOUBLE)), 4)
+        |          / sqrt(CAST(v.varnum AS DOUBLE)), 4) + 0.0
         |  END AS z
         |FROM x JOIN v ON x.dim = v.dim""".stripMargin,
 

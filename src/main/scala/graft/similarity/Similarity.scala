@@ -1359,8 +1359,10 @@ object Similarity {
     x.join(broadcast(stats), "dim")
       .select(col(idCol), col("dim"),
         when(col("__varnum") > 0,
+          // + 0.0 clears IEEE -0.0 (engines disagree on round's sign
+          // preservation for tiny negatives; +0.0 is sign-safe on both)
           round((col("__n") * col("__x") - col("__s1")).cast("double")
-            / sqrt(col("__varnum").cast("double")), 4))
+            / sqrt(col("__varnum").cast("double")), 4) + lit(0.0))
           .as("z"))
   }
 }

@@ -390,19 +390,34 @@ object TextAnalysis {
     * broadcast-joined to the scored positions on the n-gram key — the
     * scored corpus never shuffles on a text key; N and V fold IN-PLAN
     * as a broadcast 1-row aggregate (no driver count). Past
-    * executor-sized vocabularies drop the broadcast hints — each join
-    * key is its model's own group-by key, so sort-merge reuses the
-    * model-side exchange. FP discipline as [[unigramLogProb]]:
+    * executor-sized vocabularies the broadcast hints DROP — decided by
+    * `maxBroadcastModelRows` against the train-slice token count
+    * (distinct n-grams per order ≤ n-gram positions ≤ train tokens, so
+    * the bound is conservative), measured by one cheap map-side
+    * scan+1-row collect before planning. Each join key is its model's
+    * own group-by key, so the sort-merge fallback reuses the
+    * model-side exchange. The default threshold (5×10⁷ train tokens
+    * ≈ ≤50 M rows/model table ≈ low-GB broadcast) keeps the map-only
+    * scoring path for trusted-slice-sized models; a 100 TB-vocabulary
+    * model takes the shuffle join instead of OOMing the driver.
+    * FP discipline as [[unigramLogProb]]:
     * per-position log-scores in integer micro-nats, DECIMAL sums, one
     * double division at the end. Held-out docs with fewer than three
     * tokens have no trigram positions and are absent from the output.
     */
   def stupidBackoffLogScore(df: DataFrame, idCol: String, textCol: String,
                             isTrain: Column,
-                            alpha: Double = 0.4): DataFrame = {
+                            alpha: Double = 0.4,
+                            maxBroadcastModelRows: Long = 50000000L): DataFrame = {
     import graft.functions.VectorExprs.token_ngrams
     val base = df.select(col(idCol), isTrain.as("__train"),
       tokens(col(textCol)).as("__t"))
+    // broadcast-or-shuffle decision: ONE bounded 1-row collect over the
+    // train slice (map-side sum of token counts, no text-key shuffle)
+    val trainTokens: Long = base.where(col("__train"))
+      .agg(coalesce(sum(size(col("__t"))), lit(0L)).as("n")).head.getLong(0)
+    val hint: DataFrame => DataFrame =
+      if (trainTokens <= maxBroadcastModelRows) broadcast(_) else identity
     def positions(n: Int, train: Boolean) = base
       .where(if (train) col("__train") else !col("__train"))
       .select(col(idCol), explode(token_ngrams(col("__t"), n)).as("ng"))
@@ -432,12 +447,12 @@ object TextAnalysis {
           log((coalesce(col("c1"), lit(0L)) + 1) /
             (col("n_total") + col("v_size"))))
     test
-      .join(broadcast(tri), Seq("ng"), "left")
-      .join(broadcast(ctx2), Seq("w12"), "left")
-      .join(broadcast(bi), Seq("w23"), "left")
-      .join(broadcast(ctx1), Seq("w2"), "left")
-      .join(broadcast(uni), Seq("w3"), "left")
-      .crossJoin(broadcast(nv))
+      .join(hint(tri), Seq("ng"), "left")
+      .join(hint(ctx2), Seq("w12"), "left")
+      .join(hint(bi), Seq("w23"), "left")
+      .join(hint(ctx1), Seq("w2"), "left")
+      .join(hint(uni), Seq("w3"), "left")
+      .crossJoin(broadcast(nv)) // 1 row — always broadcast
       .select(col(idCol),
         round(score * 1e6, 0)
           .cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("lp6"),

@@ -24,6 +24,20 @@ class AssociationRulesSpec extends SparkSpec {
       (2L, 1L, 3L, 750000L, 1125000L, 2)))
   }
 
+  test("string item ids survive (no lossy numeric cast)") {
+    // pre-fix, cast("long") nulled every alphabetic id → one pseudo-item
+    val rows = Seq((1L, "ml"), (1L, "nlp"), (2L, "ml"), (2L, "nlp"),
+      (3L, "ml")).toDF("basket", "item")
+    val out = AssociationRules.mineRules(rows, "basket", "item", 2L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // N=3, c(ml)=3, c(nlp)=2, c(ml,nlp)=2
+    // ml→nlp conf 2/3→666667, lift 3·2/(3·2)=1→1000000; nlp→ml conf 10⁶
+    assert(out.toSet == Set(
+      ("ml", "nlp", 2L, 666667L, 1000000L),
+      ("nlp", "ml", 2L, 1000000L, 1000000L)))
+  }
+
   test("duplicate items within a basket collapse before counting") {
     val rows = Seq((1L, 7L), (1L, 7L), (1L, 8L), (2L, 7L), (2L, 8L))
       .toDF("basket", "item")

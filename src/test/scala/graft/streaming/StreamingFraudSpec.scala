@@ -161,6 +161,82 @@ class StreamingFraudSpec extends SparkSpec {
       s"TRIM_HORIZON must replay backlog + fresh, got $trimUsers")
   }
 
+  // raw-schema writer with explicit rows, for state-continuity fixtures
+  private def writeRawEvents(dir: String, name: String,
+                             rows: Seq[(Long, Long, Long, Double)]): Unit = {
+    rows.map { case (id, tsNanos, u, v) => (id, tsNanos, u, "purchase", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(s"$dir/__stage_$name")
+    val src = new java.io.File(s"$dir/__stage_$name").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    src.renameTo(new java.io.File(s"$dir/$name.parquet"))
+    new scala.reflect.io.Directory(new java.io.File(s"$dir/__stage_$name"))
+      .deleteRecursively()
+  }
+
+  test("stop after batch N + restart from checkpoint = uninterrupted final " +
+    "state, incl. window state SPANNING the stop (T7 crash recovery)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = 1704067200000000000L // 2024-01-01 in nanos
+    def sec(s: Long) = base + s * 1000000000L
+    // user 7's [0,10) window gets 100.0 before the stop and 100.0 after;
+    // EACH HALF is below the 150 threshold — the correct (7, 200.0)
+    // emission after restart is only possible if the restarted query
+    // recovered the partial sum AND the watermark from the checkpoint
+    val fileA = Seq((1L, sec(0), 7L, 100.0), (2L, sec(5), 8L, 60.0))
+    val fileC = Seq((3L, sec(3), 7L, 100.0), (4L, sec(2000), 9L, 200.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_t7").toString
+    writeRawEvents(dir, "a", fileA)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t7_ckpt").toString
+    val seen = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, Long, Double)]()
+    def start(trigger: Trigger) = {
+      val raw = StreamingFraud.eventsStream(spark, dir, "*.parquet")
+      StreamingFraud.fraudStream(raw, 10, 150.0)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          b.collect().foreach(r => seen.add(
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))); ()
+        })
+        .trigger(trigger).start()
+    }
+    // run 1: process file a, then STOP — watermark is sec(-5), so
+    // user 7's window is still open: all its state lives in the store
+    val q1 = start(Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(seen.isEmpty, s"nothing should emit before the stop, got $seen")
+    // data arrives while the query is down
+    writeRawEvents(dir, "c", fileC)
+    // run 2: restart from the SAME checkpoint and drain
+    val q2 = start(Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    val resumed = seen.asScala.toSet
+    assert(resumed.exists { case (u, ws, _, v) =>
+      u == 7L && ws == sec(0) / 1000000000L && v == 200.0 },
+      s"restored state must complete user 7's cross-stop window: $resumed")
+    // restart resumed from the bookmark: only file c's rows were read
+    assert(q2.recentProgress.map(_.numInputRows).sum == fileC.size,
+      q2.recentProgress.map(_.numInputRows).mkString(","))
+    // reference: uninterrupted run over the same data, fresh checkpoint
+    val ckptRef = java.nio.file.Files.createTempDirectory("graft_t7_ref").toString
+    val seenRef = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, Long, Double)]()
+    val raw = StreamingFraud.eventsStream(spark, dir, "*.parquet")
+    val qRef = StreamingFraud.fraudStream(raw, 10, 150.0)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckptRef)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        b.collect().foreach(r => seenRef.add(
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))); ()
+      })
+      .trigger(Trigger.AvailableNow()).start()
+    qRef.awaitTermination(120000)
+    assert(resumed == seenRef.asScala.toSet,
+      s"stop+resume must equal the uninterrupted run: $resumed vs $seenRef")
+  }
+
   test("AvailableNow rerun on the same checkpoint processes nothing (bookmark, T10)") {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString

@@ -266,6 +266,40 @@ class TextAnalysisSpec extends SparkSpec {
       "micro-nat decimal sums are order-invariant")
   }
 
+  test("stupid backoff: past maxBroadcastModelRows the model joins drop " +
+    "their broadcast hints (shuffle-join path), with identical results") {
+    val fluent = "the cat sat on the mat and the dog ran to the gate"
+    val docs = ((1L to 8L).map(i => (i, fluent)) ++ Seq(
+      (100L, fluent), (101L, "zz qq xx vv kk jj ww pp"),
+      (102L, "the cat sat on the rug today"))).toDF("doc_id", "text")
+    val bcast = TextAnalysis.stupidBackoffLogScore(
+        docs, "doc_id", "text", col("doc_id") < 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // threshold 0 forces the executor-memory-sized-model regime
+    val big = TextAnalysis.stupidBackoffLogScore(
+      docs, "doc_id", "text", col("doc_id") < 100L,
+      maxBroadcastModelRows = 0L)
+    // pin the plan with size-based auto-broadcast off, so "no hint"
+    // is visible as a genuine shuffle join in the static plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val noHint = TextAnalysis.stupidBackoffLogScore(
+        docs, "doc_id", "text", col("doc_id") < 100L,
+        maxBroadcastModelRows = 0L)
+      val p = noHint.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"),
+        s"model joins must fall back to shuffle joins\n$p")
+      assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+        .findAllIn(p).size == 1,
+        s"only the 1-row N/V aggregate may still broadcast\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val shuffled = big.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(shuffled == bcast, "both join strategies must agree exactly")
+  }
+
   test("bigram LM scores shuffled text below fluent text (the signal " +
     "the unigram model cannot see)") {
     val fluent = "the cat sat on the mat and the dog sat on the rug"
