@@ -706,7 +706,60 @@ object ScaleCheck128 {
       val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
+    // the documents replica write is itself minutes at ×128 — skip it
+    // when a name filter selects only the lineitem/events probes
+    val docProbes = Seq("dedup_jaccard_inv", "text_line_dedup",
+      "dedup_containment_batch", "dedup_cont_sketch", "text_boilerplate",
+      "dedup_substring", "substr_index_build", "substr_batch_join")
     for (mult <- Seq(32, 128)) {
+      // association rules ×mult: cost = per-basket pair enumeration
+      // (bounded by basket size, unchanged under replication) + one
+      // partial-agg'd shuffle keyed by item pair. The bijective
+      // per-replica remap of BOTH ids multiplies distinct pairs (and so
+      // shuffle volume) by the corpus ratio while per-pair counts stay
+      // fixed — a superlinear ×128/×32 ratio would expose a
+      // pair-explosion df² term the ×32 probe can't see.
+      if (only(s"agg_assoc_rules_x$mult")) {
+        val li = graft.model.Tables.lineitem(spark, sf)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .crossJoin(spark.range(mult).select(col("id").as("rep")))
+          .select((col("l_orderkey") + col("rep") * 100000000000L).as("b"),
+            (col("l_partkey") + col("rep") * 100000000000L).as("i"))
+        li.repartition(32).write.mode("overwrite")
+          .parquet(s"/tmp/lineitem_x$mult.parquet")
+        val rep = spark.read.parquet(s"/tmp/lineitem_x$mult.parquet")
+        println(s"x$mult lineitem rows=${rep.count()}")
+        time(s"agg_assoc_rules_x$mult") {
+          graft.etl.AssociationRules.mineRules(rep, "b", "i",
+            minCount = 2L, k = 50).count()
+        }
+      }
+      // session paths ×mult: per-user windows (sessionize, first-3
+      // collect) under a user remap — sessions never span replicas, so
+      // path-string length is invariant and the only growth axis is
+      // user count (shuffle volume). The top-20 paths are identical
+      // across replicas with counts ×mult (cross-size determinism);
+      // superlinear time would expose path-string/state growth.
+      if (only(s"window_session_paths_x$mult")) {
+        val ev = graft.model.Tables.events(spark, sf)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts"))
+          .crossJoin(spark.range(mult).select(col("id").as("rep")))
+          .select((col("user_id") + col("rep") * 1000000000L).as("user_id"),
+            (col("event_id") + col("rep") * 1000000000000L).as("event_id"),
+            col("event_type"), col("ts"))
+        ev.repartition(32).write.mode("overwrite")
+          .parquet(s"/tmp/events_x$mult.parquet")
+        val rep = spark.read.parquet(s"/tmp/events_x$mult.parquet")
+        println(s"x$mult events rows=${rep.count()}")
+        time(s"window_session_paths_x$mult") {
+          graft.etl.Aggregation.sessionPaths(rep, "user_id", "event_id",
+            "event_type", "ts", gapSec = 300L, pathLen = 3, k = 20).count()
+        }
+      }
+      if (!docProbes.exists(p => only(s"${p}_x$mult"))) {
+        // no documents probe selected at this size — skip the replica
+      } else {
       val d = replicate(mult)
       println(s"x$mult rows=${d.count()}")
       time(s"dedup_jaccard_inv_x$mult") {
@@ -772,6 +825,7 @@ object ScaleCheck128 {
         graft.text.TextAnalysis.substringDedupIncremental(
           wins.where(col("doc_id") < 1000000L && col("doc_id") % 10 === 7),
           spark.table(s"graft_win_index_sc$mult"), "doc_id", 8).count()
+      }
       }
     }
     spark.stop()

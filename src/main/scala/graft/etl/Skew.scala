@@ -62,7 +62,11 @@ object Skew {
     // localCheckpoint: the stats and top-k branches both consume the
     // key-count table; without pinning it, each branch would re-derive
     // the subtree and the CORPUS would scan twice (DataFrames have no
-    // common-subtree reuse). The pinned table is |keys| rows.
+    // common-subtree reuse). The pinned table is |keys| rows and lives
+    // in executor STORAGE memory — fine while |keys| ≪ |rows| (the
+    // profiling regime); for a billion-key profile swap to
+    // persist(StorageLevel.DISK_ONLY) so the pin spills instead of
+    // evicting under memory pressure.
     val counts = df.groupBy(col(keyCol).cast("long").as("key"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()

@@ -607,4 +607,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("agg_association_rules: partial-agg'd pair counts, broadcast " +
+    "1-row N, heap top-k — never a cartesian") {
+    val p = plan("agg_association_rules")
+    assert(!p.contains("CartesianProduct"), p)
+    // pair groupBy + item stats + N each aggregate partially before
+    // their exchange (map-side combine is what bounds the pair shuffle)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "partial + final aggregation expected\n" + p)
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row basket-count must broadcast\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 by lift must be a bounded heap, not a global sort\n" + p)
+  }
+
+  test("text_rake_keywords: word scores broadcast onto the phrase " +
+    "explode; heap top-k; no cartesian") {
+    val p = plan("text_rake_keywords")
+    assert(p.contains("BroadcastHashJoin"),
+      "word-score join must broadcast (vocabulary-sized model)\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-25 by score must be a bounded heap\n" + p)
+  }
+
+  test("etl_profile_table: ONE corpus scan feeding the struct-array " +
+    "aggregate; Expand is the documented exact-distinct cost") {
+    val p = plan("etl_profile_table")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size == 1,
+      "the profiler must read the table exactly once\n" + p)
+    assert(p.contains("Expand"),
+      "exact multi-column distinct plans through Expand (documented; " +
+        "approx_count_distinct is the 100 TB swap)\n" + p)
+    assert(!p.contains("Join"), "profile is a pure aggregation\n" + p)
+  }
 }
