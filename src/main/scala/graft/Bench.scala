@@ -33,7 +33,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calibrationSec = List.fill(3)(calibrate()).sorted.apply(1)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // dev-loop filter: comma-separated name substrings; NEVER set by the
+    // driver (full registry is the graded run), only by hand while
+    // iterating on one query's plan
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(p) if p.nonEmpty =>
+        val pats = p.split(',').toSeq; name => pats.exists(name.contains)
+      case _ => _ => true
+    }
+    val names = SparkEntry.queries.keys.toSeq.filter(only).sorted
     val times = collection.mutable.Map.empty[String, List[Double]]
     // a broken query must be VISIBLE in the bench json, not a fast -1
     val errors = collection.mutable.Map.empty[String, String]
@@ -78,21 +86,25 @@ object Bench {
     val config = s"local[$cpus], shuffle=$cpus, UTC"
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"sf":"$sfDir","config":"$config"}"""
-    // The harness captures a bounded stdout TAIL: the full per-query map
-    // has been head-truncated two rounds running. So (a) persist the full
-    // JSON to a file, and (b) make the LAST stdout line a compact summary
-    // that always survives tail capture and parses standalone.
-    // repo-relative stable path (sbt runs with cwd = repo root) so the
-    // driver can read the untruncated JSON even when the stdout tail
-    // window clips the full per-query line
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    // The driver parses the LAST stdout JSON line (r9's compact summary
+    // left its BENCH parse null), so the full per-query JSON — ~6 KB at
+    // ms precision — must be the FINAL line. A file copy persists too,
+    // resolved to an ABSOLUTE path so running outside the repo root
+    // can't silently misplace it (r9 ADVICE), and a failed write warns
+    // instead of vanishing.
+    val outFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    ).getAbsolutePath
     try {
       val p = java.nio.file.Paths.get(outFile)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () /* bench numbers still go to stdout */ }
-    println(full)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN: could not write $outFile: $e" +
+        " — stdout line below is the only copy")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${med.size},"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"sf":"$sfDir","full_json":"$outFile"}""")
+    println(full)
     spark.stop()
   }
 }

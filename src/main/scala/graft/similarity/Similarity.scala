@@ -1197,6 +1197,38 @@ object Similarity {
         col("within_a_micro"), col("within_b_micro"))
   }
 
+  /** Exact hi/lo split sum of a per-row long product — the codegen-
+    * friendly replacement for `sum(p.cast(decimal(38,0)))` on the n·d²
+    * moment streams. ed71c05 moved these sums to decimal(38,0) to kill
+    * a probe-caught n² long overflow; that fix was exact but paid a
+    * per-row `Decimal` allocation through the hottest self-join in the
+    * registry (bench r9: sim_dim_correlation 2.75× its anchor). The
+    * split keeps the per-row work in plain long arithmetic instead.
+    *
+    * Identity (two's complement, arithmetic shift — exact for negative
+    * products too): `p = (p >> 31)·2³¹ + (p & (2³¹−1))`, hence
+    * `Σp = 2³¹·Σhi + Σlo` EXACTLY, with both partial sums plain longs
+    * that whole-stage codegen keeps in registers. Overflow bounds per
+    * aggregation group of n rows: Σlo ∈ [0, n·2³¹) → safe for
+    * n < 2³² ≈ 4.3·10⁹ rows; |Σhi| ≤ n·max|p|/2³¹ → at micro-unit
+    * embedding scale (|x| ≤ ~2·10⁶ ⇒ |p| ≤ 4·10¹²) safe to n ≈ 5·10¹⁵.
+    * Past ~4·10⁹ rows PER GROUP, add a second split level (>> 62 / two
+    * masks) or pre-aggregate per partition stratum; [[splitTotal]] —
+    * the only decimal arithmetic left — runs once per OUTPUT group
+    * (d² rows), not per input row. SimilaritySpec pins bit-equality
+    * against the decimal path on a fixture whose plain-long sum
+    * provably overflows.
+    */
+  private[graft] val SplitShift = 31
+  private[graft] val SplitBase = 1L << SplitShift
+  private[graft] def splitSumHi(p: Column): Column =
+    sum(shiftright(p, SplitShift))
+  private[graft] def splitSumLo(p: Column): Column =
+    sum(p.bitwiseAND(lit(SplitBase - 1)))
+  private[graft] def splitTotal(hi: Column, lo: Column): Column =
+    (hi.cast("decimal(38,0)") * lit(SplitBase) +
+      lo.cast("decimal(38,0)")).cast("decimal(38,0)")
+
   /** Top-|correlation| embedding-dimension pairs — the redundancy
     * profile of a feature space: strongly correlated dimensions mean
     * wasted index width and motivate whitening/PCA before ANN (the
@@ -1226,17 +1258,26 @@ object Similarity {
       col("__xm").as("__xa"))
     val b = x.select(col("__id"), col("dim").as("dim_b"),
       col("__xm").as("__xb"))
-    // second moments in decimal(38,0) and the cleared fractions in
-    // decimal arithmetic: n·Σxy grows as n² (long-overflow past ~20k
-    // rows at embedding scale — probe-caught bound, see
-    // topPrincipalDirection)
+    // second moments via the exact hi/lo long split ([[splitSumHi]]):
+    // Σxy overflows a long past ~20k rows at embedding scale (probe-
+    // caught bound, see topPrincipalDirection), but the split partials
+    // stay plain codegen'd longs through the n·d² self-join stream —
+    // decimal arithmetic runs only on the d² OUTPUT groups below
     val m = a.join(b, "__id").where(col("dim_a") < col("dim_b"))
       .groupBy(col("dim_a"), col("dim_b"))
       .agg(count(lit(1)).as("__n"),
         sum(col("__xa")).as("__sx"), sum(col("__xb")).as("__sy"),
-        sum((col("__xa") * col("__xa")).cast("decimal(38,0)")).as("__sxx"),
-        sum((col("__xb") * col("__xb")).cast("decimal(38,0)")).as("__syy"),
-        sum((col("__xa") * col("__xb")).cast("decimal(38,0)")).as("__sxy"))
+        splitSumHi(col("__xa") * col("__xa")).as("__sxx_hi"),
+        splitSumLo(col("__xa") * col("__xa")).as("__sxx_lo"),
+        splitSumHi(col("__xb") * col("__xb")).as("__syy_hi"),
+        splitSumLo(col("__xb") * col("__xb")).as("__syy_lo"),
+        splitSumHi(col("__xa") * col("__xb")).as("__sxy_hi"),
+        splitSumLo(col("__xa") * col("__xb")).as("__sxy_lo"))
+      .select(col("dim_a"), col("dim_b"), col("__n"), col("__sx"),
+        col("__sy"),
+        splitTotal(col("__sxx_hi"), col("__sxx_lo")).as("__sxx"),
+        splitTotal(col("__syy_hi"), col("__syy_lo")).as("__syy"),
+        splitTotal(col("__sxy_hi"), col("__sxy_lo")).as("__sxy"))
     val num = (col("__n") * col("__sxy") -
       col("__sx").cast("decimal(38,0)") * col("__sy")).cast("double")
     val vx = (col("__n") * col("__sxx") -
@@ -1305,20 +1346,23 @@ object Similarity {
       .toMap
     val d = d1.size
     val n = d1.values.head._1
-    // product-moment sums in decimal(38,0): n·Σxy grows as n², which
-    // overflows a long past ~5k rows at embedding scale — this probe-
-    // caught bound is why the cleared fraction is BigInt on the driver
-    // (the SQL twin is exact the same way: DuckDB sums into HUGEINT)
+    // product-moment sums via the exact hi/lo long split
+    // ([[splitSumHi]]): Σxy overflows a long past ~5k rows at embedding
+    // scale — this probe-caught bound is why the cleared fraction is
+    // BigInt on the driver (the SQL twin is exact the same way: DuckDB
+    // sums into HUGEINT) — but the split partials stay plain codegen'd
+    // longs through the n·d² join stream, recombined per d² cell
     val pm = x.select(col("__id"), col("dim").as("i"), col("__xm").as("xa"))
       .join(x.select(col("__id"), col("dim").as("j"),
         col("__xm").as("xb")), "__id")
       .groupBy(col("i"), col("j"))
-      .agg(sum((col("xa") * col("xb")).cast("decimal(38,0)")).as("sxy"))
+      .agg(splitSumHi(col("xa") * col("xb")).as("hi"),
+        splitSumLo(col("xa") * col("xb")).as("lo"))
       .collect()
     val c = Array.ofDim[Long](d, d)
     pm.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
-      val sxy = BigInt(r.getDecimal(2).toBigInteger)
+      val sxy = BigInt(r.getLong(2)) * SplitBase + BigInt(r.getLong(3))
       val cleared = BigInt(n) * sxy -
         BigInt(d1(i)._2) * BigInt(d1(j)._2)
       c(i)(j) = roundAway(cleared.toDouble / (n.toDouble * n.toDouble))
@@ -1346,13 +1390,17 @@ object Similarity {
         posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col(idCol), col("dim"),
         round(col("v").cast("double") * 1e6).cast("long").as("__x"))
-    // second moments in decimal(38,0): n·Σx² grows as n² and would
-    // overflow a long past ~20k rows at embedding scale (probe-caught
-    // bound); decimal keeps the cleared fraction exact to 10³⁸
+    // second moments via the exact hi/lo long split ([[splitSumHi]]):
+    // Σx² overflows a long past ~20k rows at embedding scale (probe-
+    // caught bound); the split partials stay plain codegen'd longs
+    // per row, recombined into the exact decimal per OUTPUT dim
     val stats = x.groupBy(col("dim"))
       .agg(count(lit(1)).as("__n"),
         sum(col("__x")).as("__s1"),
-        sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__s2"))
+        splitSumHi(col("__x") * col("__x")).as("__s2_hi"),
+        splitSumLo(col("__x") * col("__x")).as("__s2_lo"))
+      .withColumn("__s2", splitTotal(col("__s2_hi"), col("__s2_lo")))
+      .drop("__s2_hi", "__s2_lo")
       .withColumn("__varnum",
         col("__n") * col("__s2") -
           col("__s1").cast("decimal(38,0)") * col("__s1"))

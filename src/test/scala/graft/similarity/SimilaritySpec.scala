@@ -554,4 +554,79 @@ class SimilaritySpec extends SparkSpec {
     assert(got((1L, 1)) == Some(-0.7071) && got((3L, 1)) == Some(1.4142))
     assert(got((1L, 2)).isEmpty && got((3L, 2)).isEmpty)
   }
+
+  test("hi/lo split moment sums: bit-equal to the decimal(38,0) path on " +
+    "a long-overflow-provoking fixture; no decimal Sum left in the agg") {
+    // values up to ±3000 → micro up to ±3·10⁹ → per-row products up to
+    // ~9·10¹⁸ (just inside a long); 4000 rows push Σx² to ~10²² ≫ 2⁶³,
+    // so a plain long sum cannot represent these moments — equality
+    // with the decimal twin proves the split is exact where it matters
+    val n = 4000
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      array(
+        (col("id") % 7 * 857.0 - 3000.0).cast("float"),
+        (col("id") % 11 * 545.0 - 2900.0).cast("float"),
+        (col("id") % 13 * 461.0 - 2800.0).cast("float")).as("embedding"))
+    val x = emb.select(col("vec_id").as("__id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("__id"), col("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("__xm"))
+    val a = x.select(col("__id"), col("dim").as("dim_a"),
+      col("__xm").as("__xa"))
+    val b = x.select(col("__id"), col("dim").as("dim_b"),
+      col("__xm").as("__xb"))
+    def pairs = a.join(b, "__id").where(col("dim_a") < col("dim_b"))
+      .groupBy(col("dim_a"), col("dim_b"))
+    val dec = pairs
+      .agg(sum((col("__xa") * col("__xa")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("__xb") * col("__xb")).cast("decimal(38,0)")).as("syy"),
+        sum((col("__xa") * col("__xb")).cast("decimal(38,0)")).as("sxy"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (BigInt(r.getDecimal(2).toBigInteger),
+          BigInt(r.getDecimal(3).toBigInteger),
+          BigInt(r.getDecimal(4).toBigInteger))).toMap
+    val spl = pairs
+      .agg(Similarity.splitSumHi(col("__xa") * col("__xa")).as("xxh"),
+        Similarity.splitSumLo(col("__xa") * col("__xa")).as("xxl"),
+        Similarity.splitSumHi(col("__xb") * col("__xb")).as("yyh"),
+        Similarity.splitSumLo(col("__xb") * col("__xb")).as("yyl"),
+        Similarity.splitSumHi(col("__xa") * col("__xb")).as("xyh"),
+        Similarity.splitSumLo(col("__xa") * col("__xb")).as("xyl"))
+      .select(col("dim_a"), col("dim_b"),
+        Similarity.splitTotal(col("xxh"), col("xxl")).as("sxx"),
+        Similarity.splitTotal(col("yyh"), col("yyl")).as("syy"),
+        Similarity.splitTotal(col("xyh"), col("xyl")).as("sxy"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (BigInt(r.getDecimal(2).toBigInteger),
+          BigInt(r.getDecimal(3).toBigInteger),
+          BigInt(r.getDecimal(4).toBigInteger))).toMap
+    assert(spl == dec, "split sums must recombine to the exact decimal sums")
+    // the fixture genuinely provokes overflow: the exact Σx² exceeds
+    // what any plain-long accumulator can hold
+    assert(dec.values.exists(_._1 > BigInt(Long.MaxValue)),
+      "fixture must push a moment sum past Long.MaxValue")
+    // the production path's pairwise aggregate must carry NO decimal
+    // Sum — that per-row Decimal allocation was the r9 perf regression
+    val out = Similarity.dimCorrelations(emb, "vec_id", "embedding", 3)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+    val decSums = out.queryExecution.optimizedPlan.collect {
+      case agg: Aggregate => agg.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression
+          if ae.aggregateFunction.isInstanceOf[Sum] &&
+            ae.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => ae
+      })
+    }.flatten
+    assert(decSums.isEmpty,
+      s"no decimal-typed Sum may survive in the plan, found: $decSums")
+    // end-to-end: correlations are sane on the overflow-scale fixture
+    val rows = out.collect()
+    assert(rows.length == 3 &&
+      rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    // and the power-iteration path (same split inside) still runs clean
+    val pid = Similarity.topPrincipalDirection(emb, "vec_id", "embedding")
+      .collect()
+    assert(pid.length == 3 && pid.exists(_.getLong(1) == 1000000L),
+      "pivot loading must be +10^6")
+  }
 }
