@@ -49,18 +49,25 @@ def main(sf_dir, out_dir):
                 # value hash does not)
                 for c in got.columns:
                     if got[c].dtype.kind == "f":
-                        gb = np.asarray(got[c], dtype="f8").tobytes()
-                        wb = np.asarray(want[c], dtype="f8").tobytes()
-                        if gb != wb:
-                            bad = np.where(
-                                np.asarray(got[c], "f8").view("i8") !=
-                                np.asarray(want[c], "f8").view("i8"))[0][:5]
+                        g = np.asarray(got[c], dtype="f8")
+                        w = np.asarray(want[c], dtype="f8")
+                        # both-NaN positions are equal regardless of
+                        # payload bits (assert_frame_equal already
+                        # vouched for NaN placement); everything else
+                        # compares bit-exact (catches -0.0 vs 0.0)
+                        neq = (g.view("i8") != w.view("i8")) & \
+                            ~(np.isnan(g) & np.isnan(w))
+                        if neq.any():
+                            bad = np.where(neq)[0][:5]
                             raise AssertionError(
                                 f"float col {c} bit mismatch at rows "
                                 f"{bad.tolist()}: "
                                 f"got {[got[c].iloc[i] for i in bad]} "
                                 f"want {[want[c].iloc[i] for i in bad]}")
-            except AssertionError as e:
+            # broad catch: one odd column (e.g. pd.NA in an object
+            # column upsetting np.asarray) must fail ONE query, not
+            # abort the whole run
+            except Exception as e:
                 ok = False
                 print(f"FAIL {name}: value mismatch: {str(e)[:400]}")
         else:

@@ -707,10 +707,77 @@ object ScaleCheck128 {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
     // the documents replica write is itself minutes at ×128 — skip it
-    // when a name filter selects only the lineitem/events probes
-    val docProbes = Seq("dedup_jaccard_inv", "text_line_dedup",
-      "dedup_containment_batch", "dedup_cont_sketch", "text_boilerplate",
-      "dedup_substring", "substr_index_build", "substr_batch_join")
+    // when a name filter selects only the lineitem/events probes. ONE
+    // shared definition drives BOTH the replica-skip guard and the
+    // probe loop (r9 ADVICE: a probe added to the block but not the
+    // name list was silently skippable) — the bodies are thunks, so
+    // listing names off a dummy frame executes nothing.
+    def docProbeDefs(d: org.apache.spark.sql.DataFrame,
+                     mult: Int): Seq[(String, () => Long)] = {
+      // shared by the two substring probes: build registers the
+      // bucketed index table the batch join reads — keep them adjacent
+      // and in order
+      lazy val wins = graft.text.TextAnalysis.windowFingerprints(
+        d.select("doc_id", "text"), "doc_id", "text", 8)
+      Seq(
+        "dedup_jaccard_inv" -> (() =>
+          graft.dedup.Dedup.jaccardPairsInverted(d, "doc_id", "text",
+            shingleSize = 3, threshold = 0.8).count()),
+        "text_line_dedup" -> (() =>
+          graft.text.TextAnalysis.lineDedup(
+            d.select("doc_id", "text"), "doc_id", "text", 3).count()),
+        // containment join in its intended regime — a FIXED excerpt
+        // batch (replica 0's doc_id%10==7 slice, identical at both
+        // sizes) contained-in the growing corpus: the prefix side stays
+        // batch-sized while the corpus contributes one linear posting
+        // pass, so time must stay ~flat-to-linear and the output is a
+        // cross-size determinism check. (The all-pairs self-containment
+        // worst case is probed at ×32 in ScaleCheck; at ×128 its
+        // candidate spill is disk-bound by design — the aFilter batch
+        // form IS the 100 TB operating mode.)
+        "dedup_containment_batch" -> (() =>
+          graft.dedup.Dedup.containmentPairsInverted(d, "doc_id", "text",
+            shingleSize = 3, threshold = 0.5,
+            aFilter = col("doc_id") < 1000000L &&
+              col("doc_id") % 10 === 7).count()),
+        // the bottom-k containment sketch in the ALL-PAIRS regime the
+        // exact join cannot survive (its unrestricted ×128 leg is
+        // disk-bound by design, recorded in BASELINE.md): the A-side
+        // explodes ≤ k postings per doc whatever the df spectrum, so
+        // the ratio must stay ≈ the corpus ratio (4×) — this probe is
+        // the evidence that the sketch screen IS the ×128 escape hatch
+        "dedup_cont_sketch" -> (() =>
+          graft.dedup.Dedup.containmentSketchPairs(d, "doc_id", "text",
+            shingleSize = 3, k = 8, minEst = 0.3).count()),
+        // per-domain line dedup: the df spectrum is PER SOURCE (one hot
+        // domain = one hot stratum), spikier than the corpus-wide
+        // sibling's — replicas multiply each domain's line frequencies,
+        // so a super-linear ratio here would expose a within-domain df²
+        // term the corpus-wide probe can't see
+        "text_boilerplate" -> (() =>
+          graft.text.TextAnalysis.boilerplateLineDedup(
+            d.select("doc_id", "source", "text"),
+            "doc_id", "source", "text", 3, minDocs = 2).count()),
+        "dedup_substring" -> (() =>
+          graft.text.TextAnalysis.substringDupSpans(
+            d.select("doc_id", "text"), "doc_id", "text", 8).count()),
+        // incremental path, build and probe timed separately: the index
+        // build is the linear one-time cost; the fixed-batch join
+        // against it must stay ~flat as the index grows 4× (bucketed
+        // scan, zero corpus-side exchange). The batch — replica 0's
+        // doc_id%10==7 slice — is identical at both sizes, so its
+        // output row count is a cross-size determinism check too.
+        "substr_index_build" -> (() => {
+          graft.etl.Bucketing.writeBucketed(wins.select("w").distinct(),
+            s"graft_win_index_sc$mult", s"/tmp/win_index_sc$mult", "w", 32)
+          spark.table(s"graft_win_index_sc$mult").count()
+        }),
+        "substr_batch_join" -> (() =>
+          graft.text.TextAnalysis.substringDedupIncremental(
+            wins.where(col("doc_id") < 1000000L && col("doc_id") % 10 === 7),
+            spark.table(s"graft_win_index_sc$mult"), "doc_id", 8).count()))
+    }
+    val docProbes = docProbeDefs(d0, 0).map(_._1)
     for (mult <- Seq(32, 128)) {
       // association rules ×mult: cost = per-basket pair enumeration
       // (bounded by basket size, unchanged under replication) + one
@@ -757,76 +824,12 @@ object ScaleCheck128 {
             "event_type", "ts", gapSec = 300L, pathLen = 3, k = 20).count()
         }
       }
-      if (!docProbes.exists(p => only(s"${p}_x$mult"))) {
-        // no documents probe selected at this size — skip the replica
-      } else {
-      val d = replicate(mult)
-      println(s"x$mult rows=${d.count()}")
-      time(s"dedup_jaccard_inv_x$mult") {
-        graft.dedup.Dedup.jaccardPairsInverted(d, "doc_id", "text",
-          shingleSize = 3, threshold = 0.8).count()
-      }
-      time(s"text_line_dedup_x$mult") {
-        graft.text.TextAnalysis.lineDedup(
-          d.select("doc_id", "text"), "doc_id", "text", 3).count()
-      }
-      // containment join in its intended regime — a FIXED excerpt
-      // batch (replica 0's doc_id%10==7 slice, identical at both
-      // sizes) contained-in the growing corpus: the prefix side stays
-      // batch-sized while the corpus contributes one linear posting
-      // pass, so time must stay ~flat-to-linear and the output is a
-      // cross-size determinism check. (The all-pairs self-containment
-      // worst case is probed at ×32 in ScaleCheck; at ×128 its
-      // candidate spill is disk-bound by design — the aFilter batch
-      // form IS the 100 TB operating mode.)
-      time(s"dedup_containment_batch_x$mult") {
-        graft.dedup.Dedup.containmentPairsInverted(d, "doc_id", "text",
-          shingleSize = 3, threshold = 0.5,
-          aFilter = col("doc_id") < 1000000L && col("doc_id") % 10 === 7).count()
-      }
-      // the bottom-k containment sketch in the ALL-PAIRS regime the
-      // exact join cannot survive (its unrestricted ×128 leg is
-      // disk-bound by design, recorded in BASELINE.md): the A-side
-      // explodes ≤ k postings per doc whatever the df spectrum, so the
-      // ratio must stay ≈ the corpus ratio (4×) — this probe is the
-      // evidence that the sketch screen IS the ×128 escape hatch
-      time(s"dedup_cont_sketch_x$mult") {
-        graft.dedup.Dedup.containmentSketchPairs(d, "doc_id", "text",
-          shingleSize = 3, k = 8, minEst = 0.3).count()
-      }
-      // per-domain line dedup: the df spectrum is PER SOURCE (one hot
-      // domain = one hot stratum), spikier than the corpus-wide
-      // sibling's — replicas multiply each domain's line frequencies,
-      // so a super-linear ratio here would expose a within-domain df²
-      // term the corpus-wide probe can't see
-      time(s"text_boilerplate_x$mult") {
-        graft.text.TextAnalysis.boilerplateLineDedup(
-          d.select("doc_id", "source", "text"),
-          "doc_id", "source", "text", 3, minDocs = 2).count()
-      }
-      time(s"dedup_substring_x$mult") {
-        graft.text.TextAnalysis.substringDupSpans(
-          d.select("doc_id", "text"), "doc_id", "text", 8).count()
-      }
-      // incremental path, build and probe timed separately: the index
-      // build is the linear one-time cost; the fixed-batch join against
-      // it must stay ~flat as the index grows 4× (bucketed scan, zero
-      // corpus-side exchange). The batch — replica 0's doc_id%10==7
-      // slice — is identical at both sizes, so its output row count is
-      // a cross-size determinism check too.
-      val wins = graft.text.TextAnalysis.windowFingerprints(
-        d.select("doc_id", "text"), "doc_id", "text", 8)
-      time(s"substr_index_build_x$mult") {
-        graft.etl.Bucketing.writeBucketed(wins.select("w").distinct(),
-          s"graft_win_index_sc$mult", s"/tmp/win_index_sc$mult", "w", 32)
-        spark.table(s"graft_win_index_sc$mult").count()
-      }
-      time(s"substr_batch_join_x$mult") {
-        graft.text.TextAnalysis.substringDedupIncremental(
-          wins.where(col("doc_id") < 1000000L && col("doc_id") % 10 === 7),
-          spark.table(s"graft_win_index_sc$mult"), "doc_id", 8).count()
-      }
-      }
+      if (docProbes.exists(p => only(s"${p}_x$mult"))) {
+        val d = replicate(mult)
+        println(s"x$mult rows=${d.count()}")
+        for ((nm, body) <- docProbeDefs(d, mult))
+          time(s"${nm}_x$mult")(body())
+      } // else: no documents probe selected at this size — skip the replica
     }
     spark.stop()
   }

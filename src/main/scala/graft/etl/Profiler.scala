@@ -19,13 +19,21 @@ import org.apache.spark.sql.types._
   * Scale shape: ONE pass building an array-of-structs aggregate row,
   * exploded to per-column rows. The exact multi-column
   * `count(DISTINCT)` plans through Spark's Expand (input ×(cols+1)) —
-  * the honest cost of exact cardinalities; at 100 TB swap to
-  * `approx_count_distinct` (HLL, one expand-free pass) and keep the
-  * rest unchanged.
+  * the honest cost of exact cardinalities. `approxDistinct = true` IS
+  * the 100 TB mode: `approx_count_distinct` (HyperLogLog++, Heule et
+  * al. 2013) replaces every distinct with a fixed-size sketch, the
+  * Expand disappears (ProfilerSpec pins the plan), and the whole
+  * profile is one expand-free partial-agg pass whatever the column
+  * count — at the documented ~`rsd` relative cardinality error, all
+  * other columns still exact.
   */
 object Profiler {
 
-  def profileTable(df: DataFrame): DataFrame = {
+  def profileTable(df: DataFrame, approxDistinct: Boolean = false,
+                   rsd: Double = 0.05): DataFrame = {
+    val distinctOf: Column => Column =
+      if (approxDistinct) approx_count_distinct(_, rsd)
+      else countDistinct(_)
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
     val perCol: Seq[Column] = df.schema.fields.toSeq.map { f =>
@@ -45,7 +53,7 @@ object Profiler {
       struct(lit(f.name).as("col_name"),
         count(lit(1)).as("n_rows"),
         sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(c).as("n_distinct"),
+        distinctOf(c).as("n_distinct"),
         mnN.as("min_num"), mxN.as("max_num"),
         mnS.as("min_str"), mxS.as("max_str"))
     }

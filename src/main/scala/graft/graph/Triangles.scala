@@ -135,7 +135,9 @@ object Triangles {
         sum((col("du") + col("dv")).cast("decimal(38,0)")).as("__b"),
         sum((col("du") * col("du") + col("dv") * col("dv"))
           .cast("decimal(38,0)")).as("__d"))
-    nodeStats.crossJoin(triStats).crossJoin(edgeStats)
+    // 1-row aggregate sides: explicit broadcast makes the plan self-
+    // documenting and immune to a future stats misestimate
+    nodeStats.crossJoin(broadcast(triStats)).crossJoin(broadcast(edgeStats))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         col("n_wedges"),
         when(col("n_wedges") > 0,

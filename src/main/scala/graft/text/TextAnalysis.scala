@@ -408,14 +408,22 @@ object TextAnalysis {
   def stupidBackoffLogScore(df: DataFrame, idCol: String, textCol: String,
                             isTrain: Column,
                             alpha: Double = 0.4,
-                            maxBroadcastModelRows: Long = 50000000L): DataFrame = {
+                            maxBroadcastModelRows: Long = 50000000L,
+                            trainTokensHint: Option[Long] = None): DataFrame = {
     import graft.functions.VectorExprs.token_ngrams
     val base = df.select(col(idCol), isTrain.as("__train"),
       tokens(col(textCol)).as("__t"))
-    // broadcast-or-shuffle decision: ONE bounded 1-row collect over the
-    // train slice (map-side sum of token counts, no text-key shuffle)
-    val trainTokens: Long = base.where(col("__train"))
-      .agg(coalesce(sum(size(col("__t"))), lit(0L)).as("n")).head.getLong(0)
+    // broadcast-or-shuffle decision. NOTE this is EAGER: with no hint,
+    // ONE bounded 1-row collect over the train slice (map-side sum of
+    // token counts, no text-key shuffle) runs at plan-CONSTRUCTION
+    // time — a deliberate trade (the join strategy must be fixed before
+    // the plan exists). Repeat callers who already know their train
+    // slice's token count — a corpus manifest, a prior run — pass
+    // `trainTokensHint` (any honest upper bound works: the threshold
+    // test is conservative) and skip the sizing scan entirely.
+    val trainTokens: Long = trainTokensHint.getOrElse(
+      base.where(col("__train"))
+        .agg(coalesce(sum(size(col("__t"))), lit(0L)).as("n")).head.getLong(0))
     val hint: DataFrame => DataFrame =
       if (trainTokens <= maxBroadcastModelRows) broadcast(_) else identity
     def positions(n: Int, train: Boolean) = base

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import graft.SparkSpec
 
 class ProfilerSpec extends SparkSpec {
@@ -43,5 +43,33 @@ class ProfilerSpec extends SparkSpec {
       .select(col("sec").cast("timestamp").as("ts"))
     val r = Profiler.profileTable(df).collect()(0)
     assert(r.getDouble(4) == 5e6 && r.getDouble(5) == 1e7)
+  }
+
+  test("profileTable approx mode: no Expand in the plan, cardinalities " +
+    "within the HLL error envelope, everything else exact") {
+    val df = spark.range(20000).select(col("id"),
+      (col("id") % 1000).as("k"),
+      concat(lit("u"), col("id") % 3000).as("s"))
+    val exact = Profiler.profileTable(df)
+    val approx = Profiler.profileTable(df, approxDistinct = true)
+    // the Expand (input ×(cols+1)) is exactly what approx mode removes
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"),
+      "exact multi-distinct must plan through Expand (positive control)")
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx mode must be one expand-free pass")
+    val e = exact.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val a = approx.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(a.keySet == e.keySet)
+    a.foreach { case (cname, (nRows, nNulls, nDist)) =>
+      val (eRows, eNulls, eDist) = e(cname)
+      assert(nRows == eRows && nNulls == eNulls,
+        s"$cname: only n_distinct may be approximate")
+      // HLL++ at rsd=0.05: allow a generous 4σ = 20% envelope so the
+      // spec never flakes while still catching a broken sketch
+      assert(math.abs(nDist - eDist).toDouble / eDist <= 0.20,
+        s"$cname: approx $nDist vs exact $eDist outside envelope")
+    }
   }
 }

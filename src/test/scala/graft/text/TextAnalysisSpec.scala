@@ -300,6 +300,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(shuffled == bcast, "both join strategies must agree exactly")
   }
 
+  test("stupid backoff trainTokensHint: no sizing job at plan " +
+    "construction, hint drives the strategy, results identical") {
+    val fluent = "the cat sat on the mat and the dog ran to the gate"
+    val docs = ((1L to 8L).map(i => (i, fluent)) :+
+      (100L, "the cat sat on the rug today")).toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    // hinted call: plan construction must launch ZERO Spark jobs (the
+    // whole point — repeat callers skip the eager sizing scan)
+    sc.setJobGroup("bkf-hinted", "hinted plan construction")
+    val hinted = TextAnalysis.stupidBackoffLogScore(
+      docs, "doc_id", "text", col("doc_id") < 100L,
+      trainTokensHint = Some(42L))
+    sc.clearJobGroup()
+    // hintless call in a second group: the sizing scan IS a job — the
+    // positive control that proves the group-based probe can see jobs
+    sc.setJobGroup("bkf-probed", "hintless plan construction")
+    val probed = TextAnalysis.stupidBackoffLogScore(
+      docs, "doc_id", "text", col("doc_id") < 100L)
+    sc.clearJobGroup()
+    val deadline = System.nanoTime() + 10000000000L
+    while (sc.statusTracker.getJobIdsForGroup("bkf-probed").isEmpty &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(sc.statusTracker.getJobIdsForGroup("bkf-probed").nonEmpty,
+      "hintless construction must run the sizing scan (positive control)")
+    assert(sc.statusTracker.getJobIdsForGroup("bkf-hinted").isEmpty,
+      "hinted construction must not run any job")
+    // a huge hint must pick the shuffle path exactly as a huge measured
+    // count would — the hint substitutes into the SAME threshold test
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bigHint = TextAnalysis.stupidBackoffLogScore(
+        docs, "doc_id", "text", col("doc_id") < 100L,
+        trainTokensHint = Some(Long.MaxValue))
+      assert(bigHint.queryExecution.executedPlan.toString
+        .contains("SortMergeJoin"),
+        "over-threshold hint must drop the broadcast hints")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(rows(hinted) == rows(probed),
+      "hint changes planning cost only, never results")
+  }
+
   test("bigram LM scores shuffled text below fluent text (the signal " +
     "the unigram model cannot see)") {
     val fluent = "the cat sat on the mat and the dog sat on the rug"
