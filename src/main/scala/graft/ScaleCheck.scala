@@ -121,6 +121,83 @@ object ScaleCheck {
         graft.similarity.Similarity.lshTopK(
           embX.where(col("vec_id") < 8), embX, "vec_id", "embedding", 10).count()
       }
+      // split-sum moment probe (round 10): the dimCorrelations hot path
+      // after the hi/lo long split rework — one id self-join amplifying
+      // each row to d(d−1)/2 pair cells, partial-agg'd in plain long
+      // space. Growth must track input (×32, linear); a per-row decimal
+      // term would show as a constant-factor cliff and a group-count
+      // term as superlinear. d fixed at 16 (120 pairs) on BOTH sizes so
+      // the probe measures the moment stream, not output width.
+      if (Seq("dim_corr_x1", "dim_corr_x32").exists(only)) {
+        def d16(e: org.apache.spark.sql.DataFrame) =
+          e.select(col("vec_id"),
+            slice(col("embedding"), 1, 16).as("embedding"))
+        time("dim_corr_x1") {
+          graft.similarity.Similarity.dimCorrelations(
+            d16(emb0), "vec_id", "embedding", k = 30).count()
+        }
+        time("dim_corr_x32") {
+          graft.similarity.Similarity.dimCorrelations(
+            d16(embX), "vec_id", "embedding", k = 30).count()
+        }
+        // ×1024 leg: 2.05M rows → 33M exploded values → 246M pair
+        // cells through the self-join — the smaller legs ride fixed
+        // machinery (2k-row base corpus), this one actually stresses
+        // the per-cell moment arithmetic the split rework targets.
+        // The replica materializes to parquet OUTSIDE the timed
+        // regions so every leg pays the same input cost.
+        emb0.crossJoin(spark.range(1024).select(col("id").as("rep")))
+          .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"),
+            col("embedding"))
+          .repartition(32).write.mode("overwrite")
+          .parquet("/tmp/embeddings_x1024.parquet")
+        val embK = spark.read.parquet("/tmp/embeddings_x1024.parquet")
+        time("dim_corr_x1024") {
+          graft.similarity.Similarity.dimCorrelations(
+            d16(embK), "vec_id", "embedding", k = 30).count()
+        }
+        // head-to-head at the SAME volume, agg isolated: the
+        // pre-round-10 per-row decimal(38,0) product sums (the ed71c05
+        // form) vs the round-10 hi/lo split — identical explode +
+        // self-join + 3-product group-by, only the sum arithmetic
+        // differs; the split leg runs FIRST so JVM/cache warmup, if
+        // anything, favors the decimal leg
+        def momentStream = {
+          val x = d16(embK).select(col("vec_id").as("__id"),
+              posexplode(col("embedding")).as(Seq("dim", "v")))
+            .select(col("__id"), col("dim"),
+              round(col("v").cast("double") * 1e6).cast("long").as("__xm"))
+          val a = x.select(col("__id"), col("dim").as("dim_a"),
+            col("__xm").as("__xa"))
+          val b = x.select(col("__id"), col("dim").as("dim_b"),
+            col("__xm").as("__xb"))
+          a.join(b, "__id").where(col("dim_a") < col("dim_b"))
+            .groupBy(col("dim_a"), col("dim_b"))
+        }
+        // every sum output is referenced downstream — a bare .count()
+        // would let ColumnPruning DROP the aggregate expressions and
+        // time only the group-by
+        time("dim_corr_agg_split_x1024") {
+          import graft.similarity.Similarity.{splitSumHi, splitSumLo}
+          momentStream.agg(
+              splitSumHi(col("__xa") * col("__xa")).as("xxh"),
+              splitSumLo(col("__xa") * col("__xa")).as("xxl"),
+              splitSumHi(col("__xb") * col("__xb")).as("yyh"),
+              splitSumLo(col("__xb") * col("__xb")).as("yyl"),
+              splitSumHi(col("__xa") * col("__xb")).as("xyh"),
+              splitSumLo(col("__xa") * col("__xb")).as("xyl"))
+            .selectExpr("sum(xxh + xxl + yyh + yyl + xyh + xyl) as chk")
+            .collect(); 120L
+        }
+        time("dim_corr_agg_decimal_x1024") {
+          momentStream.agg(
+              sum((col("__xa") * col("__xa")).cast("decimal(38,0)")).as("sxx"),
+              sum((col("__xb") * col("__xb")).cast("decimal(38,0)")).as("syy"),
+              sum((col("__xa") * col("__xb")).cast("decimal(38,0)")).as("sxy"))
+            .selectExpr("sum(sxx + syy + sxy) as chk")
+            .collect(); 120L
+        }
+      }
       // Silhouette probe: FIXED 8-cell model, corpus ×32 — one map-only
       // pass + an 8-row agg, so time should grow at most linearly (and
       // mostly ride input parallelism). Gate tests the suffixed timed

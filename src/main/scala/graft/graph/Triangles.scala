@@ -128,13 +128,32 @@ object Triangles {
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
       .agg(count(lit(1)).as("n_edges"),
-        // decimal(38,0) sums: M·ΣD grows as M² and overflows a long
-        // past ~10⁷ edges — decimal keeps Newman's cleared fractions
-        // exact at any graph size (DuckDB's HUGEINT twin likewise)
-        sum((col("du") * col("dv")).cast("decimal(38,0)")).as("__a"),
-        sum((col("du") + col("dv")).cast("decimal(38,0)")).as("__b"),
-        sum((col("du") * col("du") + col("dv") * col("dv"))
-          .cast("decimal(38,0)")).as("__d"))
+        // exact hi/lo long split sums (Similarity.splitSumHi): M·ΣD
+        // grows as M² and overflows a long past ~10⁷ edges, but the
+        // per-row partials stay plain codegen'd longs — the decimal
+        // recombination below runs once on the single output row
+        // (DuckDB's HUGEINT twin is exact the same way)
+        graft.similarity.Similarity
+          .splitSumHi(col("du") * col("dv")).as("__a_hi"),
+        graft.similarity.Similarity
+          .splitSumLo(col("du") * col("dv")).as("__a_lo"),
+        graft.similarity.Similarity
+          .splitSumHi(col("du") + col("dv")).as("__b_hi"),
+        graft.similarity.Similarity
+          .splitSumLo(col("du") + col("dv")).as("__b_lo"),
+        graft.similarity.Similarity
+          .splitSumHi(col("du") * col("du") + col("dv") * col("dv"))
+          .as("__d_hi"),
+        graft.similarity.Similarity
+          .splitSumLo(col("du") * col("du") + col("dv") * col("dv"))
+          .as("__d_lo"))
+      .select(col("n_edges"),
+        graft.similarity.Similarity
+          .splitTotal(col("__a_hi"), col("__a_lo")).as("__a"),
+        graft.similarity.Similarity
+          .splitTotal(col("__b_hi"), col("__b_lo")).as("__b"),
+        graft.similarity.Similarity
+          .splitTotal(col("__d_hi"), col("__d_lo")).as("__d"))
     // 1-row aggregate sides: explicit broadcast makes the plan self-
     // documenting and immune to a future stats misestimate
     nodeStats.crossJoin(broadcast(triStats)).crossJoin(broadcast(edgeStats))
