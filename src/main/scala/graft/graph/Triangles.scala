@@ -102,15 +102,17 @@ object Triangles {
     *                   B = Σ(j+k) over the M canonical edges
     * (Newman's eq. 4 with numerator and denominator cleared of the
     * 1/M factors). Both round to 6 dp only at the very end. The three
-    * edge sums are decimal(38,0): M·ΣD grows as M², past a long at
-    * ~10⁷ edges — decimal keeps the fractions exact at any size.
+    * edge sums use the exact hi/lo long split (M·ΣD grows as M², past
+    * a long at ~10⁷ edges); `strata` is the >4·10⁹-edge escape — see
+    * [[graft.similarity.Similarity.splitStratum]].
     *
     * Scale shape: [[triangleCounts]] supplies T; the rest is one
     * degree agg + two node-sized hash joins onto the edge list + a
     * handful of 1-row aggregates combined by broadcast cross join.
     */
   def graphSummary(edges: DataFrame, aCol: String,
-                   bCol: String): DataFrame = {
+                   bCol: String, strata: Int = 1): DataFrame = {
+    require(strata >= 1)
     val raw = edges.select(col(aCol).cast("long").as("a"),
         col(bCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
@@ -124,36 +126,35 @@ object Triangles {
       expr("sum(d * (d - 1)) div 2").as("n_wedges"))
     val triStats = triangleCounts(e, "u", "v")
       .agg((sum(col("triangles")) / 3).cast("long").as("n_triangles"))
+    // exact stratified hi/lo long split sums (Similarity.splitSumHi):
+    // M·ΣD grows as M² and overflows a long past ~10⁷ edges; the
+    // per-row partials stay plain codegen'd longs in ~M/S-row
+    // edge-hash stratum groups (this is a GLOBAL aggregate — without
+    // strata the Σlo group bound of ~4·10⁹ rows would cap the graph
+    // size), and the decimal recombination runs on S stratum rows +
+    // one output row (DuckDB's HUGEINT twin is exact the same way)
+    import graft.similarity.Similarity.{splitSumHi, splitSumLo, splitTotal, splitStratum}
     val edgeStats = e
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
-      .agg(count(lit(1)).as("n_edges"),
-        // exact hi/lo long split sums (Similarity.splitSumHi): M·ΣD
-        // grows as M² and overflows a long past ~10⁷ edges, but the
-        // per-row partials stay plain codegen'd longs — the decimal
-        // recombination below runs once on the single output row
-        // (DuckDB's HUGEINT twin is exact the same way)
-        graft.similarity.Similarity
-          .splitSumHi(col("du") * col("dv")).as("__a_hi"),
-        graft.similarity.Similarity
-          .splitSumLo(col("du") * col("dv")).as("__a_lo"),
-        graft.similarity.Similarity
-          .splitSumHi(col("du") + col("dv")).as("__b_hi"),
-        graft.similarity.Similarity
-          .splitSumLo(col("du") + col("dv")).as("__b_lo"),
-        graft.similarity.Similarity
-          .splitSumHi(col("du") * col("du") + col("dv") * col("dv"))
-          .as("__d_hi"),
-        graft.similarity.Similarity
-          .splitSumLo(col("du") * col("du") + col("dv") * col("dv"))
-          .as("__d_lo"))
-      .select(col("n_edges"),
-        graft.similarity.Similarity
-          .splitTotal(col("__a_hi"), col("__a_lo")).as("__a"),
-        graft.similarity.Similarity
-          .splitTotal(col("__b_hi"), col("__b_lo")).as("__b"),
-        graft.similarity.Similarity
-          .splitTotal(col("__d_hi"), col("__d_lo")).as("__d"))
+      .groupBy(splitStratum(xxhash64(col("u"), col("v")), strata)
+        .as("__st"))
+      .agg(count(lit(1)).as("n0"),
+        splitSumHi(col("du") * col("dv")).as("ah"),
+        splitSumLo(col("du") * col("dv")).as("al"),
+        splitSumHi(col("du") + col("dv")).as("bh"),
+        splitSumLo(col("du") + col("dv")).as("bl"),
+        splitSumHi(col("du") * col("du") + col("dv") * col("dv"))
+          .as("dh"),
+        splitSumLo(col("du") * col("du") + col("dv") * col("dv"))
+          .as("dl"))
+      .agg(sum(col("n0")).as("n_edges"),
+        sum(splitTotal(col("ah"), col("al")))
+          .cast("decimal(38,0)").as("__a"),
+        sum(splitTotal(col("bh"), col("bl")))
+          .cast("decimal(38,0)").as("__b"),
+        sum(splitTotal(col("dh"), col("dl")))
+          .cast("decimal(38,0)").as("__d"))
     // 1-row aggregate sides: explicit broadcast makes the plan self-
     // documenting and immune to a future stats misestimate
     nodeStats.crossJoin(broadcast(triStats)).crossJoin(broadcast(edgeStats))

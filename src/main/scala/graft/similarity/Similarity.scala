@@ -1212,15 +1212,37 @@ object Similarity {
     * aggregation group of n rows: Σlo ∈ [0, n·2³¹) → safe for
     * n < 2³² ≈ 4.3·10⁹ rows; |Σhi| ≤ n·max|p|/2³¹ → at micro-unit
     * embedding scale (|x| ≤ ~2·10⁶ ⇒ |p| ≤ 4·10¹²) safe to n ≈ 5·10¹⁵.
-    * Past ~4·10⁹ rows PER GROUP, add a second split level (>> 62 / two
-    * masks) or pre-aggregate per partition stratum; [[splitTotal]] —
-    * the only decimal arithmetic left — runs once per OUTPUT group
-    * (d² rows), not per input row. SimilaritySpec pins bit-equality
-    * against the decimal path on a fixture whose plain-long sum
-    * provably overflows.
+    *
+    * The Σlo bound is PER AGGREGATION GROUP — and a 100 TB embedding
+    * corpus (~10¹¹ rows) exceeds it, since every row lands in the same
+    * d² moment cells. So every caller aggregates in TWO stages: group
+    * by the moment key PLUS [[splitStratum]], sum hi/lo in long space
+    * per stratum (bounded at ~n/S rows — safe while n < S·2³² rows,
+    * with enormous skew tolerance since the id hash spreads rows
+    * uniformly), then `sum(splitTotal(hi, lo))` across the strata in
+    * decimal — exact, and the decimal arithmetic touches only d²·S
+    * intermediate rows + d² outputs, never the n·d² input stream.
+    * SimilaritySpec pins bit-equality against the decimal path on a
+    * fixture whose plain-long sum provably overflows, at strata 1 AND
+    * 1024.
     */
   private[graft] val SplitShift = 31
   private[graft] val SplitBase = 1L << SplitShift
+
+  /** Stratum key for the two-stage split-sum aggregation: `strata = 1`
+    * (the default everywhere) folds to a constant — same group count
+    * and same speed as an unstratified aggregate, with the trivial
+    * recombination stage kept so the plan shape never changes. At
+    * corpus scale pass `strata ≈ n / 2³¹` (e.g. 64 covers ~2.7·10¹¹
+    * rows): the measured cost of real strata at SMALL n is a group-
+    * count explosion (S× more groups defeats map-side combine when
+    * groups hold only a handful of rows — probe-caught: S=1024 took
+    * sim_dim_correlation from 1.7 s back to 5.5 s at sf0.1), while at
+    * the row counts that NEED strata each stratum still holds millions
+    * of rows and partial aggregation keeps working.
+    */
+  private[graft] def splitStratum(id: Column, strata: Int): Column =
+    if (strata > 1) pmod(xxhash64(id), lit(strata.toLong)) else lit(0L)
   private[graft] def splitSumHi(p: Column): Column =
     sum(shiftright(p, SplitShift))
   private[graft] def splitSumLo(p: Column): Column =
@@ -1248,8 +1270,8 @@ object Similarity {
     * moments are sums, so any uniform sample estimates them.
     */
   def dimCorrelations(emb: DataFrame, idCol: String, vecCol: String,
-                      k: Int): DataFrame = {
-    require(k >= 1)
+                      k: Int, strata: Int = 1): DataFrame = {
+    require(k >= 1 && strata >= 1)
     val x = emb.select(col(idCol).as("__id"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col("__id"), col("dim"),
@@ -1258,26 +1280,33 @@ object Similarity {
       col("__xm").as("__xa"))
     val b = x.select(col("__id"), col("dim").as("dim_b"),
       col("__xm").as("__xb"))
-    // second moments via the exact hi/lo long split ([[splitSumHi]]):
-    // Σxy overflows a long past ~20k rows at embedding scale (probe-
-    // caught bound, see topPrincipalDirection), but the split partials
-    // stay plain codegen'd longs through the n·d² self-join stream —
-    // decimal arithmetic runs only on the d² OUTPUT groups below
+    // second moments via the exact stratified hi/lo long split
+    // ([[splitSumHi]]): Σxy overflows a long past ~20k rows at
+    // embedding scale (probe-caught bound, see topPrincipalDirection),
+    // but the split partials stay plain codegen'd longs through the
+    // n·d² self-join stream; the id-hash stratum key bounds every
+    // long-space group at n/S rows, and decimal arithmetic runs only
+    // on the d²·S stratum rows + d² OUTPUT groups below
     val m = a.join(b, "__id").where(col("dim_a") < col("dim_b"))
+      .groupBy(col("dim_a"), col("dim_b"),
+        splitStratum(col("__id"), strata).as("__st"))
+      .agg(count(lit(1)).as("n0"),
+        sum(col("__xa")).as("sx0"), sum(col("__xb")).as("sy0"),
+        splitSumHi(col("__xa") * col("__xa")).as("xxh"),
+        splitSumLo(col("__xa") * col("__xa")).as("xxl"),
+        splitSumHi(col("__xb") * col("__xb")).as("yyh"),
+        splitSumLo(col("__xb") * col("__xb")).as("yyl"),
+        splitSumHi(col("__xa") * col("__xb")).as("xyh"),
+        splitSumLo(col("__xa") * col("__xb")).as("xyl"))
       .groupBy(col("dim_a"), col("dim_b"))
-      .agg(count(lit(1)).as("__n"),
-        sum(col("__xa")).as("__sx"), sum(col("__xb")).as("__sy"),
-        splitSumHi(col("__xa") * col("__xa")).as("__sxx_hi"),
-        splitSumLo(col("__xa") * col("__xa")).as("__sxx_lo"),
-        splitSumHi(col("__xb") * col("__xb")).as("__syy_hi"),
-        splitSumLo(col("__xb") * col("__xb")).as("__syy_lo"),
-        splitSumHi(col("__xa") * col("__xb")).as("__sxy_hi"),
-        splitSumLo(col("__xa") * col("__xb")).as("__sxy_lo"))
-      .select(col("dim_a"), col("dim_b"), col("__n"), col("__sx"),
-        col("__sy"),
-        splitTotal(col("__sxx_hi"), col("__sxx_lo")).as("__sxx"),
-        splitTotal(col("__syy_hi"), col("__syy_lo")).as("__syy"),
-        splitTotal(col("__sxy_hi"), col("__sxy_lo")).as("__sxy"))
+      .agg(sum(col("n0")).as("__n"),
+        sum(col("sx0")).as("__sx"), sum(col("sy0")).as("__sy"),
+        sum(splitTotal(col("xxh"), col("xxl"))).cast("decimal(38,0)")
+          .as("__sxx"),
+        sum(splitTotal(col("yyh"), col("yyl"))).cast("decimal(38,0)")
+          .as("__syy"),
+        sum(splitTotal(col("xyh"), col("xyl"))).cast("decimal(38,0)")
+          .as("__sxy"))
     val num = (col("__n") * col("__sxy") -
       col("__sx").cast("decimal(38,0)") * col("__sy")).cast("double")
     val vx = (col("__n") * col("__sxx") -
@@ -1333,8 +1362,9 @@ object Similarity {
     * direction, in micro² units).
     */
   def topPrincipalDirection(emb: DataFrame, idCol: String,
-                            vecCol: String, iters: Int = 8): DataFrame = {
-    require(iters >= 1)
+                            vecCol: String, iters: Int = 8,
+                            strata: Int = 1): DataFrame = {
+    require(iters >= 1 && strata >= 1)
     val spark = emb.sparkSession
     val x = emb.select(col(idCol).as("__id"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
@@ -1346,23 +1376,29 @@ object Similarity {
       .toMap
     val d = d1.size
     val n = d1.values.head._1
-    // product-moment sums via the exact hi/lo long split
+    // product-moment sums via the exact stratified hi/lo long split
     // ([[splitSumHi]]): Σxy overflows a long past ~5k rows at embedding
     // scale — this probe-caught bound is why the cleared fraction is
     // BigInt on the driver (the SQL twin is exact the same way: DuckDB
     // sums into HUGEINT) — but the split partials stay plain codegen'd
-    // longs through the n·d² join stream, recombined per d² cell
+    // longs through the n·d² join stream, recombined in decimal across
+    // the d²·S stratum rows (the long-space groups stay bounded at
+    // ~n/S rows whatever the corpus size)
     val pm = x.select(col("__id"), col("dim").as("i"), col("__xm").as("xa"))
       .join(x.select(col("__id"), col("dim").as("j"),
         col("__xm").as("xb")), "__id")
-      .groupBy(col("i"), col("j"))
+      .groupBy(col("i"), col("j"),
+        splitStratum(col("__id"), strata).as("__st"))
       .agg(splitSumHi(col("xa") * col("xb")).as("hi"),
         splitSumLo(col("xa") * col("xb")).as("lo"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(splitTotal(col("hi"), col("lo")))
+        .cast("decimal(38,0)").as("sxy"))
       .collect()
     val c = Array.ofDim[Long](d, d)
     pm.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
-      val sxy = BigInt(r.getLong(2)) * SplitBase + BigInt(r.getLong(3))
+      val sxy = BigInt(r.getDecimal(2).toBigInteger)
       val cleared = BigInt(n) * sxy -
         BigInt(d1(i)._2) * BigInt(d1(j)._2)
       c(i)(j) = roundAway(cleared.toDouble / (n.toDouble * n.toDouble))
@@ -1385,22 +1421,28 @@ object Similarity {
   }
 
   def standardizeEmbeddings(emb: DataFrame, idCol: String,
-                            vecCol: String): DataFrame = {
+                            vecCol: String, strata: Int = 1): DataFrame = {
+    require(strata >= 1)
     val x = emb.select(col(idCol),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col(idCol), col("dim"),
         round(col("v").cast("double") * 1e6).cast("long").as("__x"))
-    // second moments via the exact hi/lo long split ([[splitSumHi]]):
-    // Σx² overflows a long past ~20k rows at embedding scale (probe-
-    // caught bound); the split partials stay plain codegen'd longs
-    // per row, recombined into the exact decimal per OUTPUT dim
-    val stats = x.groupBy(col("dim"))
-      .agg(count(lit(1)).as("__n"),
-        sum(col("__x")).as("__s1"),
-        splitSumHi(col("__x") * col("__x")).as("__s2_hi"),
-        splitSumLo(col("__x") * col("__x")).as("__s2_lo"))
-      .withColumn("__s2", splitTotal(col("__s2_hi"), col("__s2_lo")))
-      .drop("__s2_hi", "__s2_lo")
+    // second moments via the exact stratified hi/lo long split
+    // ([[splitSumHi]]): Σx² overflows a long past ~20k rows at
+    // embedding scale (probe-caught bound); the split partials stay
+    // plain codegen'd longs per row in ~n/S-row stratum groups,
+    // recombined into the exact decimal across d·S stratum rows
+    val stats = x.groupBy(col("dim"),
+        splitStratum(col(idCol), strata).as("__st"))
+      .agg(count(lit(1)).as("n0"),
+        sum(col("__x")).as("s10"),
+        splitSumHi(col("__x") * col("__x")).as("s2h"),
+        splitSumLo(col("__x") * col("__x")).as("s2l"))
+      .groupBy(col("dim"))
+      .agg(sum(col("n0")).as("__n"),
+        sum(col("s10")).as("__s1"),
+        sum(splitTotal(col("s2h"), col("s2l")))
+          .cast("decimal(38,0)").as("__s2"))
       .withColumn("__varnum",
         col("__n") * col("__s2") -
           col("__s1").cast("decimal(38,0)") * col("__s1"))

@@ -605,24 +605,60 @@ class SimilaritySpec extends SparkSpec {
     // what any plain-long accumulator can hold
     assert(dec.values.exists(_._1 > BigInt(Long.MaxValue)),
       "fixture must push a moment sum past Long.MaxValue")
-    // the production path's pairwise aggregate must carry NO decimal
-    // Sum — that per-row Decimal allocation was the r9 perf regression
+    // the production path's ROW-LEVEL aggregate must carry NO decimal
+    // Sum — that per-row Decimal allocation was the r9 perf
+    // regression. Decimal sums are allowed ONLY in the stratum-
+    // recombination aggregate, whose input is itself an aggregate
+    // (d²·S stratum rows, never the n·d² stream).
     val out = Similarity.dimCorrelations(emb, "vec_id", "embedding", 3)
-    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
-    val decSums = out.queryExecution.optimizedPlan.collect {
-      case agg: Aggregate => agg.aggregateExpressions.flatMap(_.collect {
+    def hasDecimalSum(agg: Aggregate): Boolean =
+      agg.aggregateExpressions.exists(_.collectFirst {
         case ae: AggregateExpression
           if ae.aggregateFunction.isInstanceOf[Sum] &&
             ae.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => ae
-      })
-    }.flatten
-    assert(decSums.isEmpty,
-      s"no decimal-typed Sum may survive in the plan, found: $decSums")
+      }.isDefined)
+    def throughProjects(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project => throughProjects(pr.child)
+      case other => other
+    }
+    val aggs = out.queryExecution.optimizedPlan.collect {
+      case agg: Aggregate => agg
+    }
+    val offenders = aggs.filter(a => hasDecimalSum(a) &&
+      !throughProjects(a.child).isInstanceOf[Aggregate])
+    assert(offenders.isEmpty,
+      s"decimal-typed Sum over a row-level stream: $offenders")
+    // and the stratified recombination stage must exist (the 100 TB
+    // group-size escape: without it one dim pair aggregates the whole
+    // corpus into a single long-space group)
+    assert(aggs.exists(a => hasDecimalSum(a) &&
+      throughProjects(a.child).isInstanceOf[Aggregate]),
+      "expected the stratum-recombination aggregate stage")
     // end-to-end: correlations are sane on the overflow-scale fixture
     val rows = out.collect()
     assert(rows.length == 3 &&
       rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    // the corpus-scale strata escape is EXACT: results identical at
+    // strata 1 (default) and 1024 (the >4·10⁹-rows-per-group form),
+    // on the same overflow-provoking fixture
+    val strat = Similarity.dimCorrelations(emb, "vec_id", "embedding", 3,
+      strata = 1024).collect()
+    assert(strat.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getInt(3))).toSeq ==
+      rows.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getInt(3))).toSeq,
+      "stratified split sums must be bit-identical to the default")
+    val stdDefault = Similarity.standardizeEmbeddings(
+      emb, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val stdStrat = Similarity.standardizeEmbeddings(
+      emb, "vec_id", "embedding", strata = 1024).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(stdStrat == stdDefault)
     // and the power-iteration path (same split inside) still runs clean
     val pid = Similarity.topPrincipalDirection(emb, "vec_id", "embedding")
       .collect()
