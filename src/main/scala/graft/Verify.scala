@@ -15,12 +15,20 @@ object Verify {
       name => pats.exists(name.contains)
     } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // optional comma-separated k=v Spark confs — dev-loop invariance
+    // runs (e.g. SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false"
+    // proves no result depends on AQE's runtime re-planning); never
+    // set by the driver
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',')
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
     graft.plans.TopKPerKey.ensureRegistered(spark)
