@@ -63,6 +63,17 @@ class TrianglesSpec extends SparkSpec {
     assert(r.getDouble(5) == -0.555556)
   }
 
+  test("graphSummary: stratified split sums (strata=1024) are " +
+    "bit-identical to the default") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val a = Triangles.graphSummary(e, "src", "dst").collect()(0)
+    val b = Triangles.graphSummary(e, "src", "dst", strata = 1024)
+      .collect()(0)
+    assert(a.toSeq == b.toSeq,
+      "the corpus-scale strata escape must not change any value")
+  }
+
   test("graphSummary: regular graph has undefined (null) assortativity") {
     // a 4-cycle is 2-regular: denominator is 0 → NULL, transitivity 0
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")

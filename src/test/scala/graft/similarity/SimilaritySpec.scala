@@ -659,10 +659,14 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1)) ->
         (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
     assert(stdStrat == stdDefault)
-    // and the power-iteration path (same split inside) still runs clean
+    // and the power-iteration path (same split inside) still runs
+    // clean, with the strata escape bit-identical there too
     val pid = Similarity.topPrincipalDirection(emb, "vec_id", "embedding")
       .collect()
     assert(pid.length == 3 && pid.exists(_.getLong(1) == 1000000L),
       "pivot loading must be +10^6")
+    val pidStrat = Similarity.topPrincipalDirection(emb, "vec_id",
+      "embedding", strata = 1024).collect()
+    assert(pidStrat.map(_.toSeq).toSeq == pid.map(_.toSeq).toSeq)
   }
 }
