@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line as JSON; sbt's
+// trailing "[success] Total time: …" line has defeated that parse every
+// round (BENCH_r01..r10 all `parsed: null`). Suppress it so graft.Bench's
+// final JSON line really is the last line of stdout, and pass the forked
+// program's stdout through raw (no "[info] " logger prefix in front of
+// the JSON).
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+// showSuccess is consumed by sbt's command engine, not another setting,
+// so the unused-key lint false-positives on it
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1232,11 +1232,15 @@ object Similarity {
   /** Stratum key for the two-stage split-sum aggregation: `strata = 1`
     * (the default everywhere) folds to a constant — same group count
     * and same speed as an unstratified aggregate, with the trivial
-    * recombination stage kept so the plan shape never changes (and the
-    * recombination is exchange-FREE: Catalyst sees the stage-1 hash
-    * partitioning on (key…, __st) satisfies the stage-2 grouping on
-    * (key…), so both aggregates share one shuffle — plan-audited via
-    * Explain on sim_dim_correlation). At
+    * recombination stage kept so the plan shape never changes (and at
+    * this strata=1 default the recombination is exchange-FREE: the
+    * literal __st is folded out of the stage-1 grouping by Catalyst's
+    * RemoveLiteralFromGroupExpressions, so stage 1's hash partitioning
+    * on (key…) alone satisfies the stage-2 grouping and both aggregates
+    * share one shuffle — plan-audited via Explain on
+    * sim_dim_correlation. With REAL strata>1, HashPartitioning(key…,
+    * __st) does NOT satisfy ClusteredDistribution(key…), so stage 2
+    * pays one extra exchange — small, over only d²·S rows). At
     * corpus scale pass `strata ≈ n / 2³¹` (e.g. 64 covers ~2.7·10¹¹
     * rows): the measured cost of real strata at SMALL n is a group-
     * count explosion (S× more groups defeats map-side combine when

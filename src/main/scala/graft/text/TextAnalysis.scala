@@ -419,8 +419,13 @@ object TextAnalysis {
     // time — a deliberate trade (the join strategy must be fixed before
     // the plan exists). Repeat callers who already know their train
     // slice's token count — a corpus manifest, a prior run — pass
-    // `trainTokensHint` (any honest upper bound works: the threshold
-    // test is conservative) and skip the sizing scan entirely.
+    // `trainTokensHint` (an honest upper bound on tokens works, with
+    // one caveat shared by the measured path: tokens bound rows PER
+    // model order, but uni+bi+tri together can reach ~3× that many
+    // rows, so a hint at exactly the threshold can admit up to ~3× the
+    // nominal row budget across the three broadcasts — size
+    // maxBroadcastModelRows with that slack in mind) and skip the
+    // sizing scan entirely.
     val trainTokens: Long = trainTokensHint.getOrElse(
       base.where(col("__train"))
         .agg(coalesce(sum(size(col("__t"))), lit(0L)).as("n")).head.getLong(0))
