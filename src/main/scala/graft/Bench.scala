@@ -54,7 +54,8 @@ object Bench {
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\n\\r\\t]", " ").take(200)
+            .replaceAll("\\\\", "/") // backslashes would escape the JSON quote
+            .replaceAll("[\"\\p{Cntrl}]", " ").take(200)
       }
     }
     def median(xs: List[Double]): Double = {
