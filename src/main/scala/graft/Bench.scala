@@ -53,9 +53,8 @@ object Bench {
         times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
       } catch {
         case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("\\\\", "/") // backslashes would escape the JSON quote
-            .replaceAll("[\"\\p{Cntrl}]", " ").take(200)
+          // raw message; proper JSON escaping happens at emission (jsonStr)
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
     def median(xs: List[Double]): Double = {
@@ -75,24 +74,31 @@ object Bench {
     // millisecond precision: full-double repr overflowed the harness'
     // stdout tail-capture window last round (15 entries truncated)
     def ms(v: Double): Double = math.round(v * 1000) / 1000.0
+    // one escape path for EVERY string field (keys, error messages, and
+    // env-provided paths like sfDir/outFile alike): proper JSON escapes
+    // for backslash/quote/control chars, no lossy substitution
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '\\'           => "\\\\"
+        case '"'            => "\\\""
+        case c if c < ' '   => f"\\u${c.toInt}%04x"
+        case c              => c.toString
+      } + "\""
     val med = names.filter(times.contains).map(n => n -> median(times(n)))
-    val qs = med.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val qs = med.map { case (k, v) => jsonStr(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = ms(med.map(_._2).sum)
     // the session config, recorded so baseline_table.py renders what
     // actually ran instead of assuming the default
     val config = s"local[$cpus], shuffle=$cpus, UTC"
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"sf":"$sfDir","config":"$config"}"""
-    // The driver parses the LAST stdout JSON line (r9's compact summary
-    // left its BENCH parse null), so the full per-query JSON — ~6 KB at
-    // ms precision — must be the FINAL line. A file copy persists too,
-    // resolved to an ABSOLUTE path so running outside the repo root
-    // can't silently misplace it (r9 ADVICE), and a failed write warns
-    // instead of vanishing.
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"sf":${jsonStr(sfDir)},"config":${jsonStr(config)}}"""
+    // The full per-query line also persists to a file, resolved to an
+    // ABSOLUTE path so running outside the repo root can't silently
+    // misplace it (r9 ADVICE); a failed write warns instead of vanishing.
     val outFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     ).getAbsolutePath
@@ -102,10 +108,22 @@ object Bench {
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] WARN: could not write $outFile: $e" +
-        " — stdout line below is the only copy")
+        " — full-json stdout line below is the only copy")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${med.size},"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"sf":"$sfDir","full_json":"$outFile"}""")
+    // ORDER MATTERS. The driver captures only the last ~2000 chars of
+    // stdout and parses the final JSON line it finds there. The full
+    // per-query map is ~6 KB and can only grow, so it goes FIRST (and to
+    // the file above); the ~300-byte compact summary must be the FINAL
+    // line. (History: r9's null parse was sbt's trailing `[success]`
+    // noise — fixed in build.sbt — while r10/r11's was the oversized
+    // full-map line overflowing the tail window.)
     println(full)
+    // errors is {} on a healthy run; if a pathological run pushes the
+    // compact line past the tail window, ship a count + pointer instead
+    val compactErrs =
+      if (errs.length <= 1200) errs
+      else s"""{"_truncated":${jsonStr(s"${errors.size} errors, see full_json")}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${med.size},"errors":$compactErrs,"error_count":${errors.size},"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"sf":${jsonStr(sfDir)},"full_json":${jsonStr(outFile)}}""")
     spark.stop()
   }
 }
