@@ -391,15 +391,19 @@ object TextAnalysis {
     * scored corpus never shuffles on a text key; N and V fold IN-PLAN
     * as a broadcast 1-row aggregate (no driver count). Past
     * executor-sized vocabularies the broadcast hints DROP — decided by
-    * `maxBroadcastModelRows` against the train-slice token count
-    * (distinct n-grams per order ≤ n-gram positions ≤ train tokens, so
-    * the bound is conservative), measured by one cheap map-side
-    * scan+1-row collect before planning. Each join key is its model's
-    * own group-by key, so the sort-merge fallback reuses the
-    * model-side exchange. The default threshold (5×10⁷ train tokens
-    * ≈ ≤50 M rows/model table ≈ low-GB broadcast) keeps the map-only
-    * scoring path for trusted-slice-sized models; a 100 TB-vocabulary
-    * model takes the shuffle join instead of OOMing the driver.
+    * `maxBroadcastModelRows` against 3× the train-slice token count:
+    * tokens bound distinct n-grams PER model order (distinct n-grams
+    * ≤ n-gram positions ≤ train tokens), but uni+bi+tri broadcast
+    * together, so the gate is `3·tokens ≤ maxBroadcastModelRows` —
+    * an honest token count can never admit more than the nominal row
+    * budget ACROSS the three model tables. The count is measured by
+    * one cheap map-side scan+1-row collect before planning. Each join
+    * key is its model's own group-by key, so the sort-merge fallback
+    * reuses the model-side exchange. The default threshold (5×10⁷
+    * total model rows ≈ broadcasts up to ~1.7×10⁷ train tokens ≈
+    * low-GB) keeps the map-only scoring path for trusted-slice-sized
+    * models; a 100 TB-vocabulary model takes the shuffle join instead
+    * of OOMing the driver.
     * FP discipline as [[unigramLogProb]]:
     * per-position log-scores in integer micro-nats, DECIMAL sums, one
     * double division at the end. Held-out docs with fewer than three
@@ -419,18 +423,18 @@ object TextAnalysis {
     // time — a deliberate trade (the join strategy must be fixed before
     // the plan exists). Repeat callers who already know their train
     // slice's token count — a corpus manifest, a prior run — pass
-    // `trainTokensHint` (an honest upper bound on tokens works, with
-    // one caveat shared by the measured path: tokens bound rows PER
-    // model order, but uni+bi+tri together can reach ~3× that many
-    // rows, so a hint at exactly the threshold can admit up to ~3× the
-    // nominal row budget across the three broadcasts — size
-    // maxBroadcastModelRows with that slack in mind) and skip the
-    // sizing scan entirely.
+    // `trainTokensHint` (an honest upper bound on tokens works) and
+    // skip the sizing scan entirely. The hint feeds the SAME gate as
+    // the measured count.
     val trainTokens: Long = trainTokensHint.getOrElse(
       base.where(col("__train"))
         .agg(coalesce(sum(size(col("__t"))), lit(0L)).as("n")).head.getLong(0))
+    // Gate on 3× the token count (overflow-safe as tokens ≤ budget/3):
+    // tokens bound model rows PER order, but uni+bi+tri broadcast
+    // together, so an ungated token count at exactly the threshold
+    // could admit ~3× the nominal row budget across the three tables.
     val hint: DataFrame => DataFrame =
-      if (trainTokens <= maxBroadcastModelRows) broadcast(_) else identity
+      if (trainTokens <= maxBroadcastModelRows / 3) broadcast(_) else identity
     def positions(n: Int, train: Boolean) = base
       .where(if (train) col("__train") else !col("__train"))
       .select(col(idCol), explode(token_ngrams(col("__t"), n)).as("ng"))

@@ -345,6 +345,31 @@ class TextAnalysisSpec extends SparkSpec {
       "hint changes planning cost only, never results")
   }
 
+  test("stupid backoff 3x-slack gate: a hint just over threshold/3 " +
+    "takes the shuffle path (uni+bi+tri share the row budget)") {
+    val docs = ((1L to 4L).map(i => (i, "the cat sat on the mat")) :+
+      (100L, "the cat sat on the rug")).toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def plan(hint: Long) = TextAnalysis.stupidBackoffLogScore(
+        docs, "doc_id", "text", col("doc_id") < 100L,
+        maxBroadcastModelRows = 99L, trainTokensHint = Some(hint))
+        .queryExecution.executedPlan.toString
+      // 34 tokens could mean up to ~102 model rows across three tables
+      // — over the 99-row budget, so the gate must refuse to broadcast
+      val over = plan(34L)
+      assert(over.contains("SortMergeJoin"),
+        s"hint just over threshold/3 must take the shuffle path\n$over")
+      assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+        .findAllIn(over).size == 1,
+        s"only the 1-row N/V aggregate may still broadcast\n$over")
+      val under = plan(33L) // 3*33 = 99 ≤ budget → broadcast holds
+      assert(!under.contains("SortMergeJoin"),
+        s"hint at threshold/3 must keep the broadcast path\n$under")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bigram LM scores shuffled text below fluent text (the signal " +
     "the unigram model cannot see)") {
     val fluent = "the cat sat on the mat and the dog sat on the rug"
