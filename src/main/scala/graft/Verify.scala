@@ -23,13 +23,16 @@ object Verify {
     // optional comma-separated k=v Spark confs — dev-loop invariance
     // runs (e.g. SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false"
     // proves no result depends on AQE's runtime re-planning); never
-    // set by the driver. Known limitation (dev-only knob): values may
-    // not themselves contain ',' — a comma-valued conf (codec lists,
-    // spark.sql.extensions chains) would be mangled by this split.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',')
-      .filter(_.contains('=')).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
-      })
+    // set by the driver. Separator: ';' when present (so comma-valued
+    // confs — codec lists, spark.sql.extensions chains — pass intact),
+    // otherwise ',' for back-compat with every recorded battery leg.
+    sys.env.get("SPARK_GRAFT_CONF").foreach { raw =>
+      val sep = if (raw.contains(';')) ';' else ','
+      raw.split(sep)
+        .filter(_.contains('=')).foreach { kv =>
+          val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+        }
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
