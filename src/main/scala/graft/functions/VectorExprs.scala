@@ -462,6 +462,217 @@ object VectorExprs {
       copy(child = c)
   }
 
+  /** All m product-quantization subspace codes of a vector in ONE loop
+    * expression (see [[graft.similarity.Similarity.pqEncode]]).
+    *
+    * The unrolled spelling — per subspace, `array_max(array(struct(
+    * float_dot(slice(vec,…), lit(cw)) − ½‖cw‖², code) × k))` — emits
+    * O(m·k) dot blocks into the single codegen method of the Generate
+    * stage that consumes it; at m=8, k=16 that crosses janino's 64 KB
+    * method limit and Spark silently demotes the WHOLE encode stage to
+    * interpreted execution (the logged
+    * `InternalCompilerException: Code grows beyond 64 KB` fallback).
+    * Identical math as a model-referencing loop stays ~40 generated
+    * lines at any m·k.
+    *
+    * Bit-parity with the unrolled spelling: scores accumulate
+    * ascending-index in double exactly like [[FloatVecDot]] against a
+    * codeword literal (slicing is just a base offset); the ½‖cw‖² term
+    * is precomputed driver-side with the same ascending-index sum; and
+    * ties resolve to the HIGHER code exactly like `array_max` over
+    * `struct(s, code)` under Spark's double ordering (`==`-equal first,
+    * so ±0.0 tie, then `Double.compare`, NaN greatest).
+    *
+    * Model layout: codewords row-major in `cbFlat`; `offsets` (length
+    * m+1) gives subspace j's global codeword range — ragged k per
+    * subspace is fine (Lloyd drops empty codes); emitted codes are
+    * LOCAL to the subspace (`global − offsets(j)`), preserving the old
+    * per-subspace numbering.
+    */
+  case class PqCodes(child: Expression, cbFlat: Array[Float],
+                     halves: Array[Double], offsets: Array[Int], subDim: Int)
+      extends UnaryExpression {
+
+    require(offsets.length >= 2 && subDim > 0 &&
+      cbFlat.length == offsets.last * subDim &&
+      halves.length == offsets.last)
+    private val m = offsets.length - 1
+    private val dim = m * subDim
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"pq_codes: vector dim ${v.numElements()} != m*subDim $dim")
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val base = j * subDim
+        var best = Double.NegativeInfinity
+        var bestC = -1
+        var c = offsets(j)
+        while (c < offsets(j + 1)) {
+          var acc = 0.0
+          val off = c * subDim
+          var i = 0
+          while (i < subDim) {
+            acc += v.getFloat(base + i).toDouble * cbFlat(off + i).toDouble
+            i += 1
+          }
+          val s = acc - halves(c)
+          val cmp = if (s == best) 0 else java.lang.Double.compare(s, best)
+          if (bestC < 0 || cmp >= 0) { best = s; bestC = c }
+          c += 1
+        }
+        out(j) = bestC - offsets(j)
+        j += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cb = ctx.addReferenceObj("cbFlat", cbFlat, "float[]")
+      val hv = ctx.addReferenceObj("halves", halves, "double[]")
+      val ofs = ctx.addReferenceObj("offsets", offsets, "int[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val out = ctx.freshName("out")
+        val j = ctx.freshName("j")
+        val base = ctx.freshName("base")
+        val best = ctx.freshName("best")
+        val bestC = ctx.freshName("bestC")
+        val c = ctx.freshName("c")
+        val acc = ctx.freshName("acc")
+        val off = ctx.freshName("off")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val cmp = ctx.freshName("cmp")
+        s"""
+           |if ($v.numElements() != $dim) {
+           |  throw new IllegalArgumentException(
+           |    "pq_codes: vector dim " + $v.numElements() + " != m*subDim " + $dim);
+           |}
+           |int[] $out = new int[$m];
+           |for (int $j = 0; $j < $m; $j++) {
+           |  int $base = $j * $subDim;
+           |  double $best = Double.NEGATIVE_INFINITY;
+           |  int $bestC = -1;
+           |  for (int $c = $ofs[$j]; $c < $ofs[$j + 1]; $c++) {
+           |    double $acc = 0.0;
+           |    int $off = $c * $subDim;
+           |    for (int $i = 0; $i < $subDim; $i++) {
+           |      $acc += (double) $v.getFloat($base + $i) * (double) $cb[$off + $i];
+           |    }
+           |    double $s = $acc - $hv[$c];
+           |    int $cmp = ($s == $best) ? 0 : java.lang.Double.compare($s, $best);
+           |    if ($bestC < 0 || $cmp >= 0) { $best = $s; $bestC = $c; }
+           |  }
+           |  $out[$j] = $bestC - $ofs[$j];
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Nearest codeword of ONE already-sliced subvector for subspace `j`
+    * — the training-loop sibling of [[PqCodes]], for the exploded
+    * `(id, subspace, subvector)` frame [[graft.similarity.Similarity.pqTrain]]
+    * drives its Lloyd rounds over (the m-way `when` chain of unrolled
+    * per-codeword scorers it replaces hits the same 64 KB fallback).
+    * Same model layout and identical score/tie semantics as
+    * [[PqCodes]].
+    */
+  case class PqNearestCode(sub: Expression, jExpr: Expression,
+                           cbFlat: Array[Float], halves: Array[Double],
+                           offsets: Array[Int], subDim: Int)
+      extends BinaryExpression {
+
+    require(offsets.length >= 2 && subDim > 0 &&
+      cbFlat.length == offsets.last * subDim &&
+      halves.length == offsets.last)
+    private val m = offsets.length - 1
+
+    override def left: Expression = sub
+    override def right: Expression = jExpr
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val j = b.asInstanceOf[Int]
+      if (j < 0 || j >= m)
+        throw new IllegalArgumentException(s"pq_nearest_code: subspace $j not in [0, $m)")
+      if (v.numElements() != subDim)
+        throw new IllegalArgumentException(
+          s"pq_nearest_code: subvector dim ${v.numElements()} != $subDim")
+      var best = Double.NegativeInfinity
+      var bestC = -1
+      var c = offsets(j)
+      while (c < offsets(j + 1)) {
+        var acc = 0.0
+        val off = c * subDim
+        var i = 0
+        while (i < subDim) {
+          acc += v.getFloat(i).toDouble * cbFlat(off + i).toDouble
+          i += 1
+        }
+        val s = acc - halves(c)
+        val cmp = if (s == best) 0 else java.lang.Double.compare(s, best)
+        if (bestC < 0 || cmp >= 0) { best = s; bestC = c }
+        c += 1
+      }
+      bestC - offsets(j)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cb = ctx.addReferenceObj("cbFlat", cbFlat, "float[]")
+      val hv = ctx.addReferenceObj("halves", halves, "double[]")
+      val ofs = ctx.addReferenceObj("offsets", offsets, "int[]")
+      nullSafeCodeGen(ctx, ev, (v, j) => {
+        val best = ctx.freshName("best")
+        val bestC = ctx.freshName("bestC")
+        val c = ctx.freshName("c")
+        val acc = ctx.freshName("acc")
+        val off = ctx.freshName("off")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val cmp = ctx.freshName("cmp")
+        s"""
+           |if ($j < 0 || $j >= $m) {
+           |  throw new IllegalArgumentException(
+           |    "pq_nearest_code: subspace " + $j + " not in [0, " + $m + ")");
+           |}
+           |if ($v.numElements() != $subDim) {
+           |  throw new IllegalArgumentException(
+           |    "pq_nearest_code: subvector dim " + $v.numElements() + " != " + $subDim);
+           |}
+           |double $best = Double.NEGATIVE_INFINITY;
+           |int $bestC = -1;
+           |for (int $c = $ofs[$j]; $c < $ofs[$j + 1]; $c++) {
+           |  double $acc = 0.0;
+           |  int $off = $c * $subDim;
+           |  for (int $i = 0; $i < $subDim; $i++) {
+           |    $acc += (double) $v.getFloat($i) * (double) $cb[$off + $i];
+           |  }
+           |  double $s = $acc - $hv[$c];
+           |  int $cmp = ($s == $best) ? 0 : java.lang.Double.compare($s, $best);
+           |  if ($bestC < 0 || $cmp >= 0) { $best = $s; $bestC = $c; }
+           |}
+           |${ev.value} = $bestC - $ofs[$j];
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(sub = l, jExpr = r)
+  }
+
   /** Space-joined token n-grams (optionally first-occurrence-distinct,
     * matching `array_distinct`) in ONE expression. Replaces the
     * `transform(sequence(...), i => concat_ws(" ", slice(...)))` HOF
@@ -581,6 +792,39 @@ object VectorExprs {
 
   def token_ngrams(toks: Column, n: Int, distinct: Boolean = false): Column =
     bridge.column(TokenNGrams(bridge.expression(toks), n, distinct))
+
+  def pq_codes(vec: Column, codebooks: Array[Array[Seq[Float]]]): Column = {
+    val (cb, hv, ofs, subDim) = pqFlatten(codebooks)
+    bridge.column(PqCodes(bridge.expression(vec), cb, hv, ofs, subDim))
+  }
+
+  def pq_nearest_code(sub: Column, j: Column,
+                      codebooks: Array[Array[Seq[Float]]]): Column = {
+    val (cb, hv, ofs, subDim) = pqFlatten(codebooks)
+    bridge.column(PqNearestCode(
+      bridge.expression(sub), bridge.expression(j), cb, hv, ofs, subDim))
+  }
+
+  /** Flatten a ragged per-subspace codebook into the [[PqCodes]] model
+    * layout. `halves` uses the SAME ascending-index `Seq.sum` the old
+    * unrolled spelling computed its ½‖cw‖² literals with, so scores
+    * stay bit-identical.
+    */
+  private def pqFlatten(cbs: Array[Array[Seq[Float]]])
+      : (Array[Float], Array[Double], Array[Int], Int) = {
+    require(cbs.nonEmpty && cbs.forall(_.nonEmpty),
+      "pq model: every subspace needs at least one codeword")
+    val subDim = cbs.head.head.length
+    require(cbs.forall(_.forall(_.length == subDim)),
+      s"pq model: ragged codeword width (expected $subDim)")
+    val offsets = cbs.scanLeft(0)(_ + _.length)
+    val flat = new Array[Float](offsets.last * subDim)
+    var w = 0
+    cbs.foreach(_.foreach { cw => cw.foreach { x => flat(w) = x; w += 1 } })
+    val halves = cbs.flatMap(_.map(cw =>
+      cw.map(x => x.toDouble * x.toDouble).sum / 2.0))
+    (flat, halves, offsets, subDim)
+  }
 
   /** Equi-population rank of a double against sorted quantile
     * `boundaries`: the count of boundaries ≤ x (an upper-bound binary

@@ -611,14 +611,19 @@ object Similarity {
     * because codes are always consumed from the materialized encode
     * output, never re-derived.
     */
-  def pqCode(cb: Array[Seq[Float]])(sub: Column): Column = {
-    val scored = cb.zipWithIndex.map { case (cw, i) =>
-      val half = cw.map(x => x.toDouble * x.toDouble).sum / 2.0
-      struct((dot(sub, typedLit(cw)) - lit(half)).as("s"),
-        lit(i).as("code"))
-    }
-    array_max(array(scored: _*)).getField("code")
-  }
+  /** Nearest codeword under L2 for one subspace's subvector — a loop
+    * over the broadcast-referenced codebook
+    * ([[graft.functions.VectorExprs.PqNearestCode]]). The earlier
+    * unrolled `array_max(array(struct(dot − ½‖cw‖², code) × k))`
+    * spelling emitted O(k) dot blocks per subspace into the consuming
+    * stage's single codegen method; across m subspaces that crossed
+    * janino's 64 KB method limit and silently demoted the whole
+    * encode/assign stage to interpreted execution. Scores and
+    * higher-code tie-breaks are bit-identical (see the expression's
+    * scaladoc).
+    */
+  def pqCode(cbs: Array[Array[Seq[Float]]])(sub: Column, j: Column): Column =
+    graft.functions.VectorExprs.pq_nearest_code(sub, j, cbs)
 
   /** Train the m per-subspace codebooks: Lloyd's k-means under L2 on
     * each `dim/m`-wide slice, deterministic and seed-free exactly like
@@ -668,9 +673,7 @@ object Similarity {
       initRows.filter(_.getInt(0) == j).map(_.getSeq[Float](1))).toArray
     val mean = graft.functions.VectorAgg.vecMean(subDim)
     for (_ <- 1 to iters) {
-      val codeCol = (0 until m).foldLeft(lit(-1)) { (acc, j) =>
-        when(col("__j") === j, pqCode(cbs(j))(col("__sv"))).otherwise(acc)
-      }
+      val codeCol = pqCode(cbs)(col("__sv"), col("__j"))
       val rows = subs.select(col("__j"), codeCol.as("__c"), col("__sv"))
         .groupBy(col("__j"), col("__c")).agg(mean(col("__sv")).as("m"))
         .orderBy(col("__j"), col("__c")) // stable code numbering
@@ -685,18 +688,16 @@ object Similarity {
 
   /** ENCODE: every corpus vector → m `(id, subspace, code)` rows — the
     * long form, so the ADC join and the DuckDB oracle consume the same
-    * shape. One map-only pass (codebooks are broadcast literals); at
+    * shape. One map-only pass (the codebook rides along as a
+    * task-broadcast model reference inside a single codegen'd loop
+    * expression — [[graft.functions.VectorExprs.PqCodes]]); at
     * k ≤ 256 a code is one byte of information, the 32×-compression
     * claim. The one-time n·k·D assignment cost amortizes over all
     * queries, the [[ivfBuild]] argument.
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                codebooks: Array[Array[Seq[Float]]]): DataFrame = {
-    val m = codebooks.length
-    val subDim = codebooks.head.head.length
-    val codes = array((0 until m).map(j =>
-      pqCode(codebooks(j))(
-        slice(col(vecCol), j * subDim + 1, subDim)).cast("int")): _*)
+    val codes = graft.functions.VectorExprs.pq_codes(col(vecCol), codebooks)
     corpus.select(col(idCol), posexplode(codes))
       .select(col(idCol), col("pos").cast("int").as("subspace"),
         col("col").as("code"))

@@ -95,4 +95,46 @@ class VectorExprsSpec extends SparkSpec {
       assert(math.abs(am - m) / m < 0.1, s"$k: median $am vs exact $m")
     }
   }
+
+  test("PqCodes/PqNearestCode == the unrolled array_max spelling it " +
+    "replaced (which blew janino's 64 KB method limit at m*k scale)") {
+    val emb = Tables.embeddings(spark, sf()).limit(200)
+    val m = 8
+    val cbs = Similarity.pqTrain(emb, "vec_id", "embedding", m = m, k = 16)
+    val subDim = cbs.head.head.length
+    // the pre-round-12 unrolled spelling, kept verbatim as the oracle
+    def oldCode(cb: Array[Seq[Float]])(sub: org.apache.spark.sql.Column) = {
+      val scored = cb.zipWithIndex.map { case (cw, i) =>
+        val half = cw.map(x => x.toDouble * x.toDouble).sum / 2.0
+        struct((VectorExprs.float_dot(sub, typedLit(cw)) - lit(half)).as("s"),
+          lit(i).as("code"))
+      }
+      array_max(array(scored: _*)).getField("code")
+    }
+    val oldCodes = array((0 until m).map(j =>
+      oldCode(cbs(j))(slice($"embedding", j * subDim + 1, subDim))
+        .cast("int")): _*)
+    val both = emb.select(
+      VectorExprs.pq_codes($"embedding", cbs).as("fast"), oldCodes.as("slow"))
+    assert(both.where(not($"fast" <=> $"slow")).count() == 0,
+      "full-vector codes must match the unrolled plan")
+    // the train-loop sibling on the exploded (id, subspace, subvector) frame
+    val exploded = emb.select($"vec_id", posexplode(array((0 until m).map(j =>
+      slice($"embedding", j * subDim + 1, subDim)): _*)))
+      .select($"vec_id", $"pos".as("j"), $"col".as("sv"))
+    val both2 = exploded.select(
+      VectorExprs.pq_nearest_code($"sv", $"j", cbs).as("fast"),
+      (0 until m).foldLeft(lit(-1)) { (acc, j) =>
+        when($"j" === j, oldCode(cbs(j))($"sv")).otherwise(acc)
+      }.as("slow"))
+    assert(both2.where($"fast" =!= $"slow").count() == 0,
+      "per-subspace assignment must match the when-chain plan")
+    // score tie resolves to the HIGHER code, exactly like array_max
+    // over struct(s, code)
+    val tieCb: Array[Array[Seq[Float]]] =
+      Array(Array(Seq(1f, 0f), Seq(1f, 0f), Seq(0f, 1f)))
+    val tied = Seq((1L, Seq(1f, 0f))).toDF("id", "v")
+      .select(VectorExprs.pq_codes($"v", tieCb).as("c")).head.getSeq[Int](0)
+    assert(tied == Seq(1), s"tie must pick the higher code, got $tied")
+  }
 }
