@@ -346,15 +346,32 @@ object Aggregation {
     * date (reproducible, like [[timeDecayAgg]]).
     *
     * Shape: one grouped agg to the per-key metric table, then three
-    * ntile windows over it — the windows are over the AGGREGATED
-    * table (one row per key), not the event stream, so the sort cost
-    * is key-sized. Global ntile is a single-partition window: at
-    * 100 TB key counts, swap to percent_rank over a range-partitioned
-    * sort or approx quantile cuts; the scores change by at most one
-    * bucket at the boundaries.
+    * exact ntile rankings over it — rankings are over the AGGREGATED
+    * table (one row per key), not the event stream. A measured gate
+    * picks the ranking plan (the [[graft.text.TextAnalysis]]
+    * broadcast-LM pattern): at or under `maxSinglePartitionRows` keys
+    * the classic single-partition ntile window is cheapest (zero extra
+    * joins); above it that window serializes every key through one
+    * task, so each metric instead ranks via [[distributedNtile]] —
+    * range-partitioned local ranks shifted by a partition-count
+    * prefix, then ntile's remainder arithmetic on the global rank.
+    * Both paths are EXACT and identical under the key-tie-broken
+    * total order (spec-pinned), so crossing the gate can never move a
+    * score. The gate is two-level so the small path costs ZERO extra
+    * jobs: keys ≤ events, and the optimizer's `stats.sizeInBytes`
+    * (parquet file bytes for file sources) over a conservative
+    * 4-byte/row floor upper-bounds the event count at PLAN time; only
+    * when that bound crosses the threshold does the gate pay one
+    * `count_distinct(key)` pruned-column scan for the true key count
+    * (trivial next to the ranking work it implies). Because both
+    * paths are exact, a stats misestimate can only cost performance,
+    * never results. The big path alone localCheckpoints the per-key
+    * frame (shared by its three rankings instead of re-running the
+    * event-stream agg four times).
     */
   def rfmScores(df: DataFrame, keyCol: String, tsCol: String,
-                valCol: String, buckets: Int = 5): DataFrame = {
+                valCol: String, buckets: Int = 5,
+                maxSinglePartitionRows: Long = 20000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(buckets >= 2)
     val m = df.select(col(keyCol),
@@ -368,20 +385,90 @@ object Aggregation {
     val t = m.crossJoin(broadcast(today))
       .select(col(keyCol), (col("__today") - col("__last")).as("recency_days"),
         col("frequency"), col("monetary_cents"))
-    def score(metric: Column, asc: Boolean): Column = {
-      val o = if (asc) Seq(metric.asc, col(keyCol).asc)
-              else Seq(metric.desc, col(keyCol).asc)
-      ntile(buckets).over(Window.orderBy(o: _*))
-    }
+    val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n =
+      if (statBytes / 4 <= BigInt(maxSinglePartitionRows)) 0L // rows ≤ bytes/4
+      else df.agg(count_distinct(col(keyCol))).head.getLong(0)
     // recency: fewer days = better → rank days ASC and score 5-first
-    t.select(col(keyCol), col("recency_days"), col("frequency"),
-        col("monetary_cents"),
-        (lit(buckets + 1) - score(col("recency_days"), asc = true))
-          .cast("int").as("r_score"),
-        (lit(buckets + 1) - score(col("frequency"), asc = false))
-          .cast("int").as("f_score"),
-        (lit(buckets + 1) - score(col("monetary_cents"), asc = false))
-          .cast("int").as("m_score"))
+    if (n <= maxSinglePartitionRows) {
+      def score(metric: Column, asc: Boolean): Column = {
+        val o = if (asc) Seq(metric.asc, col(keyCol).asc)
+                else Seq(metric.desc, col(keyCol).asc)
+        ntile(buckets).over(Window.orderBy(o: _*))
+      }
+      t.select(col(keyCol), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          (lit(buckets + 1) - score(col("recency_days"), asc = true))
+            .cast("int").as("r_score"),
+          (lit(buckets + 1) - score(col("frequency"), asc = false))
+            .cast("int").as("f_score"),
+          (lit(buckets + 1) - score(col("monetary_cents"), asc = false))
+            .cast("int").as("m_score"))
+    } else {
+      val tc = t.localCheckpoint()
+      def pass(metric: String, asc: Boolean, out: String): DataFrame =
+        distributedNtile(tc.select(col(keyCol), col(metric)),
+            keyCol, metric, asc, buckets, n)
+          .select(col(keyCol),
+            (lit(buckets + 1) - col("__ntile")).cast("int").as(out))
+      tc.select(col(keyCol), col("recency_days"), col("frequency"),
+          col("monetary_cents"))
+        .join(pass("recency_days", asc = true, "r_score"), Seq(keyCol))
+        .join(pass("frequency", asc = false, "f_score"), Seq(keyCol))
+        .join(pass("monetary_cents", asc = false, "m_score"), Seq(keyCol))
+        .select(col(keyCol), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          col("r_score"), col("f_score"), col("m_score"))
+    }
+  }
+
+  /** Exact global `ntile(buckets)` under the total order (`metricCol`
+    * asc/desc, key asc) WITHOUT a single-partition WindowExec:
+    * range-partition on the order, rank locally inside each range (a
+    * PARTITIONED window), shift local ranks by the prefix of
+    * per-partition counts (a window over ≤ shuffle-partition-count
+    * rows — the bounded-offsets pattern [[graft.etl.Drift]] uses for
+    * bucket prefixes), then map the global rank to its bucket with
+    * ntile's first-buckets-take-the-remainder arithmetic. The rank
+    * depends only on the total order, so output is invariant to
+    * partition count and range boundaries.
+    *
+    * The range-partitioned frame is localCheckpoint'd because it
+    * feeds TWO branches of the same plan (the counts prefix and the
+    * ranking): RangePartitioner draws split points with an
+    * RDD-id-seeded sample, so without pinning one materialization the
+    * branches could see DIFFERENT boundaries and the offsets would
+    * not match the ranks (exchange reuse usually dedups the scan, but
+    * correctness must not hang on an optimizer rule — the AQE-off leg
+    * exists precisely to catch that class of dependence).
+    *
+    * `n` is the caller-measured row count of `t` (the caller already
+    * holds it for the plan gate).
+    */
+  private def distributedNtile(t: DataFrame, keyCol: String,
+      metricCol: String, asc: Boolean, buckets: Int, n: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = if (asc) Seq(col(metricCol).asc, col(keyCol).asc)
+            else Seq(col(metricCol).desc, col(keyCol).asc)
+    val binned = t.repartitionByRange(o: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offs = binned.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .select(col("__pid"),
+        coalesce(sum(col("__c")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
+    val rnW = Window.partitionBy(col("__pid")).orderBy(o: _*)
+    val q = n / buckets
+    val r = n % buckets
+    val head = (q + 1) * r
+    val ranked = binned.join(broadcast(offs), "__pid")
+      .withColumn("__rn", row_number().over(rnW).cast("long") + col("__off"))
+    // ntile(B) over n rows: the first n%B buckets hold n/B+1 rows each
+    val bucket =
+      if (q == 0) col("__rn") // fewer rows than buckets: bucket = rank
+      else expr(s"CASE WHEN __rn <= $head THEN (__rn - 1) DIV ${q + 1} + 1" +
+        s" ELSE $r + (__rn - 1 - $head) DIV $q + 1 END")
+    ranked.select(col(keyCol), bucket.cast("int").as("__ntile"))
   }
 
   def cohortRetention(df: DataFrame, keyCol: String,

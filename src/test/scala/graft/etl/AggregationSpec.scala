@@ -170,6 +170,27 @@ class AggregationSpec extends SparkSpec {
     assert(out(2L) == ((9, 1L, 100L, 1, 1, 1)))
   }
 
+  test("rfmScores: distributed-rank path == single-partition ntile " +
+    "path on real events, including ntile's remainder buckets") {
+    val ev = graft.model.Tables.events(spark, sf())
+      .select("user_id", "ts", "value")
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4),
+          r.getInt(5), r.getInt(6)))).toMap
+    // buckets=7 so n % buckets is almost surely nonzero — the
+    // remainder arithmetic (first r buckets take q+1 rows) is on trial
+    val viaWindow = collectMap(
+      Aggregation.rfmScores(ev, "user_id", "ts", "value", buckets = 7))
+    val viaRank = collectMap(
+      Aggregation.rfmScores(ev, "user_id", "ts", "value", buckets = 7,
+        maxSinglePartitionRows = 1)) // force the distributed plan
+    assert(viaRank.size == viaWindow.size && viaRank.nonEmpty)
+    viaWindow.foreach { case (k, v) =>
+      assert(viaRank(k) == v, s"user $k: ${viaRank(k)} vs window $v")
+    }
+  }
+
   test("sessionPaths: gap islands, path truncation, frequency rank") {
     import org.apache.spark.sql.functions.col
     // u1: events at 0,10,20 (one session: a>b>c), then 400 (new
