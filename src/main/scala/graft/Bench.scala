@@ -23,7 +23,11 @@ object Bench {
     // idle-box cost is recorded in BASELINE.md. Query timings can't
     // distinguish "code got slower" from "box was busy"; this probe can —
     // it exercises zero graft code, so any inflation here is machine load.
-    // Median-of-3 to keep the canary itself noise-resistant.
+    // Median-of-3 before the run (back-compat `calibration_sec`), PLUS
+    // one sample after each registry pass: hypervisor-neighbor load can
+    // shift mid-run (two same-HEAD round-12 runs differed 12% at an
+    // identical pre-run canary), so the emitted `calibration_samples`
+    // band shows whether ambient held steady across the measurement.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       spark.range(8000000L)
@@ -33,6 +37,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calibrationSec = List.fill(3)(calibrate()).sorted.apply(1)
+    val calibSamples = collection.mutable.ListBuffer(calibrationSec)
     // dev-loop filter: comma-separated name substrings; NEVER set by the
     // driver (full registry is the graded run), only by hand while
     // iterating on one query's plan
@@ -45,17 +50,20 @@ object Bench {
     val times = collection.mutable.Map.empty[String, List[Double]]
     // a broken query must be VISIBLE in the bench json, not a fast -1
     val errors = collection.mutable.Map.empty[String, String]
-    for (_ <- 1 to runs; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
-      } catch {
-        case e: Throwable =>
-          // raw message; proper JSON escaping happens at emission (jsonStr)
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    for (_ <- 1 to runs) {
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+        } catch {
+          case e: Throwable =>
+            // raw message; proper JSON escaping happens at emission (jsonStr)
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
       }
+      calibSamples += calibrate() // ambient drift, one sample per pass
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -91,11 +99,12 @@ object Bench {
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = ms(med.map(_._2).sum)
+    val calibArr = calibSamples.map(ms).mkString("[", ",", "]")
     // the session config, recorded so baseline_table.py renders what
     // actually ran instead of assuming the default
     val config = s"local[$cpus], shuffle=$cpus, UTC"
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"sf":${jsonStr(sfDir)},"config":${jsonStr(config)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"calibration_samples":$calibArr,"sf":${jsonStr(sfDir)},"config":${jsonStr(config)}}"""
     // The full per-query line also persists to a file, resolved to an
     // ABSOLUTE path so running outside the repo root can't silently
     // misplace it (r9 ADVICE); a failed write warns instead of vanishing.
@@ -123,7 +132,7 @@ object Bench {
     val compactErrs =
       if (errs.length <= 1200) errs
       else s"""{"_truncated":${jsonStr(s"${errors.size} errors, see full_json")}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${med.size},"errors":$compactErrs,"error_count":${errors.size},"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"sf":${jsonStr(sfDir)},"full_json":${jsonStr(outFile)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${med.size},"errors":$compactErrs,"error_count":${errors.size},"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"calibration_samples":$calibArr,"sf":${jsonStr(sfDir)},"full_json":${jsonStr(outFile)}}""")
     spark.stop()
   }
 }
