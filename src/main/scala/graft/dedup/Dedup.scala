@@ -355,24 +355,15 @@ object Dedup {
       s"unknown connected-components algorithm '$other'")
   }
 
-  /** Reliable checkpoint when the session has a checkpoint directory
-    * configured (`spark.sparkContext.setCheckpointDir` — blocks land on
-    * the cluster FS and survive executor loss); `localCheckpoint`
-    * otherwise (executor-local — fine single-node / in-sandbox, lossy on
-    * executor failure at cluster scale). Both truncate lineage, which
-    * iterative DataFrame loops need to avoid replanning from the source
-    * every round.
-    *
-    * LAZY: both CC loops follow every checkpoint with exactly one
-    * action (the fixpoint aggregate), which materializes it — an eager
-    * checkpoint would run a second job per round just to write the same
-    * blocks, doubling the per-round fixed cost that dominates
-    * small-graph runs.
+  /** Shared reliable-dir-aware lineage truncation — see
+    * [[graft.Checkpoints]]. LAZY here: both CC loops follow every
+    * checkpoint with exactly one action (the fixpoint aggregate), which
+    * materializes it — an eager checkpoint would run a second job per
+    * round just to write the same blocks, doubling the per-round fixed
+    * cost that dominates small-graph runs.
     */
   private def checkpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = false)
-    else df.localCheckpoint(eager = false)
+    graft.Checkpoints.checkpoint(df, eager = false)
 
   /** Min-label propagation: converges in `diameter(graph)` rounds — the
     * cheap path for the shallow clusters near-dup graphs produce, kept

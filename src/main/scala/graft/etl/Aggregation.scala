@@ -358,16 +358,24 @@ object Aggregation {
     * Both paths are EXACT and identical under the key-tie-broken
     * total order (spec-pinned), so crossing the gate can never move a
     * score. The gate is two-level so the small path costs ZERO extra
-    * jobs: keys ≤ events, and the optimizer's `stats.sizeInBytes`
-    * (parquet file bytes for file sources) over a conservative
-    * 4-byte/row floor upper-bounds the event count at PLAN time; only
-    * when that bound crosses the threshold does the gate pay one
-    * `count_distinct(key)` pruned-column scan for the true key count
-    * (trivial next to the ranking work it implies). Because both
-    * paths are exact, a stats misestimate can only cost performance,
-    * never results. The big path alone localCheckpoints the per-key
-    * frame (shared by its three rankings instead of re-running the
-    * event-stream agg four times).
+    * jobs: keys ≤ events, and at PLAN time the optimizer's exact
+    * `stats.rowCount` when available (CBO / ANALYZE'd tables), else a
+    * bytes/4 HEURISTIC over `stats.sizeInBytes` (parquet file bytes
+    * for file sources). The heuristic is a floor in the common case
+    * but NOT a hard bound — RLE/dictionary encoding can store
+    * low-cardinality rows under 4 bytes, so a heavily-compressed table
+    * can under-estimate and keep the window plan; because both paths
+    * are exact, that mis-gate can only cost performance, never
+    * results. Only when the plan bound crosses the threshold does the
+    * gate measure truth — and it measures it on the PER-KEY frame
+    * itself: checkpoint the aggregated table (needed anyway — it feeds
+    * three rankings) and `count()` it, a key-sized job with no extra
+    * event scan. Counting the aggregated frame rather than
+    * `count_distinct(key)` on the events also makes `n` include a
+    * NULL-key group when one exists, exactly matching the row set both
+    * ranking plans operate on — `count_distinct` excludes NULL, which
+    * would have sized the distributed ntile arithmetic for n−1 rows
+    * and diverged from the window path (ADVICE r12).
     */
   def rfmScores(df: DataFrame, keyCol: String, tsCol: String,
                 valCol: String, buckets: Int = 5,
@@ -385,40 +393,52 @@ object Aggregation {
     val t = m.crossJoin(broadcast(today))
       .select(col(keyCol), (col("__today") - col("__last")).as("recency_days"),
         col("frequency"), col("monetary_cents"))
-    val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val n =
-      if (statBytes / 4 <= BigInt(maxSinglePartitionRows)) 0L // rows ≤ bytes/4
-      else df.agg(count_distinct(col(keyCol))).head.getLong(0)
     // recency: fewer days = better → rank days ASC and score 5-first
-    if (n <= maxSinglePartitionRows) {
+    def windowPath(frame: DataFrame): DataFrame = {
       def score(metric: Column, asc: Boolean): Column = {
         val o = if (asc) Seq(metric.asc, col(keyCol).asc)
                 else Seq(metric.desc, col(keyCol).asc)
         ntile(buckets).over(Window.orderBy(o: _*))
       }
-      t.select(col(keyCol), col("recency_days"), col("frequency"),
-          col("monetary_cents"),
-          (lit(buckets + 1) - score(col("recency_days"), asc = true))
-            .cast("int").as("r_score"),
-          (lit(buckets + 1) - score(col("frequency"), asc = false))
-            .cast("int").as("f_score"),
-          (lit(buckets + 1) - score(col("monetary_cents"), asc = false))
-            .cast("int").as("m_score"))
-    } else {
-      val tc = t.localCheckpoint()
-      def pass(metric: String, asc: Boolean, out: String): DataFrame =
-        distributedNtile(tc.select(col(keyCol), col(metric)),
-            keyCol, metric, asc, buckets, n)
-          .select(col(keyCol),
-            (lit(buckets + 1) - col("__ntile")).cast("int").as(out))
-      tc.select(col(keyCol), col("recency_days"), col("frequency"),
-          col("monetary_cents"))
-        .join(pass("recency_days", asc = true, "r_score"), Seq(keyCol))
-        .join(pass("frequency", asc = false, "f_score"), Seq(keyCol))
-        .join(pass("monetary_cents", asc = false, "m_score"), Seq(keyCol))
-        .select(col(keyCol), col("recency_days"), col("frequency"),
-          col("monetary_cents"),
-          col("r_score"), col("f_score"), col("m_score"))
+      frame.select(col(keyCol), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        (lit(buckets + 1) - score(col("recency_days"), asc = true))
+          .cast("int").as("r_score"),
+        (lit(buckets + 1) - score(col("frequency"), asc = false))
+          .cast("int").as("f_score"),
+        (lit(buckets + 1) - score(col("monetary_cents"), asc = false))
+          .cast("int").as("m_score"))
+    }
+    val stats = df.queryExecution.optimizedPlan.stats
+    val planBound: BigInt = stats.rowCount.getOrElse(stats.sizeInBytes / 4)
+    if (planBound <= BigInt(maxSinglePartitionRows)) windowPath(t)
+    else {
+      // checkpoint pin (reliable-dir-aware): the per-key frame feeds
+      // the key count AND three rankings — one materialization for all
+      val tc = graft.Checkpoints.checkpoint(t)
+      val n = tc.count() // key GROUPS (incl. a null key) — the exact
+                         // row set every ranking below operates on
+      if (n <= maxSinglePartitionRows) windowPath(tc)
+      else {
+        // score joins are NULL-SAFE (<=>): a plain equi-join would
+        // silently drop the null-key group the window path keeps
+        def pass(metric: String, asc: Boolean, out: String): DataFrame =
+          distributedNtile(tc.select(col(keyCol), col(metric)),
+              keyCol, metric, asc, buckets, n)
+            .select(col(keyCol).as(s"__k_$out"),
+              (lit(buckets + 1) - col("__ntile")).cast("int").as(out))
+        tc.select(col(keyCol), col("recency_days"), col("frequency"),
+            col("monetary_cents"))
+          .join(pass("recency_days", asc = true, "r_score"),
+            col(keyCol) <=> col("__k_r_score"))
+          .join(pass("frequency", asc = false, "f_score"),
+            col(keyCol) <=> col("__k_f_score"))
+          .join(pass("monetary_cents", asc = false, "m_score"),
+            col(keyCol) <=> col("__k_m_score"))
+          .select(col(keyCol), col("recency_days"), col("frequency"),
+            col("monetary_cents"),
+            col("r_score"), col("f_score"), col("m_score"))
+      }
     }
   }
 
@@ -433,7 +453,8 @@ object Aggregation {
     * depends only on the total order, so output is invariant to
     * partition count and range boundaries.
     *
-    * The range-partitioned frame is localCheckpoint'd because it
+    * The range-partitioned frame is checkpoint-pinned
+    * (reliable-dir-aware, [[graft.Checkpoints]]) because it
     * feeds TWO branches of the same plan (the counts prefix and the
     * ranking): RangePartitioner draws split points with an
     * RDD-id-seeded sample, so without pinning one materialization the
@@ -450,9 +471,8 @@ object Aggregation {
     import org.apache.spark.sql.expressions.Window
     val o = if (asc) Seq(col(metricCol).asc, col(keyCol).asc)
             else Seq(col(metricCol).desc, col(keyCol).asc)
-    val binned = t.repartitionByRange(o: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val binned = graft.Checkpoints.checkpoint(t.repartitionByRange(o: _*)
+      .withColumn("__pid", spark_partition_id()))
     val offs = binned.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
       .select(col("__pid"),
         coalesce(sum(col("__c")).over(Window.orderBy(col("__pid"))

@@ -106,17 +106,17 @@ object Drift {
   def ksDistance(df: DataFrame, valueCol: String, aPred: Column,
                  bPred: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // localCheckpoint: three consumers (within-bucket prefix, bucket
-    // offsets, totals) read the distinct-value table — pinning it keeps
-    // the corpus scan single (no DataFrame common-subtree reuse); the
-    // pinned table is |distinct values| rows
-    val t = df.where(aPred || bPred)
+    // checkpoint pin (reliable-dir-aware, [[graft.Checkpoints]]): three
+    // consumers (within-bucket prefix, bucket offsets, totals) read the
+    // distinct-value table — pinning it keeps the corpus scan single
+    // (no DataFrame common-subtree reuse); the pinned table is
+    // |distinct values| rows
+    val t = graft.Checkpoints.checkpoint(df.where(aPred || bPred)
       .select(col(valueCol).as("v"),
         when(aPred, 1L).otherwise(0L).as("ca"),
         when(bPred, 1L).otherwise(0L).as("cb"))
       .groupBy(col("v")).agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
-      .withColumn("__bkt", floor(col("v")).cast("long"))
-      .localCheckpoint()
+      .withColumn("__bkt", floor(col("v")).cast("long")))
     val inW = Window.partitionBy(col("__bkt")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = t.select(col("__bkt"), col("v"),

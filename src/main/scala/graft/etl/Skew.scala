@@ -59,17 +59,19 @@ object Skew {
     */
   def skewProfile(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // localCheckpoint: the stats and top-k branches both consume the
+    // checkpoint pin: the stats and top-k branches both consume the
     // key-count table; without pinning it, each branch would re-derive
     // the subtree and the CORPUS would scan twice (DataFrames have no
-    // common-subtree reuse). The pinned table is |keys| rows and lives
+    // common-subtree reuse). Reliable-dir-aware ([[graft.Checkpoints]])
+    // so an executor loss on a real cluster recomputes blocks instead
+    // of killing the job. The pinned table is |keys| rows and lives
     // in executor STORAGE memory — fine while |keys| ≪ |rows| (the
     // profiling regime); for a billion-key profile swap to
     // persist(StorageLevel.DISK_ONLY) so the pin spills instead of
     // evicting under memory pressure.
-    val counts = df.groupBy(col(keyCol).cast("long").as("key"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    val counts = graft.Checkpoints.checkpoint(
+      df.groupBy(col(keyCol).cast("long").as("key"))
+        .agg(count(lit(1)).as("cnt")))
     val stats = counts.agg(
       count(lit(1)).as("n_keys"),
       sum(col("cnt")).as("total_rows"),

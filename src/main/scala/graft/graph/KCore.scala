@@ -42,9 +42,7 @@ object KCore {
     * bottleneck.
     */
   private def checkpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = false)
-    else df.localCheckpoint(eager = false)
+    graft.Checkpoints.checkpoint(df, eager = false)
 
   /** `rounds` peeling rounds at threshold `coreK` over an undirected
     * edge list in any orientation (duplicates/self-loops dropped).

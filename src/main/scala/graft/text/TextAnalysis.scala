@@ -1294,8 +1294,9 @@ object TextAnalysis {
     * ride along as weights), so a round costs one vocabulary-sized
     * map + hash agg; the driver holds only the current top pair (one
     * row per round — the k-means-centroids precedent) and
-    * `localCheckpoint` pins each round's vocabulary so round k never
-    * re-executes rounds 1..k-1. Pair counts are integer sums —
+    * a checkpoint (reliable-dir-aware, [[graft.Checkpoints]]) pins
+    * each round's vocabulary so round k never re-executes rounds
+    * 1..k-1. Pair counts are integer sums —
     * deterministic under any partitioning.
     */
   def bpeMerges(df: DataFrame, textCol: String, kMerges: Int): DataFrame = {
@@ -1317,12 +1318,12 @@ object TextAnalysis {
     */
   private def bpeTrainCore(df: DataFrame, textCol: String, kMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
-      .where(length(col("w")) >= 1 && !col("w").contains("|"))
-      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      .select(col("w"), regexp_replace(col("w"), "(.)", "|$1|").as("s"),
-        col("wc"))
-      .localCheckpoint()
+    var vocab = graft.Checkpoints.checkpoint(
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .where(length(col("w")) >= 1 && !col("w").contains("|"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .select(col("w"), regexp_replace(col("w"), "(.)", "|$1|").as("s"),
+          col("wc")))
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var exhausted = false
     for (i <- 1 to kMerges if !exhausted) {
@@ -1344,10 +1345,9 @@ object TextAnalysis {
         val (l, r, cnt) =
           (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
         merges += ((i, l, r, cnt))
-        vocab = vocab
+        vocab = graft.Checkpoints.checkpoint(vocab
           .withColumn("s", replace(col("s"),
-            lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
-          .localCheckpoint()
+            lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|"))))
       }
     }
     (merges.toSeq, vocab)

@@ -191,6 +191,33 @@ class AggregationSpec extends SparkSpec {
     }
   }
 
+  test("rfmScores: a NULL-key group is scored identically on both " +
+    "paths (n counts the per-key frame, score joins are null-safe)") {
+    import org.apache.spark.sql.functions.col
+    val day = 86400L
+    val rows = Seq(
+      (Option(1L), 9 * day, 10.0), (Option(1L), 9 * day + 5, 10.0),
+      (Option(2L), 0L, 1.0), (Option.empty[Long], 4 * day, 7.0),
+      (Option(3L), 2 * day, 3.0), (Option(4L), 5 * day, 20.0))
+      .toDF("user_id", "sec", "value")
+      .select(col("user_id"), col("sec").cast("timestamp").as("ts"),
+        col("value"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+          ((r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4),
+            r.getInt(5), r.getInt(6)))).toMap
+    val viaWindow = canon(
+      Aggregation.rfmScores(rows, "user_id", "ts", "value", buckets = 3))
+    val viaRank = canon(
+      Aggregation.rfmScores(rows, "user_id", "ts", "value", buckets = 3,
+        maxSinglePartitionRows = 1)) // force the distributed plan
+    assert(viaWindow.contains(-1L),
+      "the null-key group must be scored, not dropped")
+    assert(viaRank == viaWindow,
+      s"distributed $viaRank must equal window $viaWindow incl. null key")
+  }
+
   test("sessionPaths: gap islands, path truncation, frequency rank") {
     import org.apache.spark.sql.functions.col
     // u1: events at 0,10,20 (one session: a>b>c), then 400 (new
