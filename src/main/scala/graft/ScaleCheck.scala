@@ -370,6 +370,16 @@ object ScaleCheck {
           graft.dedup.Dedup.containmentSketchPairs(d, "doc_id", "text",
             shingleSize = 3, k = 8, minEst = 0.3).count()
         }
+        // the AUTO gate forced over its threshold (r13): routes
+        // sketch-screen → exact-verify, so the ×32 ratio must track
+        // the bounded sketch probe above, NOT the exact all-pairs
+        // join — the measured evidence that crossing the gate escapes
+        // the spill-bound regime
+        time(s"dedup_cont_auto_gated_$tag") {
+          graft.dedup.Dedup.containmentPairsAuto(d, "doc_id", "text",
+            shingleSize = 3, threshold = 0.5, maxPrefixPostings = 1L,
+            sketchK = 8, sketchMargin = 0.2).count()
+        }
         // quality-classifier training, full-batch: per GD iteration one
         // broadcast-weights scoring pass + one bucket-keyed gradient
         // agg over the persisted bucket cache — linear corpus passes

@@ -764,19 +764,23 @@ object NorthStarQueries {
         hiThreshold = 0.5)
     }),
 
-    // EXACT directional containment pairs (quote/excerpt detection):
-    // |Sa∩Sb|/|Sa| >= t — the asymmetric relation Jaccard misses; A-side
-    // prefix filter + B-side full postings + length prune, full-set verify.
-    // Registered DELIBERATELY in its unrestricted all-pairs form: this is
-    // the worst-case canary the ScaleCheck probes anchor on (every prefix
-    // is half the shingles at t=0.5), kept in the bench so a regression in
-    // the candidate pipeline shows up as a timing outlier. It is NOT the
-    // recommended corpus-scale plan — that's `dedup_containment_batch`
-    // (fixed query slice, ×128-probed near-flat) or, for the all-pairs
-    // regime itself, the bounded-cost `dedup_containment_sketch` screen
-    // feeding the exact batch verifier.
+    // Directional containment pairs (quote/excerpt detection):
+    // |Sa∩Sb|/|Sa| >= t — the asymmetric relation Jaccard misses.
+    // Registered through the AUTO-GATED entry point (r13): under the
+    // measured prefix-posting threshold it runs the exact all-pairs
+    // inverted join (A-side prefix filter + B-side full postings +
+    // positional prune, full-set verify) — which is what executes at
+    // every tested sf, so this stays the worst-case timing canary the
+    // ScaleCheck probes anchor on (every prefix is half the shingles at
+    // t=0.5). Above the threshold — the 100 TB all-pairs regime the
+    // exact join is spill-bound in — the gate routes automatically
+    // through the bottom-k sketch screen + exact re-verify
+    // (bounded A-side volume; DedupSpec pins path parity on a
+    // forced-low threshold). The batch regime
+    // (`dedup_containment_batch`) remains THE recommended plan when a
+    // query slice exists.
     "dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairsInverted(Tables.documents(s, dir), "doc_id",
+      Dedup.containmentPairsAuto(Tables.documents(s, dir), "doc_id",
         "text", shingleSize = 3, threshold = 0.5)),
 
     // the batch (excerpt-detection) mode — THE way to run containment

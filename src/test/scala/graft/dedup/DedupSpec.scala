@@ -371,6 +371,32 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"screen recall $recall over ${exact.size} pairs")
   }
 
+  test("containmentPairsAuto: exact plan under the measured gate, sketch " +
+    "route above it, identical pairs when the sketch covers every doc") {
+    val docs = graft.model.Tables.documents(spark, sf()).where($"doc_id" < 150)
+      .select("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (exactDf, sketchAtDefault) = Dedup.containmentPairsAutoWithPath(
+      docs, "doc_id", "text", 3, 0.5, 0L, 2000000000L, 64, 0.15)
+    assert(!sketchAtDefault,
+      "the default threshold must keep the exact all-pairs plan")
+    val exact = canon(exactDf)
+    assert(exact == canon(
+      Dedup.containmentPairsInverted(docs, "doc_id", "text", 3, 0.5)),
+      "the auto exact path must BE containmentPairsInverted")
+    // forced-low threshold: the plan-time bound crosses, the measuring
+    // scan confirms, and the gate routes sketch-screen → exact-verify.
+    // k ≥ every doc's shingle count makes the screen lossless (the
+    // bottom-k IS the full set), so crossing the gate moves no pair.
+    val (viaSketch, sketchForced) = Dedup.containmentPairsAutoWithPath(
+      docs, "doc_id", "text", 3, 0.5, 0L, 1L, 100000, 0.15)
+    assert(sketchForced, "a forced-low threshold must take the sketch route")
+    assert(canon(viaSketch) == exact,
+      "gate crossing must not move a single pair when the screen is lossless")
+    assert(exact.nonEmpty, "fixture must exercise both paths on real pairs")
+  }
+
   test("substring dedup handles within-doc repetition and adjacency merge") {
     val rep = (0 until 4).map(_ => "a b c d").mkString(" ") // "a b c d" x4
     val df = Seq((1L, rep), (2L, "unique words only here nothing shared at all"))
