@@ -25,5 +25,10 @@ for name in sorted(set(qs) | set(errors)):
 total_status = "errors: none" if not errors else f"errors: {errors}"
 cal = doc.get("calibration_sec")
 cal_txt = f", calibration {cal:.2f} s" if cal is not None else ""
+samples = doc.get("calibration_samples")
+if samples:
+    cal_txt += " (samples [" + ",".join(f"{s:.2f}" for s in samples) + "])"
+norm = doc.get("value_canary_norm")
+norm_txt = f", canary-normalized {norm:.2f} s" if norm is not None else ""
 print(f"\ntotal: {doc['value']:.2f} s over {len(qs)} queries "
-      f"(median of {doc['runs']} runs){cal_txt}, {total_status}")
+      f"(median of {doc['runs']} runs){cal_txt}{norm_txt}, {total_status}")

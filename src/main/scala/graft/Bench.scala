@@ -100,11 +100,24 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ms(med.map(_._2).sum)
     val calibArr = calibSamples.map(ms).mkString("[", ",", "]")
+    // Canary-normalized total (r12 verdict: USE the calibration_samples
+    // instrumentation, don't just emit it). Four same-night same-HEAD
+    // r12 totals spanned 149.7-175.4 s (±12%) at identical pre-run
+    // canaries because hypervisor-neighbor load shifted mid-run; the
+    // canary band measures exactly that ambient. `value` stays the raw
+    // graded number; `value_canary_norm` = value × (idle-anchor canary
+    // / this run's canary mean) is the cross-round comparator — a run
+    // on a 20%-loaded box normalizes DOWN to what the idle box would
+    // have recorded. The 0.567 constant is the recorded idle-box canary
+    // anchor (BASELINE.md round-11 capture, confirmed 0.570 in r12).
+    val canaryIdleRef = 0.567
+    val canaryMean = calibSamples.sum / calibSamples.size
+    val totalNorm = ms(total * canaryIdleRef / canaryMean)
     // the session config, recorded so baseline_table.py renders what
     // actually ran instead of assuming the default
     val config = s"local[$cpus], shuffle=$cpus, UTC"
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"calibration_samples":$calibArr,"sf":${jsonStr(sfDir)},"config":${jsonStr(config)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"calibration_samples":$calibArr,"canary_mean":${ms(canaryMean)},"canary_idle_ref":$canaryIdleRef,"value_canary_norm":$totalNorm,"sf":${jsonStr(sfDir)},"config":${jsonStr(config)}}"""
     // The full per-query line also persists to a file, resolved to an
     // ABSOLUTE path so running outside the repo root can't silently
     // misplace it (r9 ADVICE); a failed write warns instead of vanishing.
@@ -132,7 +145,7 @@ object Bench {
     val compactErrs =
       if (errs.length <= 1200) errs
       else s"""{"_truncated":${jsonStr(s"${errors.size} errors, see full_json")}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${med.size},"errors":$compactErrs,"error_count":${errors.size},"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"calibration_samples":$calibArr,"sf":${jsonStr(sfDir)},"full_json":${jsonStr(outFile)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${med.size},"errors":$compactErrs,"error_count":${errors.size},"runs":$runs,"topk_rewrite_fires":$topkFires,"calibration_sec":${ms(calibrationSec)},"calibration_samples":$calibArr,"canary_mean":${ms(canaryMean)},"value_canary_norm":$totalNorm,"sf":${jsonStr(sfDir)},"full_json":${jsonStr(outFile)}}""")
     spark.stop()
   }
 }

@@ -20,12 +20,16 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    // optional comma-separated k=v Spark confs — dev-loop invariance
-    // runs (e.g. SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false"
-    // proves no result depends on AQE's runtime re-planning); never
-    // set by the driver. Separator: ';' when present (so comma-valued
-    // confs — codec lists, spark.sql.extensions chains — pass intact),
-    // otherwise ',' for back-compat with every recorded battery leg.
+    // optional k=v Spark confs — dev-loop invariance runs (e.g.
+    // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false" proves no
+    // result depends on AQE's runtime re-planning); never set by the
+    // driver. Separator CONTRACT (ADVICE r12): ';' is canonical — any
+    // ';' in the raw string selects ';' mode, where values may contain
+    // commas (codec lists, spark.sql.extensions chains). A string with
+    // no ';' splits on ',' for back-compat with every recorded battery
+    // leg; in that legacy mode values must not contain ';' (a
+    // semicolon-valued conf must be passed in ';' mode, e.g. by
+    // appending a trailing ';').
     sys.env.get("SPARK_GRAFT_CONF").foreach { raw =>
       val sep = if (raw.contains(';')) ';' else ','
       raw.split(sep)
