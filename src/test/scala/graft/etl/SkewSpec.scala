@@ -56,4 +56,19 @@ class SkewSpec extends SparkSpec {
     assert(r1.getDouble(10) == 2.4)         // skew_ratio = 6*4/10
     assert(r1.getLong(11) == 3L)            // ceil(2.4)
   }
+
+  test("skewProfile: DISK_ONLY pin above the measured gate is " +
+    "row-identical to the checkpoint pin") {
+    import spark.implicits._
+    val rows = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 4L))
+      .map(k => (k, "x")).toDF("k", "pad")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    val pinned = canon(Skew.skewProfile(rows, "k", 2))
+    val spilled = canon(Skew.skewProfile(rows, "k", 2,
+      maxPinnedInputRows = 1L)) // force the DISK_ONLY pin
+    assert(pinned.nonEmpty && (pinned sameElements spilled) ||
+      pinned.toSeq == spilled.toSeq,
+      "crossing the storage gate must not move a row")
+  }
 }
