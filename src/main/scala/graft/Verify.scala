@@ -44,7 +44,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): both emit the single part
+        // file the oracle compare reads, but coalesce folds the final
+        // compute stage into the write task — at sf1.0 that serialized
+        // dedup_containment's per-pair array_intersect verify onto one
+        // core (~20 min for work that is ~1 min at 32-way). The
+        // round-robin shuffle moves only RESULT rows, so its cost is
+        // output-sized while upstream keeps full parallelism.
+        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
