@@ -7,7 +7,7 @@ For each <name>/ parquet dir in verifyOutDir, runs oracle_sql.json[name]
 in DuckDB over the sfDir tables and compares (column-name-sorted,
 row-sorted) values. Prints PASS/FAIL per query.
 """
-import sys, os, json
+import sys, os, json, time
 import duckdb
 
 def canon(rel):
@@ -32,6 +32,7 @@ def main(sf_dir, out_dir):
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got)} rows")
             continue
+        t0 = time.monotonic()
         try:
             want = canon(con.sql(oracles[name]))
         except Exception as e:
@@ -74,7 +75,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: shape/cols: got {got.shape} {list(got.columns)} "
                   f"want {want.shape} {list(want.columns)}")
         if ok:
-            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            # oracle_s = DuckDB-side oracle cost; the dev-loop signal for
+            # which oracles would be infeasible at the next decade of SF
+            print(f"PASS {name} ({len(got)} rows, oracle {time.monotonic()-t0:.2f}s)")
+            n_pass += 1
         else:
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {len(names)} total")
