@@ -432,8 +432,10 @@ object ScaleCheck {
             "doc_id", "text", shingleSize = 3, threshold = 0.5).count()
         }
         time(s"dedup_minhash_$tag") {
+          // 32/16 matches the registry's production banding (r13): the
+          // probe must measure the configuration that actually ships
           graft.dedup.Dedup.minhashNearDups(d, "doc_id", "text",
-            shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.8).count()
+            shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.8).count()
         }
         // exact set-similarity join: the PPJoin prefix filter must keep
         // candidate volume ~linear in the corpus (per-replica token

@@ -661,12 +661,17 @@ object NorthStarQueries {
       Dedup.dedupExactRows(Tables.documents(s, dir), "text", "doc_id")
         .select("doc_id", "lang", "source", "n_chars")),
 
-    // MinHash LSH near-dups: banding tuned for j≥0.8; planted dup pairs
-    // in the corpus sit at j≈0.95 with the next pair down at ≈0.04, so
-    // LSH output == exact output (verified in tests + the bounded oracle)
+    // MinHash LSH near-dups: banding tuned for j≥0.8. 32 hashes in 16
+    // 2-row bands puts the per-pair miss probability at (1-j²)^16 —
+    // ≈8e-8 at the j=0.80 threshold itself and ≈2e-8 at the j≈0.82
+    // cross-replica pairs a replicated fixture plants (the r13 sf1.0
+    // sweep caught exactly one such miss under the old 16/8 banding,
+    // whose per-pair miss at j=0.82 was ≈1.3e-4) — so LSH output ==
+    // exact output with margin even at ~1e6 true pairs, and the exact-
+    // jaccard oracle below stays a valid twin
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.8)),
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.8)),
 
     // cluster-level dedup: near-dup pairs → connected components → one
     // canonical (min-id) doc per cluster. The pair list is materialized
@@ -677,7 +682,7 @@ object NorthStarQueries {
     "dedup_cluster_canonical" -> ((s, dir) => {
       val pairPath = OracleAux.dir(dir, "neardup_pairs")
       Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.8)
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.8)
         .select("id_a", "id_b")
         .write.mode("overwrite").parquet(pairPath)
       val comp = Dedup.connectedComponents(
@@ -695,7 +700,7 @@ object NorthStarQueries {
     "dedup_cluster_keep_best" -> ((s, dir) => {
       val pairPath = OracleAux.dir(dir, "neardup_pairs_kb")
       Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.8)
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.8)
         .select("id_a", "id_b")
         .write.mode("overwrite").parquet(pairPath)
       val comp = Dedup.connectedComponents(
@@ -3877,9 +3882,13 @@ object NorthStarQueries {
         |    AS total_price
         |FROM orders GROUP BY 1, 2""".stripMargin,
 
-    // exact twin: valid as an oracle because the corpus' similarity gap
-    // (j≈0.95 planted dups vs ≈0.04 background) puts the LSH miss
-    // probability at (1-0.95²)^8 ≈ 8e-9 — LSH output == exact.
+    // exact twin: valid as an oracle because 32-hash/16-band banding
+    // puts the per-pair LSH miss probability at (1-j²)^16 — ≈1e-16 at
+    // the planted j≈0.95 dups and still ≈2e-8 at the j≈0.82
+    // cross-replica pairs a replicated fixture plants — LSH output ==
+    // exact (the r13 sf1.0 sweep caught the old 16/8 banding missing
+    // one j=0.818 pair at ≈1.3e-4 per-pair odds; 16 bands buys the
+    // four decades of margin).
     // Inverted-index formulation (r13), not the a×b cross join: pairs
     // with jaccard ≥ 0.8 > 0 must share a shingle, and with distinct
     // shingle sets |a∪b| = |a|+|b|−|a∩b|, so an equi-join on shingle +
