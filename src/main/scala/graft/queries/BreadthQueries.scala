@@ -317,22 +317,36 @@ object BreadthQueries {
     }),
 
     // TPC-H Q1 pricing summary — the classic agg headline. Partial
-    // aggregation makes the shuffle |groups|-sized; decimal sums for the
-    // product terms, round/div for the averages.
+    // aggregation makes the shuffle |groups|-sized. All money sums are
+    // exact integer units (cents × discount/tax hundredths), summed as
+    // decimal(38,0): the r13 sf1.0 sweep caught the previous
+    // decimal(18,2)-product spelling off by one ulp in sum_charge —
+    // the 3-way product needs 56 digits of precision, and above 38
+    // Spark clamps scale while DuckDB degrades differently, so the
+    // engines disagree in the last bit. Integer units keep every
+    // intermediate exact and order-independent in both engines; the
+    // one double conversion happens on the identical exact integer.
+    // (sum_qty stays a double sum: quantities are small integers, so
+    // the sum is exact at any order.)
     "tpch_q1_pricing_summary" -> ((s, dir) => {
-      val one = lit(1).cast(DecimalType(18, 2))
+      val dec38 = DecimalType(38, 0)
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      val discH = round(col("l_discount") * 100, 0).cast("long")
+      val taxH = round(col("l_tax") * 100, 0).cast("long")
       Tables.lineitem(s, dir)
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          sum(dec("l_extendedprice") * (one - dec("l_discount")))
-            .cast("double").as("sum_disc_price"),
-          sum(dec("l_extendedprice") * (one - dec("l_discount")) * (one + dec("l_tax")))
-            .cast("double").as("sum_charge"),
+          (sum(cents.cast(dec38)).cast("double") / 100.0)
+            .as("sum_base_price"),
+          (sum((cents * (lit(100L) - discH)).cast(dec38)).cast("double")
+            / 10000.0).as("sum_disc_price"),
+          (sum((cents * (lit(100L) - discH) * (lit(100L) + taxH))
+            .cast(dec38)).cast("double") / 1000000.0).as("sum_charge"),
           (round(sum("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
-          (round(sum("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          ((sum(cents.cast(dec38)).cast("double") / 100.0) / count(lit(1)))
+            .as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -538,9 +552,19 @@ object BreadthQueries {
     "etl_merge_upsert" -> ((s, dir) => {
       val target = Tables.customer(s, dir)
         .select("c_custkey", "c_name", "c_acctbal")
+      // balance in exact integer cents, not round(double-sum/1000, 2):
+      // a float sum's last ulp depends on partition order, and the r13
+      // sf1.0 sweep planted a customer whose spend/1000 sits exactly on
+      // the .xx5 rounding boundary — Spark's sum landed one ulp below
+      // (→ .10) and DuckDB's one above (→ .11). floor((cents+500)/1000)
+      // is the same half-up rounding computed order-independently; both
+      // engines' `/` on exact-integer doubles < 2^53 is exact where it
+      // matters, so the twin agrees by construction
       val spend = Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
-        .agg(round(sum("o_totalprice") / 1000.0, 2).as("c_acctbal"))
+        .agg((floor((sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            + lit(500L)) / lit(1000L)).cast("double") / 100.0)
+          .as("c_acctbal"))
       val updates = spend
         .select(col("o_custkey").as("c_custkey"),
           concat(lit("upd_"), col("o_custkey").cast("string")).as("c_name"),
@@ -952,19 +976,25 @@ object BreadthQueries {
         |FROM orders""".stripMargin,
 
     "tpch_q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
+      """WITH li AS (
+        |  SELECT l_returnflag, l_linestatus, l_quantity,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_h,
+        |    CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_h
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |)
+        |SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) *
-        |           (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(sum(cents * (100 - disc_h)) AS DOUBLE) / 10000.0
+        |    AS sum_disc_price,
+        |  CAST(sum(cents * (100 - disc_h) * (100 + tax_h)) AS DOUBLE)
+        |    / 1000000.0 AS sum_charge,
         |  round(sum(l_quantity), 2) / count(*) AS avg_qty,
-        |  round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+        |  (CAST(sum(cents) AS DOUBLE) / 100.0) / count(*) AS avg_price,
         |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |FROM li
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -1092,7 +1122,9 @@ object BreadthQueries {
 
     "etl_merge_upsert" ->
       """WITH spend AS (
-        |  SELECT o_custkey, round(sum(o_totalprice) / 1000.0, 2) AS c_acctbal
+        |  SELECT o_custkey,
+        |    CAST(floor((sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |                + 500) / 1000) AS DOUBLE) / 100.0 AS c_acctbal
         |  FROM orders GROUP BY 1
         |), src AS (
         |  SELECT o_custkey AS c_custkey,
