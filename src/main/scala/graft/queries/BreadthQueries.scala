@@ -1537,6 +1537,15 @@ object BreadthQueries {
     * is re-expressed as a `row_number` window under the identical total
     * order (weight desc, label asc) — same result as the Spark side's
     * `(wsum, -lbl)` struct-max, different-but-equivalent formulation.
+    *
+    * The multiply-referenced CTEs (`pairs`, `e`, each `l_k`: both
+    * `b_{k+1}` and `l_{k+1}` read `l_k`) are MATERIALIZED: DuckDB 1.0
+    * inlines CTEs per reference, so without the hint the unrolled
+    * chain re-evaluates each level's whole subtree 2^depth times —
+    * fine at sf0.1 (it fit in memory, ~6× CPU), but at sf1.0 the
+    * replayed window sorts spilled >75 GB of temp before failing.
+    * With materialization the oracle is linear in the edge count
+    * (sf0.1 34 s → 5.8 s, identical rows; sf1.0 completes).
     */
   private def labelPropagationOracleSql: String = {
     val iters = (1 to 4).map { k =>
@@ -1547,23 +1556,23 @@ object BreadthQueries {
          |    FROM (SELECT e.dst, l.lbl, SUM(e.w) AS wsum
          |          FROM e JOIN l${k - 1} l ON e.src = l.node
          |          GROUP BY 1, 2) m) WHERE rn = 1),
-         |l$k AS (
+         |l$k AS MATERIALIZED (
          |  SELECT l.node, COALESCE(b.nl, l.lbl) AS lbl
          |  FROM l${k - 1} l LEFT JOIN b$k b ON l.node = b.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT CAST(l_suppkey AS BIGINT) AS s,
        |    CAST(o_custkey + 10000000 AS BIGINT) AS c,
        |    COUNT(*) AS w
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  GROUP BY 1, 2),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT s AS src, c AS dst, w FROM pairs
        |  UNION ALL
        |  SELECT c AS src, s AS dst, w FROM pairs),
        |nodes AS (SELECT DISTINCT src AS node FROM e
        |  UNION SELECT DISTINCT dst FROM e),
-       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
        |$iters
        |SELECT node, lbl AS community FROM l4""".stripMargin
   }
@@ -1650,19 +1659,25 @@ object BreadthQueries {
          |    GROUP BY ew.dst) c
          |  ON n.node = c.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    // base CTEs MATERIALIZED: every r_k level re-reads `ew` and
+    // `nodes`, and DuckDB inlines CTEs per reference — without the
+    // hint the 6M-row lineitem⋈orders base is re-evaluated ~11 times
+    // across the 5 unrolled levels (linear, unlike label-prop's
+    // exponential chain, but still ~6× the oracle's useful work)
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT CAST(l_suppkey AS BIGINT) AS s,
        |    CAST(o_custkey + 10000000 AS BIGINT) AS c,
        |    COUNT(*) AS w
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  GROUP BY 1, 2),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT s AS src, c AS dst, w FROM pairs
        |  UNION ALL
        |  SELECT c AS src, s AS dst, w FROM pairs),
        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e GROUP BY 1),
-       |ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e JOIN ow o ON e.src = o.src),
-       |nodes AS (SELECT DISTINCT src AS node FROM e
+       |ew AS MATERIALIZED (
+       |  SELECT e.src, e.dst, e.w, o.ow FROM e JOIN ow o ON e.src = o.src),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
        |  UNION SELECT DISTINCT dst FROM e),
        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
        |$iters

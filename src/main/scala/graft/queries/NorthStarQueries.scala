@@ -1640,7 +1640,7 @@ object NorthStarQueries {
        |      / len(list_distinct(a.s || b.s)), 6) AS s
        |  FROM p JOIN sh a ON a.doc_id = p.id_a
        |         JOIN sh b ON b.doc_id = p.id_b),
-       |g AS (
+       |g AS MATERIALIZED (
        |  SELECT
        |    CAST(SUM(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
        |    CAST(SUM(CASE WHEN s < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
