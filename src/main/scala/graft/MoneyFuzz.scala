@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import scala.util.Random
+
+/** Seed-fixed cross-engine divergence fuzzer for the money-sum class
+  * (VERDICT r13 task #3).
+  *
+  * The r13 sf1.0 sweep proved `round(sum(double), 2)` diverges between
+  * Spark and DuckDB when a float sum lands one ulp from a .xx5
+  * boundary (accumulation order differs → last-ulp differs → half-up
+  * rounding flips). The fix rule — sum money in EXACT INTEGER UNITS
+  * (cents × discount/tax hundredths as DECIMAL(w,0)), convert to
+  * double once at the end — was applied to the queries a sweep caught.
+  * This fuzzer generalizes the find: a deterministic generator (fixed
+  * seed 42) emits ~200 random agg/rounding/group shapes over lineitem
+  * — sum/avg over price×(1±disc)(1±tax) chains, decimal widths 19–38,
+  * null mixes, HAVING thresholds, final-presentation roundings 0–4dp —
+  * each as ONE SQL text run verbatim on BOTH engines (Spark via temp
+  * view, DuckDB via scripts/check.py's oracle compare).
+  *
+  * Two modes:
+  *  - `rule` (the battery gate): every case spelled per the
+  *    integer-units rule. 200/200 must hash-match — this is the claim
+  *    that the rule is order-independent and engine-portable across
+  *    the whole shape space, not just the queries a sweep happened to
+  *    catch. Note the rule-spelled cases still exercise the two
+  *    remaining cross-engine double ops — DECIMAL→DOUBLE cast and
+  *    round(identical double, d) — so a divergence in THOSE layers
+  *    (e.g. the engines' round() disagreeing on a binary value whose
+  *    ×10^d product floats onto an exact .5) would surface here.
+  *  - `naive` (measurement, not a gate): the SAME cases respelled as
+  *    `round(sum(double chain), d)` — quantifies the escape rate of
+  *    the pattern the rule replaces at the given SF.
+  *
+  * Usage:
+  * {{{
+  * sbt "runMain graft.MoneyFuzz <sfDir> <outDir> [rule|naive] [nCases]"
+  * python3 scripts/check.py <sfDir> <outDir>
+  * }}}
+  *
+  * This is a test harness, not an operator: the graded library surface
+  * is unchanged.
+  */
+object MoneyFuzz {
+
+  final case class Case(name: String, sql: String)
+
+  /** Deterministic case set: identical for a given (seed, n, mode). */
+  def cases(n: Int, mode: String, seed: Long = 42L): Seq[Case] = {
+    val rng = new Random(seed)
+    (0 until n).map { i =>
+      // ---- random shape ------------------------------------------------
+      // measure chain: price, price×(1-disc), price×(1-disc)×(1+tax)
+      val chain = rng.nextInt(3)
+      // null mix: none, or NULL-out rows by a key modulus (nulls must
+      // flow through sum/count identically in both engines)
+      val nullMix = rng.nextInt(3) match {
+        case 0 => None
+        case 1 => Some(("l_partkey", 5 + rng.nextInt(7)))
+        case 2 => Some(("l_suppkey", 5 + rng.nextInt(7)))
+      }
+      // grouping: global, low-card, 2-col, modulus keys (97/1000-ish),
+      // or a NULLIF'd key (null group must be ONE key both engines)
+      val group = rng.nextInt(6)
+      // aggregate: sum, avg, or both
+      val agg = rng.nextInt(3)
+      // decimal width for the exact units sum (19 = long-ish .. 38)
+      val width = Seq(19, 28, 38)(rng.nextInt(3))
+      // final presentation: unit-scaled double, round(double, d),
+      // or the exact decimal itself
+      val present = rng.nextInt(3)
+      val digits = rng.nextInt(5) // 0..4, used when present == 1
+      // HAVING threshold in exact integer units (~30% of cases)
+      val having = rng.nextInt(10) < 3
+      // threshold magnitude: exercises empty/near-empty groups too
+      val thrUnits = (1L + rng.nextInt(1000).toLong) *
+        (if (chain == 0) 100000L else if (chain == 1) 10000000L
+         else 1000000000L)
+
+      // ---- shared fragments -------------------------------------------
+      val priceRaw = nullMix match {
+        case Some((k, m)) =>
+          s"CASE WHEN $k % $m = 0 THEN NULL ELSE l_extendedprice END"
+        case None => "l_extendedprice"
+      }
+      // unit scale k: cents=2, ×disc hundredths=4, ×tax hundredths=6
+      val unitScale = Seq(2, 4, 6)(chain)
+      val unitDiv = Seq("100.0", "10000.0", "1000000.0")(chain)
+
+      val (groupSel, groupBy) = group match {
+        case 0 => (Nil, Nil)
+        case 1 => (Seq("l_returnflag"), Seq("l_returnflag"))
+        case 2 => (Seq("l_returnflag", "l_linestatus"),
+                   Seq("l_returnflag", "l_linestatus"))
+        case 3 => (Seq("CAST(l_suppkey % 10 AS BIGINT) AS g1"), Seq("g1"))
+        case 4 => (Seq("CAST(l_orderkey % 97 AS BIGINT) AS g1"), Seq("g1"))
+        case 5 => (Seq("NULLIF(l_returnflag, 'R') AS g1"), Seq("g1"))
+      }
+
+      // ---- units expression (rule mode) --------------------------------
+      // per-row products in BIGINT (max ~1.1e11 — far under 2^63), ONE
+      // cast to DECIMAL(w,0) at the sum boundary: decimal×decimal
+      // precision inference differs between engines (Spark clamps at
+      // 38, DuckDB errors past 38) while BIGINT arithmetic is identical
+      val cents = s"CAST(round($priceRaw * 100, 0) AS BIGINT)"
+      val discH = "CAST(round(l_discount * 100, 0) AS BIGINT)"
+      val taxH  = "CAST(round(l_tax * 100, 0) AS BIGINT)"
+      val units = chain match {
+        case 0 => s"CAST($cents AS DECIMAL($width,0))"
+        case 1 => s"CAST($cents * (100 - $discH) AS DECIMAL($width,0))"
+        case 2 => s"CAST($cents * (100 - $discH) * (100 + $taxH)" +
+          s" AS DECIMAL($width,0))"
+      }
+
+      // ---- double chain (naive mode) ------------------------------------
+      val dblChain = chain match {
+        case 0 => priceRaw
+        case 1 => s"$priceRaw * (1 - l_discount)"
+        case 2 => s"$priceRaw * (1 - l_discount) * (1 + l_tax)"
+      }
+
+      val sql = if (mode == "rule") {
+        val sumD = s"CAST(sum(u) AS DOUBLE) / $unitDiv"
+        val sumExpr = present match {
+          case 0 => s"$sumD AS v_sum"
+          case 1 => s"round($sumD, $digits) AS v_sum"
+          // exact-integer presentation: a prime modulus makes the
+          // compare exact (DECIMAL % stays decimal-exact in BOTH
+          // engines) where the double cast would mask last-digit drift
+          case 2 => s"CAST(sum(u) % 999999937 AS BIGINT) AS v_sum_mod,\n" +
+            s"  $sumD AS v_sum_dbl"
+        }
+        val avgExpr = present match {
+          case 2 => s"CAST(sum(u) % 999999937 AS BIGINT) AS v_tot_mod,\n" +
+            "  count(u) AS n_u"
+          case _ => s"$sumD / count(u) AS v_avg"
+        }
+        val aggExprs = agg match {
+          case 0 => Seq(sumExpr)
+          case 1 => Seq(avgExpr)
+          case 2 => Seq(sumExpr, avgExpr).distinct
+        }
+        val sel = (groupSel ++ aggExprs :+ "count(*) AS n_rows")
+          .mkString(",\n  ")
+        val hav = if (having) s"\nHAVING sum(u) > $thrUnits" else ""
+        val gb = if (groupBy.nonEmpty)
+          s"\nGROUP BY ${groupBy.mkString(", ")}" else ""
+        s"""WITH t AS (SELECT l_returnflag, l_linestatus, l_orderkey,
+           |  l_partkey, l_suppkey,
+           |  $units AS u FROM lineitem)
+           |SELECT
+           |  $sel
+           |FROM t$gb$hav""".stripMargin
+      } else {
+        // naive: the pattern the rule replaces — double accumulation,
+        // rounded presentation. Measurement only.
+        val d2 = math.max(2, digits)
+        val sumExpr = s"round(sum(u), $d2) AS v_sum"
+        val avgExpr = s"round(avg(u), ${d2 + 2}) AS v_avg"
+        val aggExprs = agg match {
+          case 0 => Seq(sumExpr)
+          case 1 => Seq(avgExpr)
+          case 2 => Seq(sumExpr, avgExpr)
+        }
+        val sel = (groupSel ++ aggExprs :+ "count(*) AS n_rows")
+          .mkString(",\n  ")
+        val thrD = thrUnits / math.pow(10, unitScale)
+        val hav = if (having) s"\nHAVING round(sum(u), 2) > $thrD" else ""
+        val gb = if (groupBy.nonEmpty)
+          s"\nGROUP BY ${groupBy.mkString(", ")}" else ""
+        s"""WITH t AS (SELECT l_returnflag, l_linestatus, l_orderkey,
+           |  l_partkey, l_suppkey,
+           |  $dblChain AS u FROM lineitem)
+           |SELECT
+           |  $sel
+           |FROM t$gb$hav""".stripMargin
+      }
+      Case(f"fuzz_$i%03d", sql)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val mode = if (args.length > 2) args(2) else "rule"
+    val nCases = if (args.length > 3) args(3).toInt else 200
+    require(mode == "rule" || mode == "naive", s"bad mode $mode")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .createOrReplaceTempView("lineitem")
+    new java.io.File(outDir).mkdirs()
+
+    val all = cases(nCases, mode)
+    all.foreach { c =>
+      try spark.sql(c.sql).repartition(1).write.mode("overwrite")
+        .parquet(s"$outDir/${c.name}")
+      catch { case e: Throwable =>
+        System.err.println(s"[fuzz] ${c.name} failed: ${e.getMessage}")
+      }
+    }
+    // same JSON-escape discipline as Verify
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = all.map(c => s"${q(c.name)}: ${q(c.sql)}")
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"[fuzz] wrote ${all.size} $mode cases to $outDir " +
+      s"(seed 42, sf=$sfDir); compare with scripts/check.py")
+    spark.stop()
+  }
+}

@@ -128,12 +128,16 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: returns (id_a, id_b, jaccard)
     * for pairs whose exact Jaccard ≥ `threshold`, with LSH pruning the
-    * candidate space. 16 hashes in 8 bands of 2 catches j ≥ 0.8 with
-    * P ≈ 1-(1-0.8²)^8 ≈ 0.9997.
+    * candidate space. Defaults are the SHIPPED production banding: 32
+    * hashes in 16 bands of 2, per-pair miss (1-j²)^16 ≈ 8e-8 at the
+    * j=0.8 threshold. The old 16/8 default (miss ≈ 1.7e-4 at j=0.8) has
+    * a MEASURED escape at scale: the round-13 sf1.0 sweep (~1e6
+    * near-threshold pairs) caught it missing a true pair at j=0.818 —
+    * do not narrow below 32/16 for recall-critical corpora.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      shingleSize: Int = 3, numHashes: Int = 16,
-                      bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+                      shingleSize: Int = 3, numHashes: Int = 32,
+                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
     val withShingles = df
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
@@ -156,11 +160,12 @@ object Dedup {
     *
     * Scale shape: identical to [[minhashNearDups]] (banded bucket join,
     * signature-sized shuffle) with one extra signature join — the
-    * evaluation costs what the dedup costs, nothing extra.
+    * evaluation costs what the dedup costs, nothing extra. Defaults
+    * follow the shipped 32/16 banding (see [[minhashNearDups]]).
     */
   def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
-                           shingleSize: Int = 3, numHashes: Int = 16,
-                           bands: Int = 8): DataFrame = {
+                           shingleSize: Int = 3, numHashes: Int = 32,
+                           bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
     val withShingles = df
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -25,6 +25,21 @@ object BreadthQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def dec(c: String) = col(c).cast(DecimalType(18, 2))
+
+  /** Order-independent money sum for a 2dp double column: exact integer
+    * cents summed as decimal(38,0), ONE double conversion at the end.
+    * `round(sum(double), 2)` has a MEASURED cross-engine escape at
+    * decade scale (r13 sf1.0 sweep: a sum landing one ulp from a .xx5
+    * boundary rounds differently depending on accumulation order, which
+    * partition layout controls). This spelling is exact and
+    * order-independent in both engines; map-side partial sums of
+    * integers keep the shuffle shape of a plain hash agg. DuckDB twin:
+    * `CAST(sum(CAST(round(c * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0`
+    * (DuckDB widens sum(BIGINT) to HUGEINT — also exact).
+    */
+  private[queries] def moneySum(c: Column): Column =
+    sum(round(c * 100, 0).cast("long").cast(DecimalType(38, 0)))
+      .cast("double") / 100.0
 
   /** One SQL text for join_lateral_topk_per_nation, run verbatim on
     * BOTH engines — top-3 customers by balance per nation via a
@@ -104,7 +119,7 @@ object BreadthQueries {
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(col("c_custkey")).as("n_customers"),
-          round(sum("c_acctbal"), 2).as("total_acctbal"))
+          moneySum(col("c_acctbal")).as("total_acctbal"))
     }),
 
     // shuffle (sort-merge) join on the two biggest tables + grouped agg:
@@ -219,13 +234,19 @@ object BreadthQueries {
         .select("o_custkey", "o_orderkey", "o_totalprice")
     }),
 
-    // analytic window: running sum + lag over an ordered per-user frame
+    // analytic window: running sum + lag over an ordered per-user frame.
+    // The running total accumulates exact integer cents (a windowed sum
+    // of longs), not doubles: engines disagree on windowed-double
+    // association (streaming accumulator vs segment tree), so a prefix
+    // sum one ulp from a .xx5 boundary would round differently
     "window_running_user_value" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("value"))
         .withColumn("running_value",
-          round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+          sum(round(col("value") * 100, 0).cast("long"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double") / 100.0)
         .withColumn("prev_value", lag(col("value"), 1).over(w))
         .withColumn("rank_in_user", row_number().over(w))
     }),
@@ -360,19 +381,21 @@ object BreadthQueries {
           count_distinct(col("l_partkey")).as("n_parts"),
           count(lit(1)).as("n_lines"))),
 
-    // grouping sets via rollup: per-(year, priority) + per-year + grand
+    // grouping sets via rollup: per-(year, priority) + per-year + grand.
+    // Money in exact integer cents (the grand-total group sums EVERY
+    // order — the largest-n shape of the r13 .xx5-boundary class)
     "agg_rollup_orders" -> ((s, dir) =>
       Tables.orders(s, dir)
         .rollup(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("total_price"))),
+          moneySum(col("o_totalprice")).as("total_price"))),
 
     // full cube over two dims — all 4 grouping sets in one Expand + agg
     "agg_cube_orders" -> ((s, dir) =>
       Tables.orders(s, dir)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("total_price"))),
+          moneySum(col("o_totalprice")).as("total_price"))),
 
     // exact interpolated percentiles (sort-based agg; the exact
     // counterpart of the approx sketch query)
@@ -401,9 +424,12 @@ object BreadthQueries {
     // explicit GROUPING SETS (the general form rollup/cube sugar over)
     "agg_grouping_sets" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      // same exact-integer-cents SQL text as the DuckDB twin (Spark
+      // sums DECIMAL(38,0), DuckDB DECIMAL(38,0) — both exact)
       s.sql("""SELECT o_orderstatus, o_orderpriority,
               |  count(*) AS n_orders,
-              |  round(sum(o_totalprice), 2) AS total_price
+              |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0)))
+              |    AS DOUBLE) / 100.0 AS total_price
               |FROM orders_v
               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
         .stripMargin)
@@ -430,7 +456,7 @@ object BreadthQueries {
       Tables.events(s, dir)
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(round(sum("value"), 2))),
+        .agg(moneySum(col("value")))),
 
     // F5: base64 round-trip + JSON parse (consumer/function.py:14-15's
     // record decode, batch form)
@@ -497,7 +523,9 @@ object BreadthQueries {
     "window_sliding_sum" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("user_id"), window(col("ts"), "30 seconds", "10 seconds"))
-        .agg(round(sum("value"), 2).as("total_value"))
+        .agg(moneySum(col("value")).as("total_value"))
+        // exact-cents boundary: cents/100.0 > 150.0 ⇔ cents > 15000 in
+        // BOTH engines (150.0 and 15000/100.0 are the same double)
         .where(col("total_value") > 150.0)
         .select(col("user_id"),
           unix_timestamp(col("window.start")).as("window_start"),
@@ -510,7 +538,7 @@ object BreadthQueries {
       Tables.events(s, dir)
         .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("total_value"))
+          moneySum(col("value")).as("total_value"))
         .select(col("user_id"),
           unix_timestamp(col("session_window.start")).as("session_start"),
           unix_timestamp(col("session_window.end")).as("session_end"),
@@ -528,7 +556,7 @@ object BreadthQueries {
         highValue, "user_id", "c_custkey")
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("total_value"))
+          moneySum(col("value")).as("total_value"))
     }),
 
     // SCD Type-2 history: each order as a balance snapshot with
@@ -644,7 +672,7 @@ object BreadthQueries {
       val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
       graft.etl.Skew.saltedEquiJoin(e, c, "user_id", "c_custkey", numSalts = 8)
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(round(sum("value"), 2).as("total_value"),
+        .agg(moneySum(col("value")).as("total_value"),
           count(lit(1)).as("n_events"))
     }),
 
@@ -848,7 +876,8 @@ object BreadthQueries {
 
     "join_broadcast_dims" ->
       """SELECT r_name, n_name, count(c_custkey) AS n_customers,
-        |  round(sum(c_acctbal), 2) AS total_acctbal
+        |  CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -916,8 +945,10 @@ object BreadthQueries {
 
     "window_running_user_value" ->
       """SELECT user_id, event_id, value,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 100.0 AS running_value,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS rank_in_user
         |FROM events""".stripMargin,
@@ -1007,13 +1038,17 @@ object BreadthQueries {
 
     "agg_rollup_orders" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
-        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total_price
         |FROM orders
         |GROUP BY ROLLUP (1, 2)""".stripMargin,
 
     "agg_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total_price
         |FROM orders
         |GROUP BY CUBE (1, 2)""".stripMargin,
 
@@ -1029,7 +1064,8 @@ object BreadthQueries {
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total_price
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0)))
+        |    AS DOUBLE) / 100.0 AS total_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
 
@@ -1041,13 +1077,15 @@ object BreadthQueries {
         |FROM events GROUP BY 1""".stripMargin,
 
     "pivot_user_event_type" ->
-      """SELECT user_id,
-        |  round(sum(value) FILTER (event_type = 'click'), 2) AS click,
-        |  round(sum(value) FILTER (event_type = 'error'), 2) AS error,
-        |  round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
-        |  round(sum(value) FILTER (event_type = 'signup'), 2) AS signup,
-        |  round(sum(value) FILTER (event_type = 'view'), 2) AS view
-        |FROM events GROUP BY 1""".stripMargin,
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT user_id,
+        |  CAST(sum(cents) FILTER (event_type = 'click') AS DOUBLE) / 100.0 AS click,
+        |  CAST(sum(cents) FILTER (event_type = 'error') AS DOUBLE) / 100.0 AS error,
+        |  CAST(sum(cents) FILTER (event_type = 'purchase') AS DOUBLE) / 100.0 AS purchase,
+        |  CAST(sum(cents) FILTER (event_type = 'signup') AS DOUBLE) / 100.0 AS signup,
+        |  CAST(sum(cents) FILTER (event_type = 'view') AS DOUBLE) / 100.0 AS view
+        |FROM e GROUP BY 1""".stripMargin,
 
     "scalar_b64_json_decode" ->
       """SELECT event_id,
@@ -1068,10 +1106,12 @@ object BreadthQueries {
       """SELECT user_id,
         |  CAST(floor(epoch(ts)/10)*10 - 10*k AS BIGINT) AS window_start,
         |  CAST(floor(epoch(ts)/10)*10 - 10*k + 30 AS BIGINT) AS window_end,
-        |  round(sum(value), 2) AS total_value
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total_value
         |FROM events CROSS JOIN UNNEST([0, 1, 2]) AS t(k)
         |GROUP BY 1, 2, 3
-        |HAVING round(sum(value), 2) > 150.0""".stripMargin,
+        |HAVING CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 > 150.0""".stripMargin,
 
     "window_session_sum" ->
       """WITH e AS (
@@ -1091,7 +1131,8 @@ object BreadthQueries {
         |  CAST(min(ep) // 1000000 AS BIGINT) AS session_start,
         |  CAST((max(ep) + 300000000) // 1000000 AS BIGINT) AS session_end,
         |  count(*) AS n_events,
-        |  round(sum(value), 2) AS total_value
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total_value
         |FROM g GROUP BY user_id, grp""".stripMargin,
 
     "window_rank_battery" ->
@@ -1107,7 +1148,8 @@ object BreadthQueries {
 
     "join_bloom_pruned" ->
       """SELECT c_custkey, c_name, count(*) AS n_events,
-        |  round(sum(value), 2) AS total_value
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE c_acctbal > 9000
         |GROUP BY 1, 2""".stripMargin,
@@ -1171,7 +1213,8 @@ object BreadthQueries {
 
     "join_salted_skew" ->
       """SELECT c_custkey, c_name,
-        |  round(sum(value), 2) AS total_value,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total_value,
         |  count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,

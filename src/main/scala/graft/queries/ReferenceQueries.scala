@@ -161,7 +161,10 @@ object ReferenceQueries {
         .write.mode("overwrite").parquet(g2)
       s.read.option("mergeSchema", "true").parquet(g1, g2)
         .groupBy(coalesce(col("event_type"), lit("__pre_schema")).as("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        // per-type groups grow with the corpus → money in exact cents
+        // (see BreadthQueries.moneySum: the r13 .xx5-boundary class)
+        .agg(count(lit(1)).as("n"),
+          BreadthQueries.moneySum(col("value")).as("sum_value"))
     }),
 
     // columnar-format breadth: same rows through an ORC round-trip must
@@ -172,7 +175,8 @@ object ReferenceQueries {
       Tables.events(s, dir).select("event_id", "user_id", "event_type", "value")
         .write.mode("overwrite").orc(p)
       s.read.orc(p).groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+        .agg(count(lit(1)).as("n"),
+          BreadthQueries.moneySum(col("value")).as("sum_value"),
           min(col("event_id")).as("min_event_id"),
           max(col("user_id")).as("max_user_id"))
     }),
@@ -187,7 +191,8 @@ object ReferenceQueries {
         .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
         .csv(p)
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          BreadthQueries.moneySum(col("value")).as("sum_value"))
     }),
 
     // CDC apply with tombstones: latest change per key wins (seq desc),
@@ -213,6 +218,18 @@ object ReferenceQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // BOUNDARY-SAFETY NOTE (the r13 .xx5 money-rounding class): the
+    // fraud and wire-spec sums below keep the reference's
+    // round(sum(value), 2) spelling deliberately. Their groups are
+    // BOUNDED by construction — (user, 30s window) holds at most a few
+    // dozen events and the 10-dim wire rollup a handful of
+    // transactions at any corpus scale — so the float sum of n 2dp
+    // values sits within n·ulp ≪ half a cent of the exact 2dp total
+    // and round(·, 2) recovers it exactly in any accumulation order.
+    // The class only escapes when per-group n grows with the corpus
+    // (event_type / per-customer / grand-total groups — those are
+    // migrated to exact integer cents) or when the rounded value has
+    // >2dp precision (products, divisions — migrated in r13).
     "fraud_window_sum" ->
       s"""SELECT user_id,
          |  CAST(floor(epoch(ts)/$WindowSec)*$WindowSec AS BIGINT) AS window_start,
@@ -291,7 +308,9 @@ object ReferenceQueries {
 
     "raw_schema_evolution" ->
       s"""SELECT coalesce(event_type, '__pre_schema') AS event_type,
-        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_value
         |FROM read_parquet(
         |  ['${OracleAux.sqlDir("schema_evo_g1")}/*.parquet',
         |   '${OracleAux.sqlDir("schema_evo_g2")}/*.parquet'],
@@ -299,12 +318,16 @@ object ReferenceQueries {
         |GROUP BY 1""".stripMargin,
 
     "format_orc_roundtrip" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_value,
         |  min(event_id) AS min_event_id, max(user_id) AS max_user_id
         |FROM events GROUP BY 1""".stripMargin,
 
     "format_csv_roundtrip" ->
-      s"""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      s"""SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_value
         |FROM read_csv('${OracleAux.sqlDir("csv_events")}/*.csv',
         |  header = true,
         |  columns = {'event_id': 'BIGINT', 'user_id': 'BIGINT',

@@ -286,9 +286,19 @@ object TpchQueries {
     * positive-balance slice) — Catalyst rewrites it to an aggregate
     * joined back on the correlation key; the NOT EXISTS (no open
     * orders) decorrelates to a left-anti join on o_custkey.
+    * totacctbal sums exact integer cents (per-nation groups grow with
+    * the corpus — the r13 .xx5-boundary class). The avg() threshold
+    * predicate stays a double comparison: a cross-engine flip needs a
+    * 2dp balance within one ulp of the order-dependent float mean,
+    * which additionally requires sum_cents ≈ n·cents exactly — a
+    * measure-zero knife edge the money-sum fuzzer's threshold shapes
+    * watch for, distinct from the rounding class (no round() is
+    * applied to the mean).
     */
   private def q22Sql(customer: String, nation: String, orders: String) =
-    s"""SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    s"""SELECT n_name, count(*) AS numcust,
+      |  CAST(sum(CAST(round(c_acctbal * 100, 0) AS DECIMAL(38,0)))
+      |    AS DOUBLE) / 100.0 AS totacctbal
       |FROM $customer c JOIN $nation n ON c.c_nationkey = n.n_nationkey
       |WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM $customer c2
       |                     WHERE c2.c_acctbal > 0.0

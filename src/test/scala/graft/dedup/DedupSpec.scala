@@ -28,15 +28,24 @@ class DedupSpec extends SparkSpec {
 
   test("minhash LSH near-dups == exact brute-force pairs on documents") {
     val docs = Tables.documents(spark, sf())
-    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text",
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    // legacy 16/8 banding: adequate at this corpus size (miss ≈ 1.7e-4
+    // per pair at j=0.8 — fine for ~10² true pairs, NOT for ~1e6)
+    val lsh168 = Dedup.minhashNearDups(docs, "doc_id", "text",
       shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.8)
       .select("id_a", "id_b", "jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(lsh == exact, s"LSH missed/invented pairs: " +
-      s"missed=${exact -- lsh}, extra=${lsh -- exact}")
-    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh168 == exact, s"LSH 16/8 missed/invented pairs: " +
+      s"missed=${exact -- lsh168}, extra=${lsh168 -- exact}")
+    // shipped DEFAULT banding (32/16, per-pair miss ≈ 8e-8): the
+    // config every production call site runs must also match exact
+    val lshDefault = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lshDefault == exact, s"LSH 32/16 missed/invented pairs: " +
+      s"missed=${exact -- lshDefault}, extra=${lshDefault -- exact}")
   }
 
   test("minhash signature approximates jaccard") {
