@@ -31,6 +31,12 @@ object DecadeCheck {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/sf1.0"
     val reps = if (args.length > 2) args(2).toInt else 10
+    // 4th arg "sharded": write each table as a DIRECTORY of parquet
+    // parts (Spark's native layout) instead of one file — no
+    // coalesce(1) bottleneck, so sf10 builds stream at full
+    // parallelism and never hold a table on one task. scripts/check.py
+    // reads directory fixtures via a '<t>.parquet/*.parquet' glob.
+    val sharded = args.length > 3 && args(3) == "sharded"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,8 +70,14 @@ object DecadeCheck {
     def copy(name: String): Unit =
       writeSingleFile(spark.read.parquet(s"$src/$name.parquet"), name)
 
-    // one FILE per table (DuckDB-oracle compat; see scaladoc)
+    // one FILE per table (DuckDB-oracle compat; see scaladoc) — or a
+    // sharded directory when asked (large builds)
     def writeSingleFile(df: DataFrame, name: String): Unit = {
+      if (sharded) {
+        df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+        println(s"[decade] wrote $dst/$name.parquet (sharded)")
+        return
+      }
       val tmp = s"$dst/__tmp_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val dir = new java.io.File(tmp)

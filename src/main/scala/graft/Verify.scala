@@ -39,9 +39,18 @@ object Verify {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional reliable-checkpoint posture (VERDICT r13 #2): with a dir
+    // set, every graft.Checkpoints call site takes the cluster branch
+    // (df.checkpoint → dir) instead of localCheckpoint — the battery
+    // leg that exercises the deployment posture at all eight sites
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     graft.functions.GraftExtensions.register(spark)
     graft.plans.TopKPerKey.ensureRegistered(spark)
     new java.io.File(outDir).mkdirs()
+    // per-query wall timings → outDir/timings.json (decade anchors:
+    // the sf1.0/sf10 Spark-side cost table BASELINE.md records)
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only(name)) {
         // repartition(1), NOT coalesce(1): both emit the single part
@@ -51,9 +60,12 @@ object Verify {
         // core (~20 min for work that is ~1 min at 32-way). The
         // round-robin shuffle moves only RESULT rows, so its cost is
         // output-sized while upstream keeps full parallelism.
-        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).repartition(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          timings(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -73,6 +85,10 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val tJson = timings
+      .map { case (k, v) => s"${q(k)}: ${"%.3f".format(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/timings.json"), tJson)
     spark.stop()
   }
 }
