@@ -1,11 +1,20 @@
 #!/usr/bin/env python3
 """Dev-loop correctness checker: mimics the driver's DuckDB-oracle compare.
 
-Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [samplePreds.json]
 
 For each <name>/ parquet dir in verifyOutDir, runs oracle_sql.json[name]
 in DuckDB over the sfDir tables and compares (column-name-sorted,
 row-sorted) values. Prints PASS/FAIL per query.
+
+samplePreds.json ({query_name: "sql predicate on OUTPUT columns"}):
+for the named queries, BOTH sides are filtered by the predicate —
+Spark's full output read back WHERE pred, the oracle wrapped as
+SELECT * FROM (oracle) WHERE pred (DuckDB pushes the filter into the
+oracle's joins, cutting pair-producing oracle cost by the sampling
+factor). The compare stays exact on the deterministic subset; the
+full-output row count is still printed. This is the sf10-sweep
+mechanism for oracles that are linear in output size (VERDICT r13 #1).
 """
 import sys, os, json, time
 import duckdb
@@ -15,7 +24,8 @@ def canon(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, preds_path=None):
+    preds = json.load(open(preds_path)) if preds_path else {}
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -30,16 +40,25 @@ def main(sf_dir, out_dir):
              if os.path.isdir(f"{out_dir}/{d}")]
     n_pass = n_fail = 0
     for name in names:
-        got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+        pred = preds.get(name)
+        src = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+        n_full = None
+        if pred:
+            n_full = con.sql(f"SELECT count(*) FROM ({src})").fetchone()[0]
+            src = f"{src} WHERE {pred}"
+        got = canon(con.sql(src).df())
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got)} rows")
             continue
         # time ONLY the DuckDB oracle execution+fetch (the next-decade
         # feasibility signal), not the pandas canon/compare — at 14M-row
         # outputs the pandas sort dominates and overstated oracle cost
+        osql = oracles[name]
+        if pred:
+            osql = f"SELECT * FROM ({osql}) WHERE {pred}"
         t0 = time.monotonic()
         try:
-            want_raw = con.sql(oracles[name]).df()
+            want_raw = con.sql(osql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         oracle_s = time.monotonic() - t0
@@ -84,7 +103,9 @@ def main(sf_dir, out_dir):
                   f"got {got.shape} {list(got.columns)} "
                   f"want {want.shape} {list(want.columns)}")
         if ok:
-            print(f"PASS {name} ({len(got)} rows, oracle {oracle_s:.2f}s)")
+            samp = (f", sampled {len(got)}/{n_full} rows by [{pred}]"
+                    if pred else "")
+            print(f"PASS {name} ({len(got)} rows, oracle {oracle_s:.2f}s{samp})")
             n_pass += 1
         else:
             n_fail += 1
@@ -92,4 +113,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

@@ -31,12 +31,35 @@ object DecadeCheck {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/sf1.0"
     val reps = if (args.length > 2) args(2).toInt else 10
-    // 4th arg "sharded": write each table as a DIRECTORY of parquet
-    // parts (Spark's native layout) instead of one file — no
-    // coalesce(1) bottleneck, so sf10 builds stream at full
-    // parallelism and never hold a table on one task. scripts/check.py
-    // reads directory fixtures via a '<t>.parquet/*.parquet' glob.
-    val sharded = args.length > 3 && args(3) == "sharded"
+    // flags (args 3+):
+    //  - "sharded": write each table as a DIRECTORY of parquet parts
+    //    (Spark's native layout) instead of one file — no coalesce(1)
+    //    bottleneck, so sf10 builds stream at full parallelism and
+    //    never hold a table on one task. scripts/check.py reads
+    //    directory fixtures via a '<t>.parquet/*.parquet' glob.
+    //  - "disjoint": make replicas SIMILARITY-DISJOINT. The r14 sf1.0
+    //    anchors measured the suffix-token fixture's artifact: near-dup
+    //    replicas collide across replicas, so pair-producing outputs
+    //    grow ∝ reps² (join_fuzzy_blocked 13.5k → 14.2M rows on 100×
+    //    data) — a fixture artifact, not an operator property; real 10×
+    //    corpora aren't 100 near-copies of one base. Disjoint mode
+    //    applies a per-replica BIJECTION that preserves intra-replica
+    //    structure exactly and zeroes cross-replica similarity, the way
+    //    TPC-H scaling adds new keys rather than duplicating rows:
+    //      documents — token-prefix r<i>_ (vocab remap: every jaccard/
+    //        shingle/fingerprint relation within a replica is identical
+    //        to base; cross-replica shingle overlap is exactly 0);
+    //      embeddings — deterministic per-(replica, dim) sign flips (a
+    //        diagonal orthogonal transform: all intra-replica dot
+    //        products/cosines are bit-identical to base; cross-replica
+    //        cosine collapses to ~N(0, 1/√dim) noise);
+    //      customer names — r<i>_ prefix (fuzzy blocks become
+    //        replica-scoped). Replica 0 is the untouched base corpus.
+    //    Output sizes then scale linearly with reps — the scaling a
+    //    decade sweep is supposed to measure.
+    val flags = args.drop(3).toSet
+    val sharded = flags.contains("sharded")
+    val disjoint = flags.contains("disjoint")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -93,22 +116,41 @@ object DecadeCheck {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
     copy("region")
     copy("nation")
-    rep("customer", Seq("c_custkey"))
+    if (disjoint)
+      rep("customer", Seq("c_custkey"),
+        _.withColumn("c_name", expr(
+          "IF(__r = 0, c_name, concat('r', __r, '_', c_name))")))
+    else rep("customer", Seq("c_custkey"))
     rep("supplier", Seq("s_suppkey"))
     rep("part", Seq("p_partkey"))
     rep("orders", Seq("o_orderkey", "o_custkey"))
     rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     rep("events", Seq("event_id", "user_id"))
-    // suffix token: replicas are NEAR-duplicates (high-Jaccard, not
-    // exact), and the vocabulary grows with the corpus
-    rep("documents", Seq("doc_id"),
-      _.withColumn("text", concat(col("text"), lit(" xr"), col("__r"))))
-    // first-component nudge: replica vectors stay close but cosine
-    // ties break deterministically in the data itself
-    rep("embeddings", Seq("vec_id"),
-      _.withColumn("embedding", expr(
-        "transform(embedding, (x, i) -> CAST(IF(i = 0," +
-          " x + __r * CAST(0.001 AS FLOAT), x) AS FLOAT))")))
+    if (disjoint) {
+      // per-replica vocabulary bijection: intra-replica text structure
+      // identical to base, cross-replica shingle overlap exactly zero
+      rep("documents", Seq("doc_id"),
+        _.withColumn("text", expr(
+          "IF(__r = 0, text, array_join(transform(split(text, ' ')," +
+            " t -> concat('r', __r, '_', t)), ' '))")))
+      // diagonal orthogonal transform per replica (murmur3-keyed sign
+      // flips): intra-replica dots bit-identical, cross-replica ~0
+      rep("embeddings", Seq("vec_id"),
+        _.withColumn("embedding", expr(
+          "transform(embedding, (x, i) -> CAST(IF(__r = 0 OR" +
+            " pmod(hash(i, __r), 2) = 0, x, -x) AS FLOAT))")))
+    } else {
+      // suffix token: replicas are NEAR-duplicates (high-Jaccard, not
+      // exact), and the vocabulary grows with the corpus
+      rep("documents", Seq("doc_id"),
+        _.withColumn("text", concat(col("text"), lit(" xr"), col("__r"))))
+      // first-component nudge: replica vectors stay close but cosine
+      // ties break deterministically in the data itself
+      rep("embeddings", Seq("vec_id"),
+        _.withColumn("embedding", expr(
+          "transform(embedding, (x, i) -> CAST(IF(i = 0," +
+            " x + __r * CAST(0.001 AS FLOAT), x) AS FLOAT))")))
+    }
     println(s"[decade] done: $dst at ${reps}x $src")
     spark.stop()
   }
