@@ -703,6 +703,8 @@ object Dedup {
                                shingleSize: Int, threshold: Double,
                                maxDf: Long = 0L,
                                aFilter: Column = lit(true)): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
     val withSh = df.select(col(idCol).cast("long").as("id"),
       shingles(graft.text.TextAnalysis.tokens(col(textCol)), shingleSize)
         .as("__sh"),
@@ -712,6 +714,41 @@ object Dedup {
         explode(col("__sh")).as("__s"))
       .select(col("id"), col("__isA"), col("__len"),
         xxhash64(col("__s")).as("h"))
+    // UNCAPPED path (every production call site): co-occurrence-COUNT
+    // verify. The r14 sf10 sweep measured the old verify — candidate
+    // pairs re-joined to BOTH full shingle arrays — as the exact path's
+    // real spill driver: 64M candidates × ~1.5 KB of array payload is a
+    // ~100 GB sort-spill the moment the doc-side outgrows the broadcast
+    // threshold (sf1.0 rode a broadcast join and hid it; sf10 died on
+    // disk TWICE in fresh JVMs). Shingles are per-doc DISTINCT
+    // (first-occurrence-distinct in [[shingles]]), so |a∩b| is exactly
+    // the number of co-occurring hashed shingles: one h-keyed join of
+    // A-postings × all postings (24 B rows, no arrays), partial-
+    // aggregated counts, then the containment filter. Join volume is
+    // Σ_h df_A(h)·df(h) ≤ Σ df² — the quantity [[containmentPairsAuto]]
+    // now MEASURES before choosing this path. The `__lb ≥ t·__la`
+    // length filter prunes impossible pairs before the aggregate
+    // (containment = |∩|/|a| ≤ |b|/|a|).
+    if (maxDf <= 0) {
+      val a = postings.where(col("__isA"))
+        .select(col("h"), col("id").as("id_a"), col("__len").as("__la"))
+      val b = postings.select(col("h"), col("id").as("id_b"),
+        col("__len").as("__lb"))
+      return a.join(b, "h")
+        .where(col("id_a") =!= col("id_b") &&
+               col("__lb") >= col("__la") * lit(threshold) - lit(1e-6))
+        .groupBy(col("id_a"), col("__la"), col("id_b"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("containment",
+          round(col("__cnt").cast("double") / col("__la"), 6))
+        .where(col("containment") >= threshold)
+        .select(col("id_a"), col("id_b"), col("containment"))
+    }
+    // CAPPED path (maxDf > 0, probe/test-only today): the cap must MISS
+    // pairs, never mis-score survivors, so candidates come from capped
+    // postings but the verify needs the FULL shingle sets — the
+    // original prefix-join + array-verify stands (its candidate volume
+    // is bounded by the cap by construction).
     val capped = if (maxDf > 0) {
       val dfs0 = postings.groupBy(col("h")).agg(count(lit(1)).as("__df"))
       postings.join(dfs0.where(col("__df") <= maxDf), "h")
@@ -798,9 +835,11 @@ object Dedup {
                            maxDf: Long = 0L,
                            maxPrefixPostings: Long = 2000000000L,
                            sketchK: Int = 64,
-                           sketchMargin: Double = 0.15): DataFrame =
+                           sketchMargin: Double = 0.15,
+                           maxCandidatePairs: Long = 2000000000L): DataFrame =
     containmentPairsAutoWithPath(df, idCol, textCol, shingleSize,
-      threshold, maxDf, maxPrefixPostings, sketchK, sketchMargin)._1
+      threshold, maxDf, maxPrefixPostings, sketchK, sketchMargin,
+      maxCandidatePairs)._1
 
   /** [[containmentPairsAuto]] plus which path the gate chose
     * (`true` = sketch screen) — the observability hook the gate spec
@@ -809,21 +848,42 @@ object Dedup {
   private[graft] def containmentPairsAutoWithPath(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, threshold: Double, maxDf: Long,
-      maxPrefixPostings: Long, sketchK: Int, sketchMargin: Double)
+      maxPrefixPostings: Long, sketchK: Int, sketchMargin: Double,
+      maxCandidatePairs: Long = 2000000000L)
       : (DataFrame, Boolean) = {
     require(threshold > 0.0 && threshold <= 1.0 && sketchK > 0)
     val prefixFrac = 1.0 - threshold
     val planBound = BigDecimal(
       df.queryExecution.optimizedPlan.stats.sizeInBytes) / 2 * prefixFrac
-    val usesSketch =
-      if (planBound <= BigDecimal(maxPrefixPostings)) false
+    val postingsFit =
+      if (planBound <= BigDecimal(maxPrefixPostings)) true
       else {
         val total = df.select(
             size(shingles(graft.text.TextAnalysis.tokens(col(textCol)),
               shingleSize)).cast("long").as("__n"))
           .agg(coalesce(sum(col("__n")), lit(0L))).head.getLong(0)
-        total * prefixFrac > maxPrefixPostings
+        total * prefixFrac <= maxPrefixPostings
       }
+    // level 3 (r14, measured): posting COUNT doesn't bound the exact
+    // path's real cost — the count-verify join's row volume is
+    // Σ_h df(h)² (posting PAIRS), which a df-skewed corpus can blow up
+    // at tiny posting counts (one shingle shared by 1M docs is 1e12
+    // pairs from 1e6 postings). One h-keyed aggregation measures it;
+    // its own cost is one linear shuffle of the postings — the same
+    // order as the exact path's first stage, and ~1% of a corpus-scale
+    // dedup job. Only runs when the posting bounds already passed.
+    val usesSketch = !postingsFit || {
+      // df² summed in double: it's a bound, not an exact quantity, and
+      // long products overflow exactly in the regime being guarded
+      val df2 = df.select(
+          explode(shingles(graft.text.TextAnalysis.tokens(col(textCol)),
+            shingleSize)).as("__s"))
+        .select(xxhash64(col("__s")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).cast("double").as("__df"))
+        .agg(coalesce(sum(col("__df") * col("__df")), lit(0.0)))
+        .head.getDouble(0)
+      df2 > maxCandidatePairs.toDouble
+    }
     if (!usesSketch)
       (containmentPairsInverted(df, idCol, textCol, shingleSize,
         threshold, maxDf), false)

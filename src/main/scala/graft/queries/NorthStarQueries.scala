@@ -1735,12 +1735,12 @@ object NorthStarQueries {
        |            i -> {'d': i - 1, 'v': embedding[i]})) AS u
        |        FROM embeddings)),
        |d1 AS MATERIALIZED (
-       |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
-       |    CAST(sum(xm) AS BIGINT) AS s1
+       |  SELECT dim, CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(xm) AS HUGEINT) AS s1
        |  FROM x GROUP BY 1),
        |pm AS MATERIALIZED (
        |  SELECT a.dim AS i, b.dim AS j,
-       |    CAST(sum(a.xm * b.xm) AS BIGINT) AS sxy
+       |    CAST(sum(a.xm * b.xm) AS HUGEINT) AS sxy
        |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
        |c AS MATERIALIZED (
        |  SELECT pm.i, pm.j,
@@ -1753,7 +1753,8 @@ object NorthStarQueries {
        |  SELECT j, CAST(sign(vj) AS BIGINT) * (abs(vj) // 10000) AS uj
        |  FROM v$iters),
        |nm AS (
-       |  SELECT CAST(sum(c.cij * ua.uj * ub.uj) AS BIGINT) AS nm
+       |  SELECT CAST(sum(CAST(c.cij AS HUGEINT) * ua.uj * ub.uj)
+       |    AS HUGEINT) AS nm
        |  FROM c JOIN uvec ua ON c.i = ua.j JOIN uvec ub ON c.j = ub.j),
        |dn AS (SELECT CAST(sum(uj * uj) AS BIGINT) AS dn FROM uvec)
        |SELECT CAST(v$iters.j AS INTEGER) AS dim,
@@ -3976,12 +3977,12 @@ object NorthStarQueries {
         |        FROM embeddings)),
         |m AS (
         |  SELECT a.dim AS dim_a, b.dim AS dim_b,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(a.xm) AS BIGINT) AS sx,
-        |    CAST(sum(b.xm) AS BIGINT) AS sy,
-        |    CAST(sum(a.xm * a.xm) AS BIGINT) AS sxx,
-        |    CAST(sum(b.xm * b.xm) AS BIGINT) AS syy,
-        |    CAST(sum(a.xm * b.xm) AS BIGINT) AS sxy
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(a.xm) AS HUGEINT) AS sx,
+        |    CAST(sum(b.xm) AS HUGEINT) AS sy,
+        |    CAST(sum(a.xm * a.xm) AS HUGEINT) AS sxx,
+        |    CAST(sum(b.xm * b.xm) AS HUGEINT) AS syy,
+        |    CAST(sum(a.xm * b.xm) AS HUGEINT) AS sxy
         |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim < b.dim
         |  GROUP BY 1, 2),
         |s AS (
