@@ -47,8 +47,12 @@ def main(sf_dir, out_dir, preds_path=None):
             n_full = con.sql(f"SELECT count(*) FROM ({src})").fetchone()[0]
             src = f"{src} WHERE {pred}"
         got = canon(con.sql(src).df())
+        # every print path must carry the sampling annotation — a
+        # sampled FAIL/rows-only count misreads as a full-output count
+        samp = (f", sampled {len(got)}/{n_full} rows by [{pred}]"
+                if pred else "")
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(got)} rows")
+            print(f"[rows-only] {name}: {len(got)} rows{samp}")
             continue
         # time ONLY the DuckDB oracle execution+fetch (the next-decade
         # feasibility signal), not the pandas canon/compare — at 14M-row
@@ -96,15 +100,13 @@ def main(sf_dir, out_dir, preds_path=None):
             # abort the whole run
             except Exception as e:
                 ok = False
-                print(f"FAIL {name}: value mismatch (oracle {oracle_s:.2f}s): "
-                      f"{str(e)[:400]}")
+                print(f"FAIL {name}: value mismatch (oracle {oracle_s:.2f}s"
+                      f"{samp}): {str(e)[:400]}")
         else:
-            print(f"FAIL {name}: shape/cols (oracle {oracle_s:.2f}s): "
+            print(f"FAIL {name}: shape/cols (oracle {oracle_s:.2f}s{samp}): "
                   f"got {got.shape} {list(got.columns)} "
                   f"want {want.shape} {list(want.columns)}")
         if ok:
-            samp = (f", sampled {len(got)}/{n_full} rows by [{pred}]"
-                    if pred else "")
             print(f"PASS {name} ({len(got)} rows, oracle {oracle_s:.2f}s{samp})")
             n_pass += 1
         else:

@@ -923,3 +923,73 @@ object ScaleCheck128 {
     spark.stop()
   }
 }
+
+/** r15 measured-gate probes, driven by a fixture DIR instead of in-run
+  * replication — `runMain graft.ScaleCheckGates <sfDir> [probe,names]`.
+  * Measures (a) BOTH containment verify regimes on the same corpus —
+  * the r14 trade this round's hybrid routing resolves (sf1.0: broadcast
+  * array-verify was 4.2× faster; sf10: only the count-verify survives) —
+  * and (b) the cosineNearDupsAuto measured-background gate decision on
+  * the embeddings corpus (the sf10 `sim_cosine_neardups` regime must
+  * REROUTE to the cell-bounded operator).
+  */
+object ScaleCheckGates {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val pats = args.drop(1).flatMap(_.split(',')).filter(_.nonEmpty)
+    val only: String => Boolean =
+      if (pats.isEmpty) _ => true else n => pats.exists(n.contains)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => String): Unit = if (only(name)) {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($out)")
+    }
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    // default routing decision is plan-time — print it with zero work
+    if (only("cont_route_default")) {
+      val (_, usedCount) = graft.dedup.Dedup.containmentPairsInvertedWithPath(
+        docs, "doc_id", "text", 3, 0.5)
+      println(s"cont_route_default           usedCountVerify=$usedCount")
+    }
+    time("cont_df2") {
+      docs.select(explode(graft.dedup.Dedup.shingles(
+          graft.text.TextAnalysis.tokens(col("text")), 3)).as("__s"))
+        .select(xxhash64(col("__s")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).cast("double").as("__df"))
+        .agg(coalesce(sum(col("__df") * col("__df")), lit(0.0)))
+        .head.getDouble(0).toLong.toString
+    }
+    time("cont_verify_broadcast") {
+      graft.dedup.Dedup.containmentPairsInverted(docs, "doc_id", "text",
+        3, 0.5, maxVerifyBroadcastBytes = Long.MaxValue).count().toString
+    }
+    time("cont_verify_count") {
+      graft.dedup.Dedup.containmentPairsInverted(docs, "doc_id", "text",
+        3, 0.5, maxVerifyBroadcastBytes = 0L).count().toString
+    }
+    val emb = graft.model.Tables.embeddings(spark, sfDir)
+    if (only("cosine_auto_gate")) {
+      val bg = graft.similarity.Similarity.measuredBgSim(
+        emb, "vec_id", "embedding", 0.4)
+      val n = emb.count()
+      val estOutPerRow = bg.fracAtOrAbove * math.max(0L, n - 1) / 2.0
+      println(f"cosine_auto_gate             n=$n bgMean=${bg.mean}%.4f " +
+        f"bgP99=${bg.p99}%.4f frac>=0.4=${bg.fracAtOrAbove}%.6f " +
+        f"estOutPerRow=$estOutPerRow%.2f " +
+        s"reroutes=${0.4 <= bg.p99 + 0.05 || estOutPerRow > 64.0}")
+    }
+    time("cosine_auto_exec") {
+      val (out, rerouted) = graft.similarity.Similarity
+        .cosineNearDupsAutoWithPath(emb, "vec_id", "embedding", 0.4)
+      s"rows=${out.count()} rerouted=$rerouted"
+    }
+    spark.stop()
+  }
+}

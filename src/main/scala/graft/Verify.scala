@@ -85,8 +85,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // formatLocal(Locale.ROOT): the default-locale format would emit
+    // comma decimals (0,123) under e.g. de_DE — invalid JSON, the same
+    // failure class the q() control-char escapes guard against
     val tJson = timings
-      .map { case (k, v) => s"${q(k)}: ${"%.3f".format(v)}" }
+      .map { case (k, v) =>
+        s"${q(k)}: ${"%.3f".formatLocal(java.util.Locale.ROOT, v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/timings.json"), tJson)
     spark.stop()

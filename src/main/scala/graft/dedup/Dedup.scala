@@ -645,45 +645,65 @@ object Dedup {
     * directional: `(id_a, id_b, containment)` with `id_a` the contained
     * side; both directions of a pair can appear.
     *
-    * Candidate pruning (the containment variant of the PPJoin prefix
-    * filter, cf. Bayardo et al. WWW'07): order shingles by the global
-    * (df asc, hash asc) order; `C(a→b) ≥ t` forces
-    * `|a∩b| ≥ ⌈t·|a|⌉`, so SOME shared shingle lands in a's first
-    * `|a| − ⌈t·|a|⌉ + 1` (pigeonhole) — only that prefix is indexed on
-    * the contained side. The containing side must index EVERY posting
-    * (containment puts no lower bound on b's share), so the pruning
-    * work happens per collision row instead:
-    *  - POSITIONAL filter: at a pair's FIRST shared shingle in the
-    *    global order (position `p_b`, 0-based, in b's sorted list),
-    *    every shared shingle sits at a b-position ≥ p_b, so
-    *    `|a∩b| ≤ |b| − p_b`; `C ≥ t` then forces
-    *    `|b| − p_b ≥ t·|a|`. A true pair always has a collision row at
-    *    its first shared shingle (in a's prefix by the pigeonhole
-    *    bound), so OR-over-rows + distinct keeps exactness. This is
-    *    the filter that kills hot-shingle collisions: a high-df
-    *    shingle sorts LATE in every containing doc, so its `|b| − p_b`
-    *    is small and the collision drops unless b is genuinely larger
-    *    than t·|a|. (It subsumes the plain `|b| ≥ t·|a|` length
-    *    filter, since `p_b ≥ 0`.)
-    *  - HASH-FIRST keys: candidate generation runs entirely on
-    *    `xxhash64` longs, never shingle strings — an 8-byte join key
-    *    and a (long, long) per-doc sort instead of string payloads.
-    *    A cross-doc hash collision only ADDS a spurious candidate
-    *    (removed by the exact full-set verify); a within-doc collision
-    *    (two of one doc's shingles on one hash — probability
-    *    ≤ |doc|²/2⁶⁴ per doc) could waste one prefix slot, the sole
-    *    theoretical miss vector, negligible at any realistic scale.
-    * Verification scores the full string sets, so the `maxDf` cap
-    * (candidate generation only) can only miss pairs whose every
-    * shared shingle is over-cap — same contract as
-    * [[jaccardPairsInverted]] (capped high-df hashes occupy the order
-    * suffix, so surviving positions/prefixes are unchanged).
+    * HYBRID execution (r15): two verify regimes, routed at PLAN time
+    * from the input's optimizer stats — zero extra jobs:
     *
-    * 100 TB notes: the candidate shuffle is A-prefix × B-full postings
-    * on the hash key — the df-ranked prefix on A bounds Σ df·prefix_df
-    * well under the Jaccard join's Σ df² when excerpts are small (the
-    * common case: quotes against a big corpus), and the positional
-    * filter above cuts the hot tail of that sum before the distinct.
+    *  - BROADCAST regime (estimated full-shingle-array payload —
+    *    `stats.sizeInBytes × (shingleSize+1)` — fits
+    *    `maxVerifyBroadcastBytes`): PPJoin-style candidates + exact
+    *    array verify. Candidates use the containment variant of the
+    *    prefix filter (Bayardo et al. WWW'07): shingles ordered by
+    *    global (df asc, hash asc); `C(a→b) ≥ t` forces `|a∩b| ≥
+    *    ⌈t·|a|⌉`, so SOME shared shingle lands in a's first
+    *    `|a| − ⌈t·|a|⌉ + 1` (pigeonhole) — only that prefix is indexed
+    *    on the contained side, while the containing side indexes every
+    *    posting and prunes per collision row with the POSITIONAL
+    *    filter: at the pair's FIRST shared shingle (position `p_b` in
+    *    b's sorted list) `|a∩b| ≤ |b| − p_b`, and `C ≥ t` forces
+    *    `|b| − p_b ≥ t·|a|` — the filter that kills hot-shingle
+    *    collisions (a high-df shingle sorts LATE, so its `|b| − p_b`
+    *    is small). Survivors re-score the full STRING shingle sets
+    *    through an explicitly-broadcast doc-side join (the routing
+    *    guarantees it fits), so hash collisions in candidate
+    *    generation only ever ADD candidates here. This was the r13
+    *    sf1.0 plan (fast: the verify join never shuffles arrays) — but
+    *    it dies the moment the doc side outgrows the broadcast (the
+    *    r14 sf10 sweep measured a >75 GB array-payload sort-spill).
+    *
+    *  - COUNT regime (doc side too big to broadcast): co-occurrence-
+    *    COUNT verify. Shingles are per-doc DISTINCT ([[shingles]]), so
+    *    `|a∩b|` equals the number of co-occurring hashed shingles: one
+    *    h-keyed join of A-postings × all postings (24 B rows — no
+    *    arrays EVER shuffle), partial-aggregated counts, then the
+    *    containment filter; a `|b| ≥ t·|a|` length filter prunes
+    *    impossible pairs pre-aggregate. Join volume is
+    *    Σ_h df_A(h)·df(h) ≤ Σ df² — UNGUARDED here: one shingle shared
+    *    by d docs contributes d² rows, so a df-skewed corpus can blow
+    *    this path up. Production entry is [[containmentPairsAuto]],
+    *    which MEASURES Σ df² first and reroutes to the bounded sketch
+    *    screen when it exceeds `maxCandidatePairs`; call this method
+    *    directly only on inputs whose skew you know (probes, batch
+    *    mode against a bounded query slice). EXACTNESS CAVEAT:
+    *    containment is counted over `xxhash64` hashes, so a 64-bit
+    *    cross-shingle collision INFLATES the score (it is not screened
+    *    by an array verify) — within a doc pair that needs colliding
+    *    shingles in the two docs' sets (probability ≤ |a|·|b|/2⁶⁴ per
+    *    pair); the broadcast regime and the capped path keep the
+    *    string-exact contract.
+    *
+    * The `maxDf` cap (candidate generation only, probe/test surface)
+    * always takes the prefix+array-verify shape — the cap may only
+    * MISS pairs (those whose every shared shingle is over-cap), never
+    * mis-score survivors, so the verify needs full string sets; its
+    * broadcast hint follows the same size routing.
+    *
+    * 100 TB notes: the broadcast regime's candidate shuffle is
+    * A-prefix × B-full postings on an 8-byte hash key, with the
+    * positional filter cutting the hot tail before the distinct; the
+    * count regime trades that pruning for array-free shuffles. At
+    * corpus scale run [[containmentPairsAuto]] (measured gates) or the
+    * `aFilter` batch mode (A-side a query slice — candidate volume
+    * batch × corpus, one linear posting pass over the corpus).
     */
   /** `aFilter` restricts the CONTAINED (`id_a`) side to a subset of
     * docs — the excerpt-detection regime: "which of these N quotes
@@ -702,7 +722,39 @@ object Dedup {
   def containmentPairsInverted(df: DataFrame, idCol: String, textCol: String,
                                shingleSize: Int, threshold: Double,
                                maxDf: Long = 0L,
-                               aFilter: Column = lit(true)): DataFrame = {
+                               aFilter: Column = lit(true),
+                               maxVerifyBroadcastBytes: Long =
+                                 DefaultVerifyBroadcastBytes): DataFrame =
+    containmentPairsInvertedWithPath(df, idCol, textCol, shingleSize,
+      threshold, maxDf, aFilter, maxVerifyBroadcastBytes)._1
+
+  /** Estimated-array-payload budget under which the containment verify
+    * broadcasts the doc side (id → full shingle array). 128 MB of
+    * ESTIMATE — plan-stats input bytes × (shingleSize+1) — is a few
+    * hundred MB materialized: cheap in any executor profile, an order
+    * of magnitude under the multi-GB regime where the r14 sf10 sweep
+    * measured the array-verify sort-spill death.
+    */
+  val DefaultVerifyBroadcastBytes: Long = 128L << 20
+
+  /** Measured-Σdf² boundary under which [[containmentPairsAuto]] keeps
+    * the count-verify regime even when the arrays would broadcast: the
+    * count join's row volume IS Σ df², and under ~2×10⁸ (long, long)
+    * rows it is measured-cheap — the regime where r14 recorded the
+    * count rewrite as FASTER than the prefix+array machinery.
+    */
+  val CountVerifyFastPairs: Long = 200000000L
+
+  /** [[containmentPairsInverted]] plus which verify regime the size
+    * routing chose (`true` = count-verify) — the observability hook
+    * the routing spec and ScaleCheck pin against.
+    */
+  private[graft] def containmentPairsInvertedWithPath(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, threshold: Double,
+      maxDf: Long = 0L, aFilter: Column = lit(true),
+      maxVerifyBroadcastBytes: Long = DefaultVerifyBroadcastBytes)
+      : (DataFrame, Boolean) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
     val withSh = df.select(col(idCol).cast("long").as("id"),
@@ -714,27 +766,24 @@ object Dedup {
         explode(col("__sh")).as("__s"))
       .select(col("id"), col("__isA"), col("__len"),
         xxhash64(col("__s")).as("h"))
-    // UNCAPPED path (every production call site): co-occurrence-COUNT
-    // verify. The r14 sf10 sweep measured the old verify — candidate
-    // pairs re-joined to BOTH full shingle arrays — as the exact path's
-    // real spill driver: 64M candidates × ~1.5 KB of array payload is a
-    // ~100 GB sort-spill the moment the doc-side outgrows the broadcast
-    // threshold (sf1.0 rode a broadcast join and hid it; sf10 died on
-    // disk TWICE in fresh JVMs). Shingles are per-doc DISTINCT
-    // (first-occurrence-distinct in [[shingles]]), so |a∩b| is exactly
-    // the number of co-occurring hashed shingles: one h-keyed join of
-    // A-postings × all postings (24 B rows, no arrays), partial-
-    // aggregated counts, then the containment filter. Join volume is
-    // Σ_h df_A(h)·df(h) ≤ Σ df² — the quantity [[containmentPairsAuto]]
-    // now MEASURES before choosing this path. The `__lb ≥ t·__la`
-    // length filter prunes impossible pairs before the aggregate
-    // (containment = |∩|/|a| ≤ |b|/|a|).
-    if (maxDf <= 0) {
+    // PLAN-time size routing (zero extra jobs): each input token lands
+    // in ≤ shingleSize shingles plus joiners, so input bytes ×
+    // (shingleSize+1) upper-estimates the materialized shingle-array
+    // payload the broadcast regime ships. Compression can make this an
+    // underestimate of in-memory size by a small constant — priced into
+    // the default's order-of-magnitude headroom.
+    val arrayBytesEst = BigDecimal(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes) * (shingleSize + 1)
+    val broadcastFits = arrayBytesEst <= BigDecimal(maxVerifyBroadcastBytes)
+    // COUNT regime (uncapped + doc side too big to broadcast): see the
+    // method scaladoc. No arrays ever shuffle; join volume Σ df_A·df is
+    // the quantity [[containmentPairsAuto]] measures before landing here.
+    if (maxDf <= 0 && !broadcastFits) {
       val a = postings.where(col("__isA"))
         .select(col("h"), col("id").as("id_a"), col("__len").as("__la"))
       val b = postings.select(col("h"), col("id").as("id_b"),
         col("__len").as("__lb"))
-      return a.join(b, "h")
+      return (a.join(b, "h")
         .where(col("id_a") =!= col("id_b") &&
                col("__lb") >= col("__la") * lit(threshold) - lit(1e-6))
         .groupBy(col("id_a"), col("__la"), col("id_b"))
@@ -742,13 +791,14 @@ object Dedup {
         .withColumn("containment",
           round(col("__cnt").cast("double") / col("__la"), 6))
         .where(col("containment") >= threshold)
-        .select(col("id_a"), col("id_b"), col("containment"))
+        .select(col("id_a"), col("id_b"), col("containment")), true)
     }
-    // CAPPED path (maxDf > 0, probe/test-only today): the cap must MISS
-    // pairs, never mis-score survivors, so candidates come from capped
-    // postings but the verify needs the FULL shingle sets — the
-    // original prefix-join + array-verify stands (its candidate volume
-    // is bounded by the cap by construction).
+    // BROADCAST regime (uncapped + fits) and the CAPPED path (maxDf >
+    // 0): prefix+positional candidates + exact full-string-set array
+    // verify. The cap must MISS pairs, never mis-score survivors, so
+    // candidates come from capped postings but the verify reads the
+    // FULL shingle sets; uncapped, `capped = postings` and the prefix
+    // pigeonhole keeps exactness.
     val capped = if (maxDf > 0) {
       val dfs0 = postings.groupBy(col("h")).agg(count(lit(1)).as("__df"))
       postings.join(dfs0.where(col("__df") <= maxDf), "h")
@@ -781,14 +831,21 @@ object Dedup {
       .where(col("__lb") - col("__pb") >=
              col("__la") * lit(threshold) - lit(1e-6))
       .select(col("id_a"), col("id_b")).distinct()
-    cands
-      .join(withSh.select(col("id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
-      .join(withSh.select(col("id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+    // explicit broadcast when the routing said the arrays fit — the
+    // r13 sf1.0 speed came from an AQE auto-broadcast that stats
+    // drift could silently lose; pinning it here makes the fast
+    // regime a plan property. The capped path above any broadcastable
+    // size keeps the shuffled join (cap-bounded candidate volume).
+    val docSide = withSh.select(col("id"), col("__sh"))
+    val vSh = if (broadcastFits) broadcast(docSide) else docSide
+    (cands
+      .join(vSh.select(col("id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(vSh.select(col("id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("containment",
         round(size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
           size(col("__sh_a")), 6))
       .where(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("containment"))
+      .select(col("id_a"), col("id_b"), col("containment")), false)
   }
 
   /** Containment pairs with an AUTOMATIC all-pairs escape — the entry
@@ -801,20 +858,33 @@ object Dedup {
     * spill-bound. The sketch screen ([[containmentSketchPairs]]) caps
     * the A-side at `sketchK` postings per doc (constant) and re-scores
     * survivors EXACTLY, trading a bounded hypergeometric miss tail for
-    * bounded shuffle volume. This method picks between them with the
-    * two-level measured gate [[graft.etl.Aggregation.rfmScores]]
-    * established:
+    * bounded shuffle volume. This method picks between them with a
+    * THREE-level measured gate (levels 1–2 the
+    * [[graft.etl.Aggregation.rfmScores]] pattern; level 3 added after
+    * the r14 sf10 sweep):
     *
     *  1. PLAN time, zero extra jobs: distinct shingles per doc ≤ token
     *     count ≤ text bytes / 2 (every token costs ≥ 1 char + a
     *     separator), so `optimizedPlan.stats.sizeInBytes / 2 × (1−t)`
     *     upper-bounds the exact join's prefix-posting volume. Under
-    *     `maxPrefixPostings` → exact path, gate settled for free. (A
+    *     `maxPrefixPostings` → posting volume fits, no scan. (A
     *     heuristic, not a hard bound, under extreme RLE compression —
     *     a mis-gate then costs one measuring scan, never correctness.)
-    *  2. Only when the bound crosses: ONE pruned-column scan measures
-    *     the true shingle total; exact path iff the measured prefix
-    *     volume fits.
+    *  2. Only when that bound crosses: ONE pruned-column scan measures
+    *     the true shingle total; posting volume fits iff the measured
+    *     prefix volume does.
+    *  3. Posting COUNT doesn't bound the count-verify regime's JOIN
+    *     volume — that is Σ_h df(h)² (posting PAIRS), which one hot
+    *     shingle can blow up at tiny posting counts — so one h-keyed
+    *     aggregation MEASURES Σ df² against `maxCandidatePairs`; exact
+    *     path iff it fits too. Short-circuit: Σ df² ≤ (Σ df)², so when
+    *     the squared posting total (the level-2 measurement if it ran,
+    *     else the level-1 plan bound) already fits, the gate settles
+    *     WITHOUT this scan — tiny inputs keep the plan-time-only
+    *     decision and its zero extra jobs. When the scan DID run, its
+    *     value also selects the exact path's verify regime
+    *     (≤ [[CountVerifyFastPairs]] → count-verify, measured-cheap;
+    *     above → the broadcast array-verify via the size routing).
     *
     * Above the gate the plan is screen → exact verify: sketch
     * candidates at `minEst = threshold − sketchMargin`, then re-score
@@ -853,8 +923,10 @@ object Dedup {
       : (DataFrame, Boolean) = {
     require(threshold > 0.0 && threshold <= 1.0 && sketchK > 0)
     val prefixFrac = 1.0 - threshold
-    val planBound = BigDecimal(
-      df.queryExecution.optimizedPlan.stats.sizeInBytes) / 2 * prefixFrac
+    val planPostings = BigDecimal(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes) / 2
+    val planBound = planPostings * prefixFrac
+    var measuredTotal: Option[Long] = None
     val postingsFit =
       if (planBound <= BigDecimal(maxPrefixPostings)) true
       else {
@@ -862,6 +934,7 @@ object Dedup {
             size(shingles(graft.text.TextAnalysis.tokens(col(textCol)),
               shingleSize)).cast("long").as("__n"))
           .agg(coalesce(sum(col("__n")), lit(0L))).head.getLong(0)
+        measuredTotal = Some(total)
         total * prefixFrac <= maxPrefixPostings
       }
     // level 3 (r14, measured): posting COUNT doesn't bound the exact
@@ -871,22 +944,45 @@ object Dedup {
     // pairs from 1e6 postings). One h-keyed aggregation measures it;
     // its own cost is one linear shuffle of the postings — the same
     // order as the exact path's first stage, and ~1% of a corpus-scale
-    // dedup job. Only runs when the posting bounds already passed.
-    val usesSketch = !postingsFit || {
-      // df² summed in double: it's a bound, not an exact quantity, and
-      // long products overflow exactly in the regime being guarded
-      val df2 = df.select(
-          explode(shingles(graft.text.TextAnalysis.tokens(col(textCol)),
-            shingleSize)).as("__s"))
-        .select(xxhash64(col("__s")).as("h"))
-        .groupBy(col("h")).agg(count(lit(1)).cast("double").as("__df"))
-        .agg(coalesce(sum(col("__df") * col("__df")), lit(0.0)))
-        .head.getDouble(0)
-      df2 > maxCandidatePairs.toDouble
-    }
-    if (!usesSketch)
+    // dedup job. Only runs when the posting bounds already passed AND
+    // the measurement could possibly trip: Σ df² ≤ (Σ df)² = (total
+    // postings)², so when the squared posting total (measured at level
+    // 2 if it ran, else the level-1 plan bound) already fits
+    // `maxCandidatePairs`, the gate is settled without the scan — tiny
+    // inputs keep their zero-extra-jobs plan-time decision.
+    val postBound = measuredTotal.map(BigDecimal(_)).getOrElse(planPostings)
+    var df2Opt: Option[Double] = None
+    val usesSketch = !postingsFit ||
+      (postBound * postBound > BigDecimal(maxCandidatePairs) && {
+        // df² summed in double: it's a bound, not an exact quantity, and
+        // long products overflow exactly in the regime being guarded
+        val df2 = df.select(
+            explode(shingles(graft.text.TextAnalysis.tokens(col(textCol)),
+              shingleSize)).as("__s"))
+          .select(xxhash64(col("__s")).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).cast("double").as("__df"))
+          .agg(coalesce(sum(col("__df") * col("__df")), lit(0.0)))
+          .head.getDouble(0)
+        df2Opt = Some(df2)
+        df2 > maxCandidatePairs.toDouble
+      })
+    if (!usesSketch) {
+      // the level-3 measurement, when it ran, also SELECTS the verify
+      // regime: Σ df² IS the count-verify join's row volume, so under
+      // `CountVerifyFastPairs` the count path is measured-cheap — take
+      // it (array-free, and faster than the prefix machinery at bench
+      // scales: sf0.1 3.3 s vs 4.9 s). Above it, prefer the broadcast
+      // array-verify via the size routing (sf1.0: 76 s vs the count
+      // path's 316 s — the r14 regression this hybrid resolves), which
+      // itself falls back to count-verify when the arrays can't
+      // broadcast. Unmeasured (short-circuited) inputs are tiny — the
+      // size routing alone decides, sub-second either way.
+      val budget =
+        if (df2Opt.exists(_ <= CountVerifyFastPairs)) 0L
+        else DefaultVerifyBroadcastBytes
       (containmentPairsInverted(df, idCol, textCol, shingleSize,
-        threshold, maxDf), false)
+        threshold, maxDf, maxVerifyBroadcastBytes = budget), false)
+    }
     else {
       val screened = containmentSketchPairs(df, idCol, textCol,
           shingleSize, sketchK, math.max(0.0, threshold - sketchMargin))

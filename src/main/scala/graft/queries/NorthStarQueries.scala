@@ -1484,10 +1484,16 @@ object NorthStarQueries {
         .select(col("media_id"), col("features"))
         .write.mode("overwrite").parquet(OracleAux.dir(dir, "mm_feats"))
       val f = s.read.parquet(OracleAux.dir(dir, "mm_feats"))
-      // srpPlan sizes the banding per corpus; bgSim=0.7 is the
-      // measured background cosine of the block-hash feature space
+      // srpPlan sizes the banding per corpus, from the MEASURED
+      // background cosine of this feature space (r15 — block-hash
+      // features sit near 0.70 where an embedding default would assume
+      // ~0.3 and under-bit the keys exponentially); the in-stage
+      // sketch cut in cosineNearDupCandidates keeps the band join's
+      // raw collisions off the exchange (the r14 sf10 spill)
+      val bg = Similarity.measuredBgSim(f, "media_id", "features",
+        threshold = 0.95)
       val (bits, bands) = Similarity.srpPlan(f.count(), 0.95, 0.98,
-        targetBucket = 8, bgSim = 0.7)
+        targetBucket = 8, bgSim = math.min(0.95, math.max(0.0, bg.mean)))
       Similarity.cosineNearDupCandidates(f, "media_id", "features",
           threshold = 0.95, numPlanes = bits * bands, bands = bands)
         .write.mode("overwrite").parquet(OracleAux.dir(dir, "mm_cands"))

@@ -304,13 +304,16 @@ object Similarity {
     * (multiProbe=false) for other corpus scales / thresholds.
     *
     * Verification is two-stage so candidate pairs never shuffle full
-    * vectors twice: candidates first join a 126-bit SRP SKETCH (two
-    * longs, 16 B — vs 512 B of raw floats), and only pairs whose
+    * vectors twice: a 126-bit SRP SKETCH (two longs, 16 B — vs 512 B
+    * of raw floats) rides the exploded band rows, and only pairs whose
     * sketch-estimated angle could clear `threshold` (mismatch ≤ mean +
-    * 3σ of a true pair's Binomial) reach the exact cosine re-rank. At a
-    * high threshold the sketch rejects ≈99% of background candidates;
-    * at thresholds near the background similarity it passes ~everything
-    * and costs only the 16 B joins.
+    * 3σ of a true pair's Binomial) survive the band join's streamed
+    * output — the cut runs IN-STAGE, before the candidate distinct, so
+    * raw band collisions never reach an exchange (the r14 sf10
+    * multimodal spill). At a high threshold the sketch rejects ≈97% of
+    * background candidates; at thresholds near the background
+    * similarity it would pass ~everything, so it is skipped and the
+    * explode stays id-only.
     */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, numPlanes: Int = 512, bands: Int = 64,
@@ -340,34 +343,44 @@ object Similarity {
       srpSignature(col(vecCol), sketchPlanes.slice(0, 63)).as("__sk0"),
       srpSignature(col(vecCol), sketchPlanes.slice(63, 126)).as("__sk1"),
       bandCols(col(vecCol), planes, bands, bitsPerBand).as("__bands"))
-    // id-only band join + distinct, then re-join the vectors (see lshTopK)
-    val exploded = signed
-      .select(col(idCol), posexplode(col("__bands")).as(Seq("band_id", "band_key")))
-    val l = exploded.select(col("band_id"), col("band_key"), col(idCol).as("id_a"))
-    val r = exploded.select(col("band_id"), col("band_key"), col(idCol).as("id_b"))
-    val pairs = l.join(r, Seq("band_id", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    // stage 1: sketch filter. A true pair at `threshold` mismatches a
-    // sketch bit w.p. f = acos(threshold)/π; admit up to mean + 3σ.
-    // Only worth its two 16 B joins when the cutoff sits BELOW the
-    // background pair's expected mismatch (~0.40·126 at cosine ≈0.3) —
-    // at thresholds near background it passes everything, so skip it
+    // sketch filter: a true pair at `threshold` mismatches a sketch bit
+    // w.p. f = acos(threshold)/π; admit up to mean + 3σ. Only worth
+    // carrying when the cutoff sits BELOW the background pair's
+    // expected mismatch (~0.40·126 at cosine ≈0.3) — at thresholds near
+    // background it passes everything, so skip it
     val f = math.acos(threshold) / math.Pi
     val maxMismatch = math.min(126, math.ceil(
       126 * f + 3.0 * math.sqrt(126 * f * (1 - f))).toInt)
     val sketchSelective = maxMismatch < (126 * 0.40).toInt
-    val sk = signed.select(col(idCol), col("__sk0"), col("__sk1"))
-    val sketched = if (!sketchSelective) pairs else pairs
-      .join(sk.select(col(idCol).as("id_a"), col("__sk0").as("__a0"),
-        col("__sk1").as("__a1")), "id_a")
-      .join(sk.select(col(idCol).as("id_b"), col("__sk0").as("__b0"),
-        col("__sk1").as("__b1")), "id_b")
+    // IN-STAGE sketch filtering (r15): when selective, the two sketch
+    // longs (16 B) RIDE the exploded band rows, so the filter runs on
+    // the band join's streamed output BEFORE the distinct. The r14 sf10
+    // multimodal death was exactly this boundary: ~1e9 raw band
+    // collisions fed the distinct's exchange and spilled the 64 GiB
+    // envelope to disk — with the popcount cut applied join-side, only
+    // the ≲3% sketch survivors ever reach an exchange, at the price of
+    // 16 B/row on the (much smaller) explode shuffle. The pair set is
+    // identical: the cut is a row-independent pair predicate, so
+    // filtering collision rows before distinct = filtering distinct
+    // pairs (the pre-r15 shape, which also paid two extra joins).
+    val skCols: Seq[Column] =
+      if (sketchSelective) Seq(col("__sk0"), col("__sk1")) else Seq.empty
+    val exploded = signed
+      .select(col(idCol) +: skCols :+
+        posexplode(col("__bands")).as(Seq("band_id", "band_key")): _*)
+    def side(suffix: String): DataFrame = {
+      val renamed = Seq(col(idCol).as(s"id_$suffix")) ++
+        (if (sketchSelective)
+          Seq(col("__sk0").as(s"__${suffix}0"), col("__sk1").as(s"__${suffix}1"))
+        else Seq.empty)
+      exploded.select(col("band_id") +: col("band_key") +: renamed: _*)
+    }
+    val raw = side("a").join(side("b"), Seq("band_id", "band_key"))
+      .where(col("id_a") < col("id_b"))
+    val cut = if (!sketchSelective) raw else raw
       .where((bit_count(col("__a0").bitwiseXOR(col("__b0"))) +
         bit_count(col("__a1").bitwiseXOR(col("__b1")))) <= maxMismatch)
-      .select("id_a", "id_b")
-    sketched
+    cut.select("id_a", "id_b").distinct()
   }
 
   /** Exact stage of [[cosineNearDups]]: cosine over a candidate pair
@@ -385,6 +398,144 @@ object Similarity {
         col("__na"), col("__nb")))
       .where(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+  }
+
+  /** Measured background-similarity statistics of an embedding corpus,
+    * from a deterministic sample: the `sampleN` hash-rank-smallest rows
+    * (TakeOrdered — one linear scan with per-partition heaps, no full
+    * sort; ties broken by id, so the sample is layout- and
+    * run-independent) self-paired via a broadcast cross join —
+    * `sampleN(sampleN−1)/2` cosines, constant work at any corpus size.
+    *
+    * `mean` sizes banding ([[srpPlan]]'s `bgSim` — the r14 sf10 lesson:
+    * trusting a caller-supplied default underestimates candidate volume
+    * exponentially when the real background is hotter); `p99` and
+    * `fracAtOrAbove` feed the [[cosineNearDupsAuto]] reroute gate
+    * (`fracAtOrAbove · n(n−1)/2` estimates the TRUE output volume — at
+    * a threshold inside the background tail the output itself is
+    * corpus-quadratic and no candidate-generation family can prune it).
+    */
+  final case class BgSimStats(mean: Double, p99: Double,
+                              fracAtOrAbove: Double, nPairs: Long)
+
+  def measuredBgSim(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, sampleN: Int = 256): BgSimStats = {
+    val sample = corpus
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        l2Norm(col(vecCol)).as("__n"))
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(sampleN)
+    val a = sample.select(col("__id").as("__ia"), col("__v").as("__va"),
+      col("__n").as("__na"))
+    val b = sample.select(col("__id").as("__ib"), col("__v").as("__vb"),
+      col("__n").as("__nb"))
+    val row = a.crossJoin(broadcast(b))
+      .where(col("__ia") < col("__ib"))
+      .select(cosineWithNorms(dot(col("__va"), col("__vb")),
+        col("__na"), col("__nb")).as("s"))
+      .agg(avg(col("s")), expr("percentile(s, 0.99)"),
+        avg((col("s") >= threshold).cast("double")), count(lit(1)))
+      .head()
+    if (row.isNullAt(0)) BgSimStats(0.0, 0.0, 0.0, 0L)
+    else BgSimStats(row.getDouble(0), row.getDouble(1), row.getDouble(2),
+      row.getLong(3))
+  }
+
+  /** Cell-bounded near-dup pairs — the SemDeDup operator shape
+    * ([[semanticDedup]]) emitting the PAIR list instead of keep flags:
+    * k-means cells bound the quadratic term (candidate volume Σ|cell|²,
+    * not n²), pairs scored within cells only. This is the right plan
+    * for thresholds at or inside the background-similarity tail, where
+    * banding's S-curve exponent ρ→1 and the band join degenerates to
+    * the quadratic pass it was supposed to avoid. Recall contract:
+    * cross-cell pairs are missed — the SemDeDup trade, bought back with
+    * cell count ∝ n (per-cell work constant, cells embarrassingly
+    * parallel).
+    */
+  def cellBoundedNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double,
+                          targetCellRows: Int = 1024): DataFrame =
+    cellBoundedNearDupsN(corpus, idCol, vecCol, threshold, targetCellRows,
+      corpus.count())
+
+  private def cellBoundedNearDupsN(corpus: DataFrame, idCol: String,
+                                   vecCol: String, threshold: Double,
+                                   targetCellRows: Int, n: Long): DataFrame = {
+    val numCells = math.max(4, math.min(65536,
+      math.ceil(n.toDouble / targetCellRows).toInt))
+    val cents = trainCentroids(corpus, idCol, vecCol, numCells, iters = 1,
+      sampleMod = trainSampleModFor(n, numCells))
+    val assigned = corpus.select(col(idCol), col(vecCol).as("__v"),
+      l2Norm(col(vecCol)).as("__n"),
+      cellFor(cents)(col(vecCol)).as("cell"))
+    assigned
+      .select(col("cell"), col(idCol).as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na"))
+      .join(assigned.select(col("cell"), col(idCol).as("id_b"),
+        col("__v").as("__vb"), col("__n").as("__nb")), "cell")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("score", cosineWithNorms(dot(col("__va"), col("__vb")),
+        col("__na"), col("__nb")))
+      .where(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+  }
+
+  /** Auto-gated near-dup pairs — the entry point a 100 TB pipeline
+    * should call (the r14 sf10 lesson generalized, the
+    * [[graft.dedup.Dedup.containmentPairsAuto]] discipline): MEASURE
+    * the corpus' background similarity ([[measuredBgSim]] — one
+    * constant-cost sampled job) instead of trusting caller-supplied
+    * banding defaults, then route:
+    *
+    *  - threshold inside the background tail (`threshold ≤ p99 +
+    *    bgMargin`), or estimated TRUE output volume super-linear
+    *    (`fracAtOrAbove·(n−1)/2 > maxOutputPerRow` — output pairs per
+    *    corpus row): banding cannot prune candidates that ARE the
+    *    background (the measured sf10 `sim_cosine_neardups` regime:
+    *    threshold 0.4 ≈ 3.2σ of N(0, 1/√64), ~8M quadratic output
+    *    pairs) → the cell-bounded [[cellBoundedNearDups]] operator.
+    *  - otherwise: SRP banding, sized by [[srpPlan]] with the MEASURED
+    *    background mean (bgSim clamped to [0, 0.95]) — the multimodal
+    *    block-hash space measures ≈0.70 where the embedding default
+    *    would assume ≈0.3 and under-bit the band keys exponentially.
+    *
+    * Both routes emit `(id_a, id_b, score)` with exact re-scored
+    * cosine ≥ threshold; they differ in which true pairs the candidate
+    * stage can miss (S-curve tail vs cross-cell pairs).
+    */
+  def cosineNearDupsAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, recall: Double = 0.95,
+                         targetBucket: Int = 8, bgMargin: Double = 0.05,
+                         maxOutputPerRow: Double = 64.0,
+                         sampleN: Int = 256): DataFrame =
+    cosineNearDupsAutoWithPath(corpus, idCol, vecCol, threshold, recall,
+      targetBucket, bgMargin, maxOutputPerRow, sampleN)._1
+
+  /** [[cosineNearDupsAuto]] plus which route the measured gate chose
+    * (`true` = cell-bounded reroute) — the observability hook the gate
+    * spec and ScaleCheck pin against.
+    */
+  private[graft] def cosineNearDupsAutoWithPath(
+      corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      recall: Double = 0.95, targetBucket: Int = 8, bgMargin: Double = 0.05,
+      maxOutputPerRow: Double = 64.0, sampleN: Int = 256)
+      : (DataFrame, Boolean) = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val n = corpus.count()
+    val bg = measuredBgSim(corpus, idCol, vecCol, threshold, sampleN)
+    val estOutPerRow = bg.fracAtOrAbove * math.max(0L, n - 1) / 2.0
+    val reroute = threshold <= bg.p99 + bgMargin ||
+      estOutPerRow > maxOutputPerRow
+    if (reroute)
+      (cellBoundedNearDupsN(corpus, idCol, vecCol, threshold,
+        targetCellRows = 1024, n), true)
+    else {
+      val (bits, bands) = srpPlan(n, threshold, recall, targetBucket,
+        multiProbe = false,
+        bgSim = math.min(0.95, math.max(0.0, bg.mean)))
+      (cosineNearDups(corpus, idCol, vecCol, threshold,
+        numPlanes = bits * bands, bands = bands), false)
+    }
   }
 
   /** SemDeDup — semantic deduplication (Abbas et al. 2023,

@@ -380,6 +380,35 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"screen recall $recall over ${exact.size} pairs")
   }
 
+  test("containment hybrid verify: routing pinned both ways, count regime " +
+    "== broadcast regime == brute force, batch form agrees on both") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.model.Tables.documents(spark, sf()).where($"doc_id" < 150)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // a tiny corpus must route to the broadcast array-verify regime...
+    val (bc, countAtDefault) = Dedup.containmentPairsInvertedWithPath(
+      docs, "doc_id", "text", 3, 0.5)
+    assert(!countAtDefault,
+      "plan-stats routing must pick the broadcast regime on a tiny corpus")
+    // ...and a zero budget forces the count-verify regime
+    val (cnt, countForced) = Dedup.containmentPairsInvertedWithPath(
+      docs, "doc_id", "text", 3, 0.5, maxVerifyBroadcastBytes = 0L)
+    assert(countForced, "a zero broadcast budget must force the count regime")
+    val viaBroadcast = canon(bc)
+    assert(viaBroadcast.nonEmpty, "fixture must exercise both regimes")
+    assert(canon(cnt) == viaBroadcast,
+      "the two verify regimes must emit identical (pair, score) sets")
+    // batch (aFilter) form: both regimes equal the filtered full result
+    val expected = viaBroadcast.filter(_._1 % 2 == 1)
+    Seq(0L, Long.MaxValue).foreach { budget =>
+      val (batch, _) = Dedup.containmentPairsInvertedWithPath(
+        docs, "doc_id", "text", 3, 0.5, aFilter = col("doc_id") % 2 === 1,
+        maxVerifyBroadcastBytes = budget)
+      assert(canon(batch) == expected, s"batch parity at budget=$budget")
+    }
+  }
+
   test("containmentPairsAuto: exact plan under the measured gate, sketch " +
     "route above it, identical pairs when the sketch covers every doc") {
     val docs = graft.model.Tables.documents(spark, sf()).where($"doc_id" < 150)

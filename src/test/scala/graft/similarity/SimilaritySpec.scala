@@ -669,4 +669,76 @@ class SimilaritySpec extends SparkSpec {
       "embedding", strata = 1024).collect()
     assert(pidStrat.map(_.toSeq).toSeq == pid.map(_.toSeq).toSeq)
   }
+
+  test("cosineNearDupsAuto: measured gate reroutes a background-tail " +
+    "threshold to the cell-bounded operator, bands above it; planted " +
+    "exact dups survive both routes") {
+    // deterministic corpus: 300 seeded gaussian 64-dim vectors (background
+    // cosine ~N(0, 1/8): p99 ≈ 0.29) + 5 EXACT duplicate pairs — an exact
+    // dup shares every band key and every kmeans cell, so both routes must
+    // find it regardless of plane draws
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 300).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = (0 until 5).map(j => (1000L + j, base(j)._2))
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+
+    val bg = Similarity.measuredBgSim(corpus, "vec_id", "embedding", 0.95)
+    info(f"measured bg: mean=${bg.mean}%.3f p99=${bg.p99}%.3f " +
+      f"frac>=0.95=${bg.fracAtOrAbove}%.5f over ${bg.nPairs} pairs")
+    assert(bg.nPairs > 10000 && math.abs(bg.mean) < 0.1 &&
+      bg.p99 > 0.15 && bg.p99 < 0.45, "sampled background must look gaussian")
+
+    // threshold INSIDE the background tail -> cell-bounded reroute
+    val (cellOut, rerouted) = Similarity.cosineNearDupsAutoWithPath(
+      corpus, "vec_id", "embedding", threshold = 0.2)
+    assert(rerouted, "threshold 0.2 <= p99+margin must reroute to cells")
+    // threshold far ABOVE the tail -> banded route
+    val (bandOut, rerouted2) = Similarity.cosineNearDupsAutoWithPath(
+      corpus, "vec_id", "embedding", threshold = 0.95)
+    assert(!rerouted2, "threshold 0.95 must stay on the banded route")
+
+    val planted = (0 until 5).map(j => (j.toLong, 1000L + j)).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bandPairs = pairs(bandOut)
+    val cellPairs = pairs(cellOut)
+    planted.foreach { p =>
+      assert(bandPairs.get(p).contains(1.0), s"banded route must find $p")
+      assert(cellPairs.get(p).contains(1.0), s"cell route must find $p")
+    }
+    // every emitted pair is exact-verified at or above its threshold
+    assert(bandPairs.values.forall(_ >= 0.95))
+    assert(cellPairs.values.forall(_ >= 0.2))
+    // and each route's output is a subset of the brute-force truth
+    val brute = pairs(Similarity.cosineNearDupsFromCandidates(
+      corpus.select($"vec_id".as("id_a")).crossJoin(
+        corpus.select($"vec_id".as("id_b"))).where($"id_a" < $"id_b"),
+      corpus, "vec_id", "embedding", 0.2))
+    assert(cellPairs.keySet.subsetOf(brute.keySet))
+    assert(bandPairs.keySet.subsetOf(brute.keySet))
+  }
+
+  test("srpPlan multiProbe: fewer bands at design recall, and the probed " +
+    "candidate path holds usable recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf())
+    val n = emb.count()
+    val (bits, bandsMp) = Similarity.srpPlan(n, 0.45, 0.9, multiProbe = true)
+    val (_, bandsNo) = Similarity.srpPlan(n, 0.45, 0.9)
+    assert(bandsMp < bandsNo,
+      s"multi-probe must need fewer bands ($bandsMp vs $bandsNo)")
+    val q = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+    // lshCandidates multi-probes the query side -- the shape srpPlan's
+    // multiProbe=true prices; run it at the plan's own sizing
+    val approx = Similarity.rerankTopK(
+      Similarity.lshCandidates(q, emb, "vec_id", "embedding",
+        numPlanes = bits * bandsMp, bands = bandsMp),
+      q, emb, "vec_id", "embedding", 10)
+    val recall = Similarity.recallAtK(approx, exact)
+      .agg(avg($"recall")).head().getDouble(0)
+    info(f"multiProbe-sized probe-path recall@10 = $recall%.2f " +
+      s"($bandsMp bands x $bits bits)")
+    assert(recall > 0.5, f"probe-path recall $recall%.2f too low")
+  }
 }
