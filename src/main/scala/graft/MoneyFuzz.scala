@@ -36,9 +36,13 @@ import scala.util.Random
   *
   * Usage:
   * {{{
-  * sbt "runMain graft.MoneyFuzz <sfDir> <outDir> [rule|naive] [nCases]"
+  * sbt "runMain graft.MoneyFuzz <sfDir> <outDir> [rule|naive|avgthr] [nCases]"
   * python3 scripts/check.py <sfDir> <outDir>
   * }}}
+  *
+  * A third mode `avgthr` ([[avgThrCases]]) watches the q22
+  * avg-threshold knife edge — membership decided by a double `avg()`
+  * comparison while output sums stay rule-exact.
   *
   * This is a test harness, not an operator: the graded library surface
   * is unchanged.
@@ -47,8 +51,83 @@ object MoneyFuzz {
 
   final case class Case(name: String, sql: String)
 
+  /** `avgthr` mode (r15, VERDICT r14 optional #8): the q22 class — a
+    * row/group's MEMBERSHIP decided by comparing a raw double measure
+    * against an `avg()`-derived double threshold (global or
+    * correlated-per-group scalar subquery), while the OUTPUT money sums
+    * stay rule-spelled exact. The caveat documented at the q22 query
+    * (`TpchQueries.q22Sql` scaladoc) is that a cross-engine flip needs
+    * a measure within one ulp of the order-dependent float mean — a
+    * measure-zero knife edge. These shapes make that argument
+    * fuzzer-watched instead of just argued: any engine pair whose avg
+    * ulp-drift ever lands ON a measure value flips a row into/out of a
+    * group and fails the exact `v_mod`/`n_rows` compare.
+    */
+  def avgThrCases(n: Int, seed: Long = 43L): Seq[Case] = {
+    val rng = new Random(seed)
+    (0 until n).map { i =>
+      val chain = 1 + rng.nextInt(2) // disc, disc×tax
+      val dblChain = chain match {
+        case 1 => "l_extendedprice * (1 - l_discount)"
+        case _ => "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+      }
+      val cents = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+      val discH = "CAST(round(l_discount * 100, 0) AS BIGINT)"
+      val taxH = "CAST(round(l_tax * 100, 0) AS BIGINT)"
+      val units = chain match {
+        case 1 => s"CAST($cents * (100 - $discH) AS DECIMAL(38,0))"
+        case _ => s"CAST($cents * (100 - $discH) * (100 + $taxH)" +
+          " AS DECIMAL(38,0))"
+      }
+      val (groupSel, groupBy) = rng.nextInt(4) match {
+        case 0 => (Seq("l_returnflag"), Seq("l_returnflag"))
+        case 1 => (Seq("CAST(l_suppkey % 10 AS BIGINT) AS g1"), Seq("g1"))
+        case 2 => (Seq("CAST(l_orderkey % 97 AS BIGINT) AS g1"), Seq("g1"))
+        case 3 => (Nil, Nil)
+      }
+      val factor = Seq("0.05", "0.09", "0.5", "1.0", "1.5")(rng.nextInt(5))
+      // the q22 spelling: the threshold avg over a SLICE, plain double;
+      // %T% marks the alias slot (d2. inside the correlated subquery,
+      // empty in the global form — keeps inner-scope binding explicit)
+      val slice: Option[String] = rng.nextInt(3) match {
+        case 0 => None
+        case 1 => Some(s"%T%l_partkey % ${3 + rng.nextInt(5)} = 0")
+        case 2 => Some("%T%l_discount > 0.02")
+      }
+      // ~40% correlated (per-key avg, q22's exact shape) when grouped
+      val correlated = groupBy.nonEmpty && rng.nextInt(10) < 4
+      val corrKey = if (groupBy == Seq("l_returnflag")) "l_returnflag"
+        else if (groupSel.headOption.exists(_.contains("l_suppkey")))
+          "l_suppkey % 10" else "l_orderkey % 97"
+      val thr =
+        if (correlated)
+          s"$factor * (SELECT avg(d2.d) FROM t d2 WHERE d2.k = t.k" +
+            slice.map(p => " AND " + p.replace("%T%", "d2.")).getOrElse("") +
+            ")"
+        else
+          s"$factor * (SELECT avg(d) FROM t" +
+            slice.map(p => " WHERE " + p.replace("%T%", "")).getOrElse("") +
+            ")"
+      val sel = (groupSel ++ Seq(
+        "CAST(sum(u) % 999999937 AS BIGINT) AS v_mod",
+        "count(*) AS n_rows")).mkString(",\n  ")
+      val gb = if (groupBy.nonEmpty)
+        s"\nGROUP BY ${groupBy.mkString(", ")}" else ""
+      val sql =
+        s"""WITH t AS (SELECT l_returnflag, l_orderkey, l_partkey,
+           |  l_suppkey, l_discount, ($corrKey) AS k,
+           |  $units AS u, $dblChain AS d FROM lineitem)
+           |SELECT
+           |  $sel
+           |FROM t
+           |WHERE d > $thr$gb""".stripMargin
+      Case(f"avgthr_$i%03d", sql)
+    }
+  }
+
   /** Deterministic case set: identical for a given (seed, n, mode). */
   def cases(n: Int, mode: String, seed: Long = 42L): Seq[Case] = {
+    if (mode == "avgthr") return avgThrCases(n)
     val rng = new Random(seed)
     (0 until n).map { i =>
       // ---- random shape ------------------------------------------------
@@ -186,7 +265,8 @@ object MoneyFuzz {
     val outDir = args(1)
     val mode = if (args.length > 2) args(2) else "rule"
     val nCases = if (args.length > 3) args(3).toInt else 200
-    require(mode == "rule" || mode == "naive", s"bad mode $mode")
+    require(mode == "rule" || mode == "naive" || mode == "avgthr",
+      s"bad mode $mode")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

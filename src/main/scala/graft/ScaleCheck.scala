@@ -983,7 +983,7 @@ object ScaleCheckGates {
       println(f"cosine_auto_gate             n=$n bgMean=${bg.mean}%.4f " +
         f"bgP99=${bg.p99}%.4f frac>=0.4=${bg.fracAtOrAbove}%.6f " +
         f"estOutPerRow=$estOutPerRow%.2f " +
-        s"reroutes=${0.4 <= bg.p99 + 0.05 || estOutPerRow > 64.0}")
+        s"reroutes=${0.4 <= bg.p99 + 0.05 || estOutPerRow > 32.0}")
     }
     time("cosine_auto_exec") {
       val (out, rerouted) = graft.similarity.Similarity

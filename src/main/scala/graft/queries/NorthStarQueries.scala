@@ -1483,7 +1483,14 @@ object NorthStarQueries {
       Multimodal.extractPerceptualFeatures(s, media).toDF()
         .select(col("media_id"), col("features"))
         .write.mode("overwrite").parquet(OracleAux.dir(dir, "mm_feats"))
+      // repartition off the aux read: a feature table this narrow packs
+      // into ONE input split (16 floats/row — 500k sf10 rows are 13 MB
+      // of parquet), which would serialize the whole signature+band
+      // pipeline into a single task (measured: a 25-min one-core
+      // straggler at sf10; at real scale the splits come for free —
+      // this is the small-file artifact, not a plan property)
       val f = s.read.parquet(OracleAux.dir(dir, "mm_feats"))
+        .repartition(s.sparkContext.defaultParallelism)
       // srpPlan sizes the banding per corpus, from the MEASURED
       // background cosine of this feature space (r15 — block-hash
       // features sit near 0.70 where an embedding default would assume

@@ -506,7 +506,7 @@ object Similarity {
   def cosineNearDupsAuto(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, recall: Double = 0.95,
                          targetBucket: Int = 8, bgMargin: Double = 0.05,
-                         maxOutputPerRow: Double = 64.0,
+                         maxOutputPerRow: Double = 32.0,
                          sampleN: Int = 256): DataFrame =
     cosineNearDupsAutoWithPath(corpus, idCol, vecCol, threshold, recall,
       targetBucket, bgMargin, maxOutputPerRow, sampleN)._1
@@ -518,7 +518,7 @@ object Similarity {
   private[graft] def cosineNearDupsAutoWithPath(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
       recall: Double = 0.95, targetBucket: Int = 8, bgMargin: Double = 0.05,
-      maxOutputPerRow: Double = 64.0, sampleN: Int = 256)
+      maxOutputPerRow: Double = 32.0, sampleN: Int = 256)
       : (DataFrame, Boolean) = {
     require(threshold > 0.0 && threshold <= 1.0)
     val n = corpus.count()
