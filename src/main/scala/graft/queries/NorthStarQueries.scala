@@ -1479,7 +1479,12 @@ object NorthStarQueries {
     // boundary + hash-dependent banding), the oracle re-scores the
     // exact stage from them — the sim_cosine_neardups contract
     "multimodal_neardups" -> ((s, dir) => {
+      // repartition before the decode boundary: a single-file fixture
+      // reads as ONE split (78 MB at sf10), serializing 500k payload
+      // decodes onto one core — the same small-file artifact as the
+      // feature read below; a real media corpus arrives in many splits
       val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism)
       Multimodal.extractPerceptualFeatures(s, media).toDF()
         .select(col("media_id"), col("features"))
         .write.mode("overwrite").parquet(OracleAux.dir(dir, "mm_feats"))
@@ -1497,10 +1502,18 @@ object NorthStarQueries {
       // ~0.3 and under-bit the keys exponentially); the in-stage
       // sketch cut in cosineNearDupCandidates keeps the band join's
       // raw collisions off the exchange (the r14 sf10 spill)
+      // targetBucket=64, not 8: an exploded band row is SORTED through
+      // the join exchange (~64 B spilled twice) while a join-output
+      // collision row is STREAMED through the in-stage sketch cut
+      // (~20 ns, never touches disk) — so buckets of ~64 trade ~4× more
+      // streamed rows for ~2× fewer sorted rows. Measured at sf10: the
+      // 8-bucket plan (38 bits × 222 bands) spilled >68 GB in the
+      // explode sorts; the 64-bucket plan (~31 bits × ~105 bands) sorts
+      // ~3.4 GB/side and finishes inside the envelope
       val bg = Similarity.measuredBgSim(f, "media_id", "features",
         threshold = 0.95)
       val (bits, bands) = Similarity.srpPlan(f.count(), 0.95, 0.98,
-        targetBucket = 8, bgSim = math.min(0.95, math.max(0.0, bg.mean)))
+        targetBucket = 64, bgSim = math.min(0.95, math.max(0.0, bg.mean)))
       Similarity.cosineNearDupCandidates(f, "media_id", "features",
           threshold = 0.95, numPlanes = bits * bands, bands = bands)
         .write.mode("overwrite").parquet(OracleAux.dir(dir, "mm_cands"))

@@ -505,7 +505,7 @@ object Similarity {
     */
   def cosineNearDupsAuto(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, recall: Double = 0.95,
-                         targetBucket: Int = 8, bgMargin: Double = 0.05,
+                         targetBucket: Int = 64, bgMargin: Double = 0.05,
                          maxOutputPerRow: Double = 32.0,
                          sampleN: Int = 256): DataFrame =
     cosineNearDupsAutoWithPath(corpus, idCol, vecCol, threshold, recall,
@@ -517,7 +517,7 @@ object Similarity {
     */
   private[graft] def cosineNearDupsAutoWithPath(
       corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      recall: Double = 0.95, targetBucket: Int = 8, bgMargin: Double = 0.05,
+      recall: Double = 0.95, targetBucket: Int = 64, bgMargin: Double = 0.05,
       maxOutputPerRow: Double = 32.0, sampleN: Int = 256)
       : (DataFrame, Boolean) = {
     require(threshold > 0.0 && threshold <= 1.0)
