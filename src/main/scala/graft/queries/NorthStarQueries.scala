@@ -1472,12 +1472,13 @@ object NorthStarQueries {
     }),
 
     // payload near-dup (perceptual-hash style): block-hash histogram
-    // features through the decode boundary, then the SRP-banded cosine
-    // candidate join + exact verify — never all-pairs. Text-as-bytes
-    // payloads (asMedia) carry the corpus' planted near-dups; features
-    // and candidates materialize to the aux dir (the JVM decode
-    // boundary + hash-dependent banding), the oracle re-scores the
-    // exact stage from them — the sim_cosine_neardups contract
+    // features through the decode boundary, then the MEASURED-GATE
+    // near-dup operator (cosineNearDupsAutoWithPath) — never all-pairs.
+    // Text-as-bytes payloads (asMedia) carry the corpus' planted
+    // near-dups; features and the candidate pair list materialize to
+    // the aux dir (the JVM decode boundary + hash/centroid-dependent
+    // candidates), the oracle re-scores the exact stage from them —
+    // the sim_cosine_neardups contract
     "multimodal_neardups" -> ((s, dir) => {
       // repartition before the decode boundary: a single-file fixture
       // reads as ONE split (78 MB at sf10), serializing 500k payload
@@ -1496,26 +1497,25 @@ object NorthStarQueries {
       // this is the small-file artifact, not a plan property)
       val f = s.read.parquet(OracleAux.dir(dir, "mm_feats"))
         .repartition(s.sparkContext.defaultParallelism)
-      // srpPlan sizes the banding per corpus, from the MEASURED
-      // background cosine of this feature space (r15 — block-hash
-      // features sit near 0.70 where an embedding default would assume
-      // ~0.3 and under-bit the keys exponentially); the in-stage
-      // sketch cut in cosineNearDupCandidates keeps the band join's
-      // raw collisions off the exchange (the r14 sf10 spill)
-      // targetBucket=64, not 8: an exploded band row is SORTED through
-      // the join exchange (~64 B spilled twice) while a join-output
-      // collision row is STREAMED through the in-stage sketch cut
-      // (~20 ns, never touches disk) — so buckets of ~64 trade ~4× more
-      // streamed rows for ~2× fewer sorted rows. Measured at sf10: the
-      // 8-bucket plan (38 bits × 222 bands) spilled >68 GB in the
-      // explode sorts; the 64-bucket plan (~31 bits × ~105 bands) sorts
-      // ~3.4 GB/side and finishes inside the envelope
-      val bg = Similarity.measuredBgSim(f, "media_id", "features",
-        threshold = 0.95)
-      val (bits, bands) = Similarity.srpPlan(f.count(), 0.95, 0.98,
-        targetBucket = 64, bgSim = math.min(0.95, math.max(0.0, bg.mean)))
-      Similarity.cosineNearDupCandidates(f, "media_id", "features",
-          threshold = 0.95, numPlanes = bits * bands, bands = bands)
+      // MEASURED-gate routing (r15): byte-histogram features of text
+      // are a DEGENERATE space — every document shares the corpus'
+      // byte-frequency profile, so the measured background cosine is
+      // mean ≈0.76 with p99 ≈0.93 and frac(≥0.95) ≈1.1e-3. Threshold
+      // 0.95 therefore sits INSIDE the background tail: the true
+      // output is ~1.1e-3 · n(n−1)/2 pairs (quadratic — ~135M at the
+      // 500k-row sf10 corpus) and the S-curve gap that banding prunes
+      // against is 0.95-vs-0.93, where the LSH exponent ρ→1. Measured
+      // at sf10: the bg-mean-sized banding (36 bits × 180 bands)
+      // spilled >50 GB — band collisions ARE the background, and the
+      // 126-bit sketch cut (rejects only below ~0.84) passes most of
+      // them. No banding (multi-probe included) survives this regime;
+      // the auto gate reroutes to the cell-bounded SemDeDup-shape
+      // operator (work Σ|cell|², cells ∝ n), the plan that holds at
+      // 100 TB. The pair list (exact-scored ≥ t on either route)
+      // materializes as the candidate set the oracle re-scores.
+      Similarity.cosineNearDupsAuto(f, "media_id", "features",
+          threshold = 0.95, recall = 0.98)
+        .select(col("id_a"), col("id_b"))
         .write.mode("overwrite").parquet(OracleAux.dir(dir, "mm_cands"))
       Similarity.cosineNearDupsFromCandidates(
         s.read.parquet(OracleAux.dir(dir, "mm_cands")),

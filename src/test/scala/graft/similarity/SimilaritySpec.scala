@@ -719,6 +719,45 @@ class SimilaritySpec extends SparkSpec {
     assert(bandPairs.keySet.subsetOf(brute.keySet))
   }
 
+  test("cosineNearDupsAuto: a DEGENERATE high-background space (byte-" +
+    "histogram features, bg p99 near the threshold) reroutes to cells " +
+    "and still finds planted exact dups") {
+    // histogram-like corpus: all-positive 16-dim vectors around a shared
+    // profile — the multimodal block-hash regime (measured sf10: bg mean
+    // 0.76, p99 0.93, frac>=0.95 = 1.1e-3). Threshold 0.95 sits inside
+    // the background tail, so the measured gate MUST reroute: banding's
+    // S-curve gap is 0.95-vs-p99 where rho -> 1 (the r15 measured >50 GB
+    // spill), and no band/probe sizing can prune output that IS the
+    // background.
+    val rnd = new scala.util.Random(7)
+    val profile = Array.fill(16)(0.5 + rnd.nextDouble())
+    val base = (0 until 400).map { i =>
+      (i.toLong, profile.map(p =>
+        (p * (0.55 + 0.9 * rnd.nextDouble())).toFloat))
+    }
+    val dups = (0 until 5).map(j => (2000L + j, base(j)._2))
+    val corpus = (base ++ dups).toDF("media_id", "features")
+
+    val bg = Similarity.measuredBgSim(corpus, "media_id", "features", 0.95)
+    info(f"degenerate bg: mean=${bg.mean}%.3f p99=${bg.p99}%.3f " +
+      f"frac>=0.95=${bg.fracAtOrAbove}%.5f")
+    assert(bg.mean > 0.6 && bg.p99 > 0.85,
+      "fixture must reproduce the high-background histogram regime")
+
+    val (out, rerouted) = Similarity.cosineNearDupsAutoWithPath(
+      corpus, "media_id", "features", threshold = 0.95)
+    assert(rerouted,
+      "threshold inside the measured background tail must reroute to cells")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (0 until 5).foreach { j =>
+      val p = (j.toLong, 2000L + j)
+      assert(got.get(p).contains(1.0),
+        s"cell route must find planted exact dup $p")
+    }
+    assert(got.values.forall(_ >= 0.95), "every pair exact-verified")
+  }
+
   test("srpPlan multiProbe: fewer bands at design recall, and the probed " +
     "candidate path holds usable recall vs brute force") {
     val emb = Tables.embeddings(spark, sf())
