@@ -218,6 +218,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(repart(2L) == out(2L)._2, "micro-bit decimal sums are order-invariant")
   }
 
+  test("charEntropy map-only expression == the exploded (doc,char) " +
+    "reference plan, bit-exact, on the real corpus (incl. multi-byte)") {
+    // the r15 rewrite folds the char histogram into a codegen'd
+    // expression; the pre-r15 exploded plan stays the DuckDB oracle's
+    // formulation, so the two spellings must agree term-for-term
+    val docs = graft.model.Tables.documents(spark, sf())
+      .select("doc_id", "text")
+      .union(Seq((900001L, "héllo wörld ₤₤ héllo"),
+        (900002L, "aé" * 50)).toDF("doc_id", "text"))
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val chars = docs.where(length($"text") > 0)
+      .select($"doc_id", length($"text").as("__len"),
+        explode(sequence(lit(1), length($"text"))).as("__i"),
+        $"text".as("__txt"))
+      .select($"doc_id", $"__len", $"__txt".substr($"__i", lit(1)).as("__ch"))
+    val p = $"__cnt" / $"__len"
+    val want = chars.groupBy($"doc_id", $"__len", $"__ch")
+      .agg(count(lit(1)).as("__cnt"))
+      .select($"doc_id", $"__len",
+        round(-p * log2(p) * 1e6, 0)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("e6"))
+      .groupBy($"doc_id", $"__len")
+      .agg(round(sum($"e6").cast("double") / 1e6, 6).as("entropy_bits"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getDouble(2)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, v) =>
+      assert(v == want(id), s"doc $id: expression $v != reference ${want(id)}")
+    }
+  }
+
   test("dsirLogRatio weights target-like docs above off-target docs, and " +
     "weights are partitioning-invariant") {
     // target slice: English-looking bigram statistics; raw adds noise docs
