@@ -16,50 +16,106 @@ import org.apache.spark.sql.types._
   * cast-everything-to-string column, because string formatting of
   * doubles/timestamps is exactly where cross-engine comparison breaks.
   *
-  * Scale shape: ONE pass building an array-of-structs aggregate row,
-  * exploded to per-column rows. The exact multi-column
-  * `count(DISTINCT)` plans through Spark's Expand (input ×(cols+1)) —
-  * the honest cost of exact cardinalities. `approxDistinct = true` IS
-  * the 100 TB mode: `approx_count_distinct` (HyperLogLog++, Heule et
-  * al. 2013) replaces every distinct with a fixed-size sketch, the
-  * Expand disappears (ProfilerSpec pins the plan), and the whole
-  * profile is one expand-free partial-agg pass whatever the column
-  * count — at the documented ~`rsd` relative cardinality error, all
-  * other columns still exact.
+  * Scale shape: the null/min/max/count channels are ONE partial-agg
+  * pass building an array-of-structs aggregate row, exploded to
+  * per-column rows. Exact cardinalities do NOT plan through Spark's
+  * Expand (the multi-distinct rewrite: input ×(cols+1) rows carrying
+  * the FULL row width into a hash agg keyed on every profiled column
+  * at once — measured 352 s on a 6M×11 lineitem and 484 s at 60M, a
+  * 2000× cliff from the 600k-row scale when the wide map outgrew
+  * memory). Instead each row explodes into (col_id, typed value
+  * channel) POSTINGS — one narrow struct per column, injective per
+  * type (longs exact, doubles raw with SQL's −0.0/NaN grouping,
+  * decimals/dates/etc. as canonical strings, timestamps as epoch-µs)
+  * — and distinct-reduces per column through a map-side partial agg:
+  * shuffle volume is Σ per-column cardinalities, never input
+  * ×(cols+1), and no shuffled row is wider than one value. The two
+  * 11-row result frames broadcast-join back together.
+  * `approxDistinct = true` remains the 100 TB mode:
+  * `approx_count_distinct` (HyperLogLog++, Heule et al. 2013)
+  * replaces every distinct with a fixed-size sketch and the whole
+  * profile is ONE expand-free partial-agg pass whatever the column
+  * count — ~`rsd` relative cardinality error, all other columns
+  * still exact. ProfilerSpec pins both plans Expand-free.
   */
 object Profiler {
 
   def profileTable(df: DataFrame, approxDistinct: Boolean = false,
                    rsd: Double = 0.05): DataFrame = {
-    val distinctOf: Column => Column =
-      if (approxDistinct) approx_count_distinct(_, rsd)
-      else countDistinct(_)
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
-    val perCol: Seq[Column] = df.schema.fields.toSeq.map { f =>
-      val c = col(f.name)
-      val (mnN, mxN, mnS, mxS) = f.dataType match {
-        case _: NumericType =>
-          (round(min(c).cast("double"), 6), round(max(c).cast("double"), 6),
-            nullS, nullS)
-        case _: TimestampType | _: TimestampNTZType =>
-          (min(unix_micros(c.cast("timestamp"))).cast("double"),
-            max(unix_micros(c.cast("timestamp"))).cast("double"),
-            nullS, nullS)
-        case _: StringType =>
-          (nullD, nullD, min(c), max(c))
-        case _ => (nullD, nullD, nullS, nullS)
+    def summary(distinctOf: Option[Column => Column]): DataFrame = {
+      val perCol: Seq[Column] = df.schema.fields.toSeq.map { f =>
+        val c = col(f.name)
+        val (mnN, mxN, mnS, mxS) = f.dataType match {
+          case _: NumericType =>
+            (round(min(c).cast("double"), 6), round(max(c).cast("double"), 6),
+              nullS, nullS)
+          case _: TimestampType | _: TimestampNTZType =>
+            (min(unix_micros(c.cast("timestamp"))).cast("double"),
+              max(unix_micros(c.cast("timestamp"))).cast("double"),
+              nullS, nullS)
+          case _: StringType =>
+            (nullD, nullD, min(c), max(c))
+          case _ => (nullD, nullD, nullS, nullS)
+        }
+        struct(lit(f.name).as("col_name") +:
+          count(lit(1)).as("n_rows") +:
+          sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls") +:
+          (distinctOf.map(d => Seq(d(c).as("n_distinct")))
+            .getOrElse(Seq.empty) ++
+            Seq(mnN.as("min_num"), mxN.as("max_num"),
+              mnS.as("min_str"), mxS.as("max_str"))): _*)
       }
-      struct(lit(f.name).as("col_name"),
-        count(lit(1)).as("n_rows"),
-        sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
-        distinctOf(c).as("n_distinct"),
-        mnN.as("min_num"), mxN.as("max_num"),
-        mnS.as("min_str"), mxS.as("max_str"))
+      df.agg(array(perCol: _*).as("__p"))
+        .select(explode(col("__p")).as("__s"))
+        .select(col("__s.*"))
     }
-    df.agg(array(perCol: _*).as("__p"))
-      .select(explode(col("__p")).as("__s"))
-      .select(col("__s.*"))
+    if (approxDistinct)
+      return summary(Some(approx_count_distinct(_, rsd)))
+    // exact mode: narrow typed postings, per-column distinct reduce.
+    // Channel choice must be INJECTIVE per column so distinct counts
+    // are exact: integral types → long; float/double → double (group
+    // semantics fold −0.0/NaN exactly like count(DISTINCT)); timestamps
+    // → epoch-µs long; everything else (decimals, dates, booleans,
+    // binary) → Spark's canonical string form, injective for atomic
+    // types at fixed scale. Null raw values emit no posting —
+    // count(DISTINCT) excludes nulls.
+    val nullL = lit(null).cast("long")
+    val postings: Seq[Column] = df.schema.fields.toSeq.zipWithIndex.map {
+      case (f, i) =>
+        val c = col(f.name)
+        val (dv, lv, sv) = f.dataType match {
+          case _: DoubleType | _: FloatType =>
+            (c.cast("double"), nullL, nullS)
+          case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+            (nullD, c.cast("long"), nullS)
+          case _: TimestampType | _: TimestampNTZType =>
+            (nullD, unix_micros(c.cast("timestamp")), nullS)
+          case _: StringType => (nullD, nullL, c)
+          case _ => (nullD, nullL, c.cast("string"))
+        }
+        struct(lit(i).as("__ci"), dv.as("__d"), lv.as("__l"), sv.as("__s"))
+    }
+    val names = df.schema.fields.toSeq.zipWithIndex
+      .map { case (f, i) => (i, f.name) }
+    val nameOf = names.foldLeft(lit(null).cast("string")) {
+      case (acc, (i, n)) => when(col("__ci") === i, lit(n)).otherwise(acc)
+    }
+    val dcounts = df
+      .select(explode(array(postings: _*)).as("__v"))
+      .select(col("__v.*"))
+      .where(col("__d").isNotNull || col("__l").isNotNull ||
+        col("__s").isNotNull)
+      .distinct()
+      .groupBy(col("__ci"))
+      .agg(count(lit(1)).as("__nd"))
+      .select(nameOf.as("col_name"), col("__nd"))
+    summary(None)
+      .join(broadcast(dcounts), Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("__nd"), lit(0L)).as("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
   }
 
   /** Blocked fuzzy self-match (entity-resolution shape: a blocking key

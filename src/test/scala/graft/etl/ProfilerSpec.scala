@@ -45,18 +45,30 @@ class ProfilerSpec extends SparkSpec {
     assert(r.getDouble(4) == 5e6 && r.getDouble(5) == 1e7)
   }
 
-  test("profileTable approx mode: no Expand in the plan, cardinalities " +
+  test("profileTable: no Expand in EITHER plan, approx cardinalities " +
     "within the HLL error envelope, everything else exact") {
     val df = spark.range(20000).select(col("id"),
       (col("id") % 1000).as("k"),
       concat(lit("u"), col("id") % 3000).as("s"))
     val exact = Profiler.profileTable(df)
     val approx = Profiler.profileTable(df, approxDistinct = true)
-    // the Expand (input ×(cols+1)) is exactly what approx mode removes
-    assert(exact.queryExecution.executedPlan.toString.contains("Expand"),
-      "exact multi-distinct must plan through Expand (positive control)")
+    // Spark's multi-distinct Expand (input ×(cols+1), full-width rows,
+    // one wide agg key) is exactly what BOTH modes must avoid: approx
+    // via HLL sketches, exact via the narrow typed-posting explode
+    // (r15 — the Expand plan measured a 2000× cliff at the 6M-row
+    // scale once its wide hash map outgrew memory)
+    assert(!exact.queryExecution.executedPlan.toString.contains("Expand"),
+      "exact mode must distinct-reduce narrow postings, never Expand")
     assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
       "approx mode must be one expand-free pass")
+    // and the posting distinct must agree with Spark's own countDistinct
+    val truth = df.select(
+      org.apache.spark.sql.functions.countDistinct(col("id")),
+      org.apache.spark.sql.functions.countDistinct(col("k")),
+      org.apache.spark.sql.functions.countDistinct(col("s"))).head()
+    val em = exact.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(em("id") == truth.getLong(0) && em("k") == truth.getLong(1) &&
+      em("s") == truth.getLong(2), s"exact distincts drifted: $em vs $truth")
     val e = exact.collect().map(r => r.getString(0) ->
       (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     val a = approx.collect().map(r => r.getString(0) ->
