@@ -632,14 +632,19 @@ class PlanAuditSpec extends SparkSpec {
       "top-25 by score must be a bounded heap\n" + p)
   }
 
-  test("etl_profile_table: ONE corpus scan feeding the struct-array " +
-    "aggregate; Expand is the documented exact-distinct cost") {
+  test("etl_profile_table: no Expand anywhere (r15 narrow-posting " +
+    "exact distinct); summary+distinct frames broadcast-join") {
     val p = plan("etl_profile_table")
-    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size == 1,
-      "the profiler must read the table exactly once\n" + p)
-    assert(p.contains("Expand"),
-      "exact multi-column distinct plans through Expand (documented; " +
-        "approx_count_distinct is the 100 TB swap)\n" + p)
-    assert(!p.contains("Join"), "profile is a pure aggregation\n" + p)
+    assert(!p.contains("Expand"),
+      "exact distincts must come from the narrow typed-posting " +
+        "explode, never Spark's multi-distinct Expand (input ×(cols+1) " +
+        "full-width rows — the measured 2000× cliff at 6M rows; " +
+        "approx_count_distinct remains the 100 TB default)\n" + p)
+    assert(p.contains("Generate"),
+      "the posting explode is the distinct pass's only row expansion\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the two 11-row result frames must broadcast-join\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffled join between column-count-sized frames\n" + p)
   }
 }
