@@ -1727,7 +1727,10 @@ object NorthStarQueries {
       |  CAST(SUM(wt.nt) AS BIGINT) AS n_tokens,
       |  CAST(COUNT(*) AS BIGINT) AS n_words,
       |  CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
-      |  round(CAST(SUM(length(d.w)) AS DOUBLE) / SUM(wt.nt), 6)
+      |  -- boundary-exact ratio (see text_unigram_logprob): micro-units
+      |  -- of n_chars/n_tokens rounded half-away in integer arithmetic
+      |  CAST((2 * CAST(SUM(length(d.w)) AS HUGEINT) * 1000000 + SUM(wt.nt))
+      |       // (2 * SUM(wt.nt)) AS DOUBLE) / 1000000.0
       |    AS chars_per_token
       |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
       |      FROM documents) d
@@ -2538,7 +2541,12 @@ object NorthStarQueries {
         |         AS DECIMAL(18,0)) AS lp6
         |  FROM v)
         |SELECT doc_id, count(*) AS n_toks,
-        |  round(CAST(sum(lp6) AS DOUBLE) / (1000000.0 * count(*)), 6) AS avg_logprob
+        |  -- boundary-exact avg (r15 sf10 census: Σ/n lands ON .5 micro
+        |  -- boundaries — 1200/500k docs — where the engines' float
+        |  -- round(x, 6) legitimately disagree): round-half-away in
+        |  -- integer arithmetic, one final double division
+        |  -CAST((-2 * CAST(sum(lp6) AS HUGEINT) + count(*))
+        |        // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_logprob
         |FROM toks JOIN lp USING (tok)
         |GROUP BY doc_id""".stripMargin,
 
@@ -2563,8 +2571,9 @@ object NorthStarQueries {
         |         AS DECIMAL(18,0)) AS lp6
         |  FROM cb JOIN ctx USING (w1))
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(sum(lp6) AS DOUBLE) / (1000000.0 * count(*)), 6)
-        |    AS avg_logprob
+        |  -- boundary-exact avg (see text_unigram_logprob)
+        |  -CAST((-2 * CAST(sum(lp6) AS HUGEINT) + count(*))
+        |        // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_logprob
         |FROM bg JOIN lp USING (bigram)
         |GROUP BY doc_id""".stripMargin,
 
@@ -2590,8 +2599,11 @@ object NorthStarQueries {
         |  FROM cb JOIN ctx USING (w1)),
         |sc AS (
         |  SELECT doc_id,
-        |    round(CAST(sum(lp6) AS DOUBLE) / (1000000.0 * count(*)), 6)
-        |      AS avg_logprob
+        |    -- boundary-exact avg (see text_unigram_logprob) — must
+        |    -- match text_bigram_logprob's spelling bit-for-bit, the
+        |    -- cutoffs quantile these scores
+        |    -CAST((-2 * CAST(sum(lp6) AS HUGEINT) + count(*))
+        |          // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_logprob
         |  FROM bg JOIN lp USING (bigram)
         |  GROUP BY doc_id),
         |cuts AS (
@@ -2713,8 +2725,9 @@ object NorthStarQueries {
         |    AS n_bi_backoffs,
         |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_uni_backoffs,
-        |  round(CAST(sum(lp6) AS DOUBLE) / (1000000.0 * count(*)), 6)
-        |    AS avg_logscore
+        |  -- boundary-exact avg (see text_unigram_logprob)
+        |  -CAST((-2 * CAST(sum(lp6) AS HUGEINT) + count(*))
+        |        // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_logscore
         |FROM sc GROUP BY doc_id""".stripMargin,
 
     // same window generation via list_slice over range(), same
@@ -3977,9 +3990,13 @@ object NorthStarQueries {
         |            i -> {'d': i - 1, 'v': embedding[i]})) AS u
         |        FROM embeddings)),
         |s AS (
-        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(xm) AS BIGINT) AS s1,
-        |    CAST(sum(xm * xm) AS BIGINT) AS s2
+        |  -- HUGEINT, not BIGINT (r15 sf10 census): n·s2 at 200k
+        |  -- vectors is ~6.3e20 — the same INT64 landmine the r14
+        |  -- sweep caught in sim_dim_correlation's moments (the Spark
+        |  -- side was already decimal(38,0)-exact)
+        |  SELECT dim, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(xm) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(xm AS HUGEINT) * xm) AS HUGEINT) AS s2
         |  FROM x GROUP BY 1),
         |v AS (SELECT *, n * s2 - s1 * s1 AS varnum FROM s)
         |SELECT x.vec_id, CAST(x.dim AS INTEGER) AS dim,

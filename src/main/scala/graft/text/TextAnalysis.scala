@@ -283,6 +283,38 @@ object TextAnalysis {
     * identical under any partitioning (and to the DuckDB oracle); ONE
     * double division at the end.
     */
+  /** `round(num / den, 6)` with the half-boundary decided in INTEGER
+    * arithmetic — the money-sum spelling rule extended to ratios (r15
+    * sf10 census finding): when the exact rational `num/den` lands ON a
+    * .5×10⁻⁶ boundary (synthetic corpora hit this constantly — 1200 of
+    * 500k docs in `text_unigram_logprob` at sf10: Σlp6/n = −8.1421415
+    * EXACTLY), Spark's `round(double, 6)` (BigDecimal HALF_UP on the
+    * shortest decimal form) and DuckDB's (multiply-round-divide through
+    * doubles) legitimately disagree on the same double. Spelling:
+    * z₆ = sign(num) · ((2·|num|·10⁶ + den) div (2·den)), emitted as the
+    * single double `z₆ / 10⁶` — round-half-away-from-zero computed
+    * exactly, no boundary left to the engines' float formatting. Both
+    * operands promote to decimal(38,0), so |num| up to ~10³⁰ is safe.
+    * The DuckDB twin is the same formula over HUGEINT (`//`).
+    * `den` must be positive (counts).
+    */
+  def exactRound6Ratio(num: Column, den: Column): Column = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val a = abs(num).cast(d38)
+    val b = den.cast(d38)
+    val zdiv = bridgeDiv(a * lit(2000000L) + b, b * lit(2L))
+    signum(num.cast("double")) * zdiv.cast("double") / lit(1e6)
+  }
+
+  /** Integral `div` on decimal columns (Spark's SQL `div` operator —
+    * exact floor-toward-zero on non-negative operands). */
+  private def bridgeDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    org.apache.spark.sql.graft.bridge.column(IntegralDivide(
+      org.apache.spark.sql.graft.bridge.expression(a),
+      org.apache.spark.sql.graft.bridge.expression(b)))
+  }
+
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -296,8 +328,11 @@ object TextAnalysis {
     toks.join(broadcast(model), "tok")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_toks"),
-        round(sum(col("lp6")).cast("double") /
-          (lit(1e6) * count(lit(1))), 6).as("avg_logprob"))
+        // Σlp6/n through [[exactRound6Ratio]]: micro-nats are already
+        // integers, so round(Σ/(1e6·n), 6) = rhau(Σ/n) micro-units —
+        // the r15 sf10 boundary finding (1200/500k docs flipped)
+        exactRound6Ratio(sum(col("lp6")), lit(1000000L) * count(lit(1)))
+          .as("avg_logprob"))
   }
 
   /** Bigram language-model quality score — [[unigramLogProb]] raised to
@@ -342,8 +377,9 @@ object TextAnalysis {
     bg.join(broadcast(model), "bigram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp6")).cast("double") /
-          (lit(1e6) * count(lit(1))), 6).as("avg_logprob"))
+        // boundary-exact avg (see [[exactRound6Ratio]])
+        exactRound6Ratio(sum(col("lp6")), lit(1000000L) * count(lit(1)))
+          .as("avg_logprob"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): label every
@@ -479,8 +515,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_positions"),
         sum(when(col("__lvl") === 1, 1L).otherwise(0L)).as("n_bi_backoffs"),
         sum(when(col("__lvl") === 2, 1L).otherwise(0L)).as("n_uni_backoffs"),
-        round(sum(col("lp6")).cast("double") /
-          (lit(1e6) * count(lit(1))), 6).as("avg_logscore"))
+        // boundary-exact avg (see [[exactRound6Ratio]])
+        exactRound6Ratio(sum(col("lp6")), lit(1000000L) * count(lit(1)))
+          .as("avg_logscore"))
   }
 
   /** Sequence packing — assign documents to fixed-token-budget training
@@ -1377,8 +1414,10 @@ object TextAnalysis {
       .agg(sum(col("__nt")).as("n_tokens"),
         count(lit(1)).as("n_words"),
         sum(length(col("w")).cast("long")).as("n_chars"))
+      // boundary-exact ratio (see [[exactRound6Ratio]] — this column
+      // was the second r15 sf10 census flip)
       .withColumn("chars_per_token",
-        round(col("n_chars").cast("double") / col("n_tokens"), 6))
+        exactRound6Ratio(col("n_chars"), col("n_tokens")))
   }
 
   /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
