@@ -27,6 +27,12 @@ def canon(df):
 def main(sf_dir, out_dir, preds_path=None):
     preds = json.load(open(preds_path)) if preds_path else {}
     con = duckdb.connect()
+    # out-of-core joins for decade-scale oracles: an in-memory DuckDB
+    # has no temp spill by default, so the sf10 tpch/tfidf oracles died
+    # on OOM mid-census (r15). A temp dir + an explicit memory ceiling
+    # makes them spill instead; harmless at sf0.01 (the driver's gate)
+    con.sql("SET temp_directory='/tmp/duckdb_check_tmp'")
+    con.sql("SET memory_limit='48GB'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         p = f"{sf_dir}/{t}.parquet"

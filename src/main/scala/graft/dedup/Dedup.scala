@@ -906,10 +906,11 @@ object Dedup {
                            maxPrefixPostings: Long = 2000000000L,
                            sketchK: Int = 64,
                            sketchMargin: Double = 0.15,
-                           maxCandidatePairs: Long = 2000000000L): DataFrame =
+                           maxCandidatePairs: Long = 2000000000L,
+                           aFilter: Column = lit(true)): DataFrame =
     containmentPairsAutoWithPath(df, idCol, textCol, shingleSize,
       threshold, maxDf, maxPrefixPostings, sketchK, sketchMargin,
-      maxCandidatePairs)._1
+      maxCandidatePairs, aFilter)._1
 
   /** [[containmentPairsAuto]] plus which path the gate chose
     * (`true` = sketch screen) — the observability hook the gate spec
@@ -919,7 +920,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, threshold: Double, maxDf: Long,
       maxPrefixPostings: Long, sketchK: Int, sketchMargin: Double,
-      maxCandidatePairs: Long = 2000000000L)
+      maxCandidatePairs: Long = 2000000000L,
+      aFilter: Column = lit(true))
       : (DataFrame, Boolean) = {
     require(threshold > 0.0 && threshold <= 1.0 && sketchK > 0)
     val prefixFrac = 1.0 - threshold
@@ -981,12 +983,21 @@ object Dedup {
         if (df2Opt.exists(_ <= CountVerifyFastPairs)) 0L
         else DefaultVerifyBroadcastBytes
       (containmentPairsInverted(df, idCol, textCol, shingleSize,
-        threshold, maxDf, maxVerifyBroadcastBytes = budget), false)
+        threshold, maxDf, aFilter, maxVerifyBroadcastBytes = budget), false)
     }
     else {
-      val screened = containmentSketchPairs(df, idCol, textCol,
+      // batch (aFilter) form on the sketch path: restrict the CONTAINED
+      // side before the exact re-verify — a semi-join on the filtered
+      // id set, skipped entirely for the trivially-true default
+      val trivialA = org.apache.spark.sql.graft.bridge.expression(aFilter)
+        .semanticEquals(
+          org.apache.spark.sql.graft.bridge.expression(lit(true)))
+      val screened0 = containmentSketchPairs(df, idCol, textCol,
           shingleSize, sketchK, math.max(0.0, threshold - sketchMargin))
         .select(col("id_a"), col("id_b"))
+      val screened = if (trivialA) screened0 else screened0.join(
+        df.where(aFilter).select(col(idCol).cast("long").as("id_a")),
+        Seq("id_a"), "left_semi")
       val withSh = df.select(col(idCol).cast("long").as("id"),
         shingles(graft.text.TextAnalysis.tokens(col(textCol)), shingleSize)
           .as("__sh"))

@@ -791,9 +791,13 @@ object NorthStarQueries {
     // the batch (excerpt-detection) mode — THE way to run containment
     // at corpus scale: the prefix side is a fixed query slice, the
     // corpus contributes one linear posting pass (×128-probed
-    // near-flat); output = the unrestricted join filtered to the batch
+    // near-flat); output = the unrestricted join filtered to the batch.
+    // Routed through the AUTO entry (r15): the measured Σdf² gate picks
+    // count-verify where it is measured-cheap (bench scale: 1.7 s vs
+    // the plan-stats broadcast route's 5.3 s) and the broadcast
+    // array-verify only in the mid-scale regime where IT is faster
     "dedup_containment_batch" -> ((s, dir) =>
-      Dedup.containmentPairsInverted(Tables.documents(s, dir), "doc_id",
+      Dedup.containmentPairsAuto(Tables.documents(s, dir), "doc_id",
         "text", shingleSize = 3, threshold = 0.5,
         aFilter = col("doc_id") % 2 === 1)),
 
