@@ -32,7 +32,17 @@ def main(sf_dir, out_dir, preds_path=None):
     # on OOM mid-census (r15). A temp dir + an explicit memory ceiling
     # makes them spill instead; harmless at sf0.01 (the driver's gate)
     con.sql("SET temp_directory='/tmp/duckdb_check_tmp'")
-    con.sql("SET memory_limit='48GB'")
+    # ceiling: env override, else ~70% of physical RAM (a fixed 48GB on
+    # a smaller box lets the OS OOM-killer fire before DuckDB spills —
+    # the opposite of the intent). 48GB was the sf10 census value.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if not mem:
+        try:
+            pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+            mem = f"{max(1, int(pages * 0.7 / (1 << 30)))}GB"
+        except (ValueError, OSError):
+            mem = "48GB"
+    con.sql(f"SET memory_limit='{mem}'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         p = f"{sf_dir}/{t}.parquet"

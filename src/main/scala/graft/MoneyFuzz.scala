@@ -36,7 +36,7 @@ import scala.util.Random
   *
   * Usage:
   * {{{
-  * sbt "runMain graft.MoneyFuzz <sfDir> <outDir> [rule|naive|avgthr] [nCases]"
+  * sbt "runMain graft.MoneyFuzz <sfDir> <outDir> [rule|naive|avgthr|ratio] [nCases]"
   * python3 scripts/check.py <sfDir> <outDir>
   * }}}
   *
@@ -49,7 +49,12 @@ import scala.util.Random
   */
 object MoneyFuzz {
 
-  final case class Case(name: String, sql: String)
+  /** `oracle` carries a per-engine DuckDB twin when the shared-text
+    * discipline can't hold (ratio mode: integral division is `div` on
+    * DECIMAL(38,0) in Spark, `//` on HUGEINT in DuckDB). None → the
+    * Spark text runs verbatim on both engines. */
+  final case class Case(name: String, sql: String,
+                        oracle: Option[String] = None)
 
   /** `avgthr` mode (r15, VERDICT r14 optional #8): the q22 class — a
     * row/group's MEMBERSHIP decided by comparing a raw double measure
@@ -125,9 +130,99 @@ object MoneyFuzz {
     }
   }
 
+  /** `ratio` mode (r16, VERDICT r15 task #3): the round-6-ratio
+    * boundary class generalized the way `rule` generalized the r13
+    * money find. The r15 sf10 census caught `round(Σ/n, 6)` flipping
+    * between engines when the exact rational lands ON a .5×10⁻⁶
+    * boundary (1200/500k docs in text_unigram_logprob); the fix —
+    * [[graft.text.TextAnalysis.exactRound6Ratio]]: z₆ = sign(num) ·
+    * ((2·|num|·10⁶ + den) div (2·den)), ONE double division at the end
+    * — was applied to the queries the census happened to catch. This
+    * mode fuzzes the whole shape space: seed-fixed int-sum numerators
+    * (positive, mixed-sign, symmetric-sign — zero sums occur — and
+    * negative-only micro-nat-like), count-derived denominators
+    * including the boundary-dense forms (den = k·10⁶·count makes every
+    * odd-constant group land EXACTLY on the .5 micro boundary), and
+    * group shapes down to ~10-row groups where boundary hits are
+    * frequent. Spark runs the signum spelling over DECIMAL(38,0)/`div`;
+    * the DuckDB twin runs the SAME integer formula over HUGEINT/`//`,
+    * and negative-only cases with den = 10⁶·count use the registry's
+    * negated spelling (`-CAST((-2·Σ + n) // (2n) AS DOUBLE)/1e6 + 0.0`)
+    * so the two spellings used in production oracles are cross-checked
+    * against each other, signed zeros included (`+ 0.0` per the r16
+    * advice fix). 200/200 hash-match is the gate.
+    */
+  def ratioCases(n: Int, seed: Long = 44L): Seq[Case] = {
+    val rng = new Random(seed)
+    (0 until n).map { i =>
+      val cents = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+      val qty = "CAST(l_quantity AS BIGINT)"
+      val fam = rng.nextInt(5)
+      val v = fam match {
+        case 0 => cents
+        case 1 => // mixed-sign affine combination
+          val a = { val x = rng.nextInt(19) - 9; if (x == 0) 7 else x }
+          val b = rng.nextInt(1999) - 999
+          s"($a) * $cents + ($b) * $qty"
+        case 2 => // symmetric sign by key parity: zero sums occur
+          val k = 1 + rng.nextInt(997)
+          s"CASE WHEN l_partkey % 2 = 0 THEN $qty * $k" +
+            s" ELSE -($qty * $k) END"
+        case 3 => // negative-only (micro-nat-like, the logprob shape)
+          val k = 1 + rng.nextInt(9999)
+          s"-($qty * $k + ($cents % 1000))"
+        case 4 => // odd constant: with den = m·10⁶·count every group
+          // lands EXACTLY on the .5×10⁻⁶ boundary when m | (v·…)/2 —
+          // the knife edge itself, deterministic, every group
+          s"${2 * rng.nextInt(500) + 1}"
+      }
+      val denFam = rng.nextInt(5)
+      val den = Seq("1000000 * count(*)", "2000000 * count(*)",
+        "4000000 * count(*)", "count(*)", "2 * count(*)")(denFam)
+      val (groupSel, groupBy) = rng.nextInt(4) match {
+        case 0 => (Nil, Nil)
+        case 1 => (Seq("l_returnflag"), Seq("l_returnflag"))
+        case 2 => (Seq("CAST(l_orderkey % 4999 AS BIGINT) AS g1"), Seq("g1"))
+        case 3 => (Seq("CAST(l_suppkey % 100 AS BIGINT) AS g1"), Seq("g1"))
+      }
+      // shared text modulo the big-integer type and the div spelling
+      def text(big: String, divOp: String): String = {
+        val gcols = groupBy.mkString(", ")
+        val gb = if (groupBy.nonEmpty) s"\nGROUP BY $gcols" else ""
+        val gsel = if (groupBy.nonEmpty) gcols + ",\n  " else ""
+        s"""WITH t AS (SELECT ${(groupSel :+ s"$v AS v").mkString(",\n  ")}
+           |  FROM lineitem),
+           |g AS (SELECT ${gsel}CAST(sum(v) AS $big) AS s,
+           |  CAST($den AS $big) AS den, count(*) AS n_rows
+           |  FROM t$gb)
+           |SELECT ${gsel}n_rows,
+           |  (CASE WHEN s < 0 THEN -1.0 ELSE 1.0 END)
+           |    * CAST((2 * abs(s) * 1000000 + den) $divOp (2 * den)
+           |           AS DOUBLE) / 1000000.0 + 0.0 AS r6
+           |FROM g""".stripMargin
+      }
+      // registry negated spelling for the production logprob shape:
+      // num ≤ 0, den = 10⁶·n — cross-checks the two spellings
+      val oracle =
+        if (fam == 3 && denFam == 0) {
+          val gcols = groupBy.mkString(", ")
+          val gb = if (groupBy.nonEmpty) s"\nGROUP BY $gcols" else ""
+          val gsel = if (groupBy.nonEmpty) gcols + ",\n  " else ""
+          s"""WITH t AS (SELECT ${(groupSel :+ s"$v AS v").mkString(",\n  ")}
+             |  FROM lineitem)
+             |SELECT ${gsel}count(*) AS n_rows,
+             |  -CAST((-2 * CAST(sum(v) AS HUGEINT) + count(*))
+             |        // (2 * count(*)) AS DOUBLE) / 1000000.0 + 0.0 AS r6
+             |FROM t$gb""".stripMargin
+        } else text("HUGEINT", "//")
+      Case(f"ratio_$i%03d", text("DECIMAL(38,0)", "div"), Some(oracle))
+    }
+  }
+
   /** Deterministic case set: identical for a given (seed, n, mode). */
   def cases(n: Int, mode: String, seed: Long = 42L): Seq[Case] = {
     if (mode == "avgthr") return avgThrCases(n)
+    if (mode == "ratio") return ratioCases(n)
     val rng = new Random(seed)
     (0 until n).map { i =>
       // ---- random shape ------------------------------------------------
@@ -265,7 +360,7 @@ object MoneyFuzz {
     val outDir = args(1)
     val mode = if (args.length > 2) args(2) else "rule"
     val nCases = if (args.length > 3) args(3).toInt else 200
-    require(mode == "rule" || mode == "naive" || mode == "avgthr",
+    require(Set("rule", "naive", "avgthr", "ratio")(mode),
       s"bad mode $mode")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -299,7 +394,7 @@ object MoneyFuzz {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = all.map(c => s"${q(c.name)}: ${q(c.sql)}")
+    val json = all.map(c => s"${q(c.name)}: ${q(c.oracle.getOrElse(c.sql))}")
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     println(s"[fuzz] wrote ${all.size} $mode cases to $outDir " +

@@ -30,7 +30,10 @@ import org.apache.spark.sql.types._
   * — and distinct-reduces per column through a map-side partial agg:
   * shuffle volume is Σ per-column cardinalities, never input
   * ×(cols+1), and no shuffled row is wider than one value. The two
-  * 11-row result frames broadcast-join back together.
+  * 11-row result frames broadcast-join back together. Exact mode is
+  * therefore exactly TWO scans of the input (summary pass + posting
+  * pass; PlanAuditSpec pins the count) — the one-pass claim applies
+  * to approx mode only.
   * `approxDistinct = true` remains the 100 TB mode:
   * `approx_count_distinct` (HyperLogLog++, Heule et al. 2013)
   * replaces every distinct with a fixed-size sketch and the whole
@@ -90,9 +93,21 @@ object Profiler {
             (c.cast("double"), nullL, nullS)
           case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
             (nullD, c.cast("long"), nullS)
-          case _: TimestampType | _: TimestampNTZType =>
-            (nullD, unix_micros(c.cast("timestamp")), nullS)
+          case _: TimestampType =>
+            (nullD, unix_micros(c), nullS)
+          // NTZ carries no zone: converting via the session timezone can
+          // collapse distinct wall-clock values inside a DST gap. The
+          // string render of NTZ is timezone-free and injective.
+          case _: TimestampNTZType => (nullD, nullL, c.cast("string"))
           case _: StringType => (nullD, nullL, c)
+          // base64 is injective on raw bytes; a UTF-8 string cast is not
+          // (invalid sequences share one replacement render).
+          case _: BinaryType => (nullD, nullL, base64(c))
+          // Complex types: the ', '-joined string render collides
+          // (array('a, b') vs array('a','b'); null element vs 'null') —
+          // JSON escaping is collision-safe.
+          case _: ArrayType | _: MapType | _: StructType =>
+            (nullD, nullL, to_json(c))
           case _ => (nullD, nullL, c.cast("string"))
         }
         struct(lit(i).as("__ci"), dv.as("__d"), lv.as("__l"), sv.as("__s"))

@@ -2550,7 +2550,7 @@ object NorthStarQueries {
         |  -- round(x, 6) legitimately disagree): round-half-away in
         |  -- integer arithmetic, one final double division
         |  -CAST((-2 * CAST(sum(lp6) AS HUGEINT) + count(*))
-        |        // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_logprob
+        |        // (2 * count(*)) AS DOUBLE) / 1000000.0 + 0.0 AS avg_logprob
         |FROM toks JOIN lp USING (tok)
         |GROUP BY doc_id""".stripMargin,
 
@@ -2577,7 +2577,7 @@ object NorthStarQueries {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  -- boundary-exact avg (see text_unigram_logprob)
         |  -CAST((-2 * CAST(sum(lp6) AS HUGEINT) + count(*))
-        |        // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_logprob
+        |        // (2 * count(*)) AS DOUBLE) / 1000000.0 + 0.0 AS avg_logprob
         |FROM bg JOIN lp USING (bigram)
         |GROUP BY doc_id""".stripMargin,
 
@@ -2607,7 +2607,7 @@ object NorthStarQueries {
         |    -- match text_bigram_logprob's spelling bit-for-bit, the
         |    -- cutoffs quantile these scores
         |    -CAST((-2 * CAST(sum(lp6) AS HUGEINT) + count(*))
-        |          // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_logprob
+        |          // (2 * count(*)) AS DOUBLE) / 1000000.0 + 0.0 AS avg_logprob
         |  FROM bg JOIN lp USING (bigram)
         |  GROUP BY doc_id),
         |cuts AS (
@@ -2731,7 +2731,7 @@ object NorthStarQueries {
         |    AS n_uni_backoffs,
         |  -- boundary-exact avg (see text_unigram_logprob)
         |  -CAST((-2 * CAST(sum(lp6) AS HUGEINT) + count(*))
-        |        // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_logscore
+        |        // (2 * count(*)) AS DOUBLE) / 1000000.0 + 0.0 AS avg_logscore
         |FROM sc GROUP BY doc_id""".stripMargin,
 
     // same window generation via list_slice over range(), same

@@ -25,6 +25,34 @@ class ProfilerSpec extends SparkSpec {
     assert(v.getDouble(4) == -1.0 && v.getDouble(5) == 2.5)
   }
 
+  test("profileTable: exact-distinct channels are collision-safe for " +
+    "complex/binary/NTZ types (r15 advice)") {
+    // the ', '-joined string render would collapse array('a, b') with
+    // array('a','b') and a null element with the string 'null'; the
+    // JSON channel must keep all four distinct
+    val arr = Seq(
+      (1L, Seq("a, b"), Array[Byte](0x61)),
+      (2L, Seq("a", "b"), Array[Byte](0xFF.toByte)),
+      (3L, Seq(null.asInstanceOf[String]), Array[Byte](0xFE.toByte)),
+      (4L, Seq("null"), Array[Byte](0x61))).toDF("id", "tags", "blob")
+    val pa = Profiler.profileTable(arr).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(pa("tags") == 4L,
+      s"complex-type channel collided: n_distinct=${pa("tags")} (want 4)")
+    // binary: two invalid-UTF8 singleton byte arrays share one string
+    // replacement render but must count separately through base64
+    assert(pa("blob") == 3L,
+      s"binary channel collided: n_distinct=${pa("blob")} (want 3)")
+    // NTZ: distinct wall-clock values must not funnel through the
+    // session timezone (DST-gap collapse); string render is zone-free
+    val ntz = Seq("2026-03-08 02:30:00", "2026-03-08 03:30:00",
+      "2026-03-08 03:30:00")
+      .toDF("t").select(col("t").cast("timestamp_ntz").as("t"))
+    val pn = Profiler.profileTable(ntz).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(pn("t") == 2L, s"NTZ channel drifted: ${pn("t")} (want 2)")
+  }
+
   test("fuzzySelfMatch: blocking bounds candidates; distance filter " +
     "keeps only near names") {
     import org.apache.spark.sql.functions.expr

@@ -646,5 +646,12 @@ class PlanAuditSpec extends SparkSpec {
       "the two 11-row result frames must broadcast-join\n" + p)
     assert(!p.contains("SortMergeJoin"),
       "no shuffled join between column-count-sized frames\n" + p)
+    // exact mode is deliberately TWO scans of the input (summary agg
+    // pass + posting-distinct pass) — re-pin the count so a regression
+    // to 3+ scans is caught; the one-pass claim is scoped to approx mode
+    val nScans = "Scan parquet".r.findAllIn(p).size
+    assert(nScans == 2,
+      s"exact profile must read the input exactly twice " +
+        s"(summary + postings), saw $nScans\n" + p)
   }
 }
