@@ -114,15 +114,32 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Boundary-exact round-6 Jaccard presentation: |a∩b|/|a∪b| is an
+    * INT/INT rational, so it can land exactly ON a .5×10⁻⁶ rounding
+    * boundary (reduced union ∈ {2ⁱ5ʲ : max(i,j)=7}, e.g. 640) where the
+    * engines' float `round(x, 6)` legitimately disagree — the r15
+    * census class (r16 sweep). Decided in integer arithmetic via
+    * [[graft.text.TextAnalysis.exactRound6Ratio]].
+    */
+  def jaccard6(inter: Column, uni: Column): Column =
+    TextAnalysis.exactRound6Ratio(inter, uni)
+
   /** Attach exact Jaccard to candidate pairs by joining the shingle sets
-    * back in (two broadcast-or-shuffle hash joins on the id).
+    * back in (two broadcast-or-shuffle hash joins on the id). Emits the
+    * raw double `jaccard` plus the integer `__ji`/`__ju`
+    * intersection/union sizes so presentations can round boundary-exact
+    * (see [[jaccard6]]).
     */
   def withJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                   shingleCol: String): DataFrame = {
     val a = docs.select(col(idCol).as("id_a"), col(shingleCol).as("__sh_a"))
     val b = docs.select(col(idCol).as("id_b"), col(shingleCol).as("__sh_b"))
     pairs.join(a, "id_a").join(b, "id_b")
-      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .withColumn("__ji",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long"))
+      .withColumn("__ju",
+        size(array_union(col("__sh_a"), col("__sh_b"))).cast("long"))
+      .withColumn("jaccard", col("__ji").cast("double") / col("__ju"))
       .drop("__sh_a", "__sh_b")
   }
 
@@ -147,7 +164,8 @@ object Dedup {
     val pairs = lshCandidatePairs(lshBands(signed, idCol, "__sig", bands, rowsPerBand), idCol)
     withJaccard(pairs, withShingles, idCol, "__sh")
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        jaccard6(col("__ji"), col("__ju")).as("jaccard"))
   }
 
   /** MinHash sketch-accuracy evaluation — the calibration loop for the
@@ -184,10 +202,14 @@ object Dedup {
           lit(0L), (acc, v) => acc + v).cast("double") / numHashes, 6)
           .as("est_jaccard"))
     withJaccard(est, withShingles, idCol, "__sh")
+      // est_jaccard = m/numHashes (power-of-2 denominator: exact fp,
+      // ≤6-digit decimal — exempt); exact_jaccard routes boundary-exact;
+      // abs_err is a difference of two exact micro-multiples, so its
+      // round(·, 6) can never sit on a .5×10⁻⁶ boundary — exempt
       .select(col("id_a"), col("id_b"), col("est_jaccard"),
-        round(col("jaccard"), 6).as("exact_jaccard"),
-        round(abs(col("est_jaccard") - round(col("jaccard"), 6)), 6)
-          .as("abs_err"))
+        jaccard6(col("__ji"), col("__ju")).as("exact_jaccard"),
+        round(abs(col("est_jaccard") -
+          jaccard6(col("__ji"), col("__ju"))), 6).as("abs_err"))
   }
 
   /** LSH banding TUNER — turns the S-curve (Leskovec/Rajaraman/Ullman,
@@ -246,11 +268,16 @@ object Dedup {
         lit(r).cast("int").as("rows_per_band"),
         lit(sStar).as("s_star"),
         col("n_hi"), col("n_lo"),
+        // den = n·10⁶ is the census boundary class (odd micro-sum over
+        // an even count lands EXACTLY on .5×10⁻⁶) — boundary-exact
+        // integer rounding, never the engines' float round (r16 sweep)
         when(col("n_hi") > 0,
-          round(col(s"hs_${b}_$r") / (col("n_hi") * 1000000.0), 6))
+          TextAnalysis.exactRound6Ratio(col(s"hs_${b}_$r"),
+            col("n_hi") * lit(1000000L)))
           .as("recall_hi"),
         when(col("n_lo") > 0,
-          round(col(s"ls_${b}_$r") / (col("n_lo") * 1000000.0), 6))
+          TextAnalysis.exactRound6Ratio(col(s"ls_${b}_$r"),
+            col("n_lo") * lit(1000000L)))
           .as("catch_lo"))
     }
     g.select(explode(array(rows: _*)).as("c")).select("c.*")
@@ -488,9 +515,13 @@ object Dedup {
     val a = withShingles.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
     val b = withShingles.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .withColumn("__ji",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long"))
+      .withColumn("__ju",
+        size(array_union(col("__sh_a"), col("__sh_b"))).cast("long"))
+      .withColumn("jaccard", jaccard6(col("__ji"), col("__ju")))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** EXACT n-gram Jaccard pairs via an inverted shingle index — the
@@ -527,7 +558,9 @@ object Dedup {
     cands
       .join(withSh.select(col("id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(withSh.select(col("id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
-      .withColumn("jaccard", round(jaccard(col("__sh_a"), col("__sh_b")), 6))
+      .withColumn("jaccard", jaccard6(
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long"),
+        size(array_union(col("__sh_a"), col("__sh_b"))).cast("long")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -789,7 +822,7 @@ object Dedup {
         .groupBy(col("id_a"), col("__la"), col("id_b"))
         .agg(count(lit(1)).as("__cnt"))
         .withColumn("containment",
-          round(col("__cnt").cast("double") / col("__la"), 6))
+          TextAnalysis.exactRound6Ratio(col("__cnt"), col("__la")))
         .where(col("containment") >= threshold)
         .select(col("id_a"), col("id_b"), col("containment")), true)
     }
@@ -842,8 +875,9 @@ object Dedup {
       .join(vSh.select(col("id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(vSh.select(col("id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("containment",
-        round(size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(col("__sh_a")), 6))
+        TextAnalysis.exactRound6Ratio(
+          size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long"),
+          size(col("__sh_a")).cast("long")))
       .where(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment")), false)
   }
@@ -1050,7 +1084,7 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"), col("__ka"))
       .agg(count(lit(1)).as("__m"))
       .withColumn("est_containment",
-        round(col("__m").cast("double") / col("__ka"), 6))
+        TextAnalysis.exactRound6Ratio(col("__m"), col("__ka")))
       .where(col("est_containment") >= minEst)
       .select(col("id_a"), col("id_b"), col("est_containment"))
   }
@@ -1064,7 +1098,8 @@ object Dedup {
       .join(withSh.select(col(idCol).as("id_a"), col(shCol).as("__sh_a")), "id_a")
       .join(withSh.select(col(idCol).as("id_b"), col(shCol).as("__sh_b")), "id_b")
       .withColumn("exact_containment",
-        round(size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(col("__sh_a")), 6))
+        TextAnalysis.exactRound6Ratio(
+          size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long"),
+          size(col("__sh_a")).cast("long")))
       .drop("__sh_a", "__sh_b")
 }

@@ -138,7 +138,8 @@ object Drift {
       .orderBy(col("d_num").desc, col("v").asc).limit(1)
       .select(col("v").as("at_value"), col("d_num"),
         col("na").as("n_a"), col("nb").as("n_b"),
-        round(col("d_num").cast("double") / (col("na") * col("nb")), 6)
-          .as("ks_d"))
+        // int/int ratio: boundary-exact round-6 (r16 sweep)
+        graft.text.TextAnalysis.exactRound6Ratio(col("d_num"),
+          col("na") * col("nb")).as("ks_d"))
   }
 }

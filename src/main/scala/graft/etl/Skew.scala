@@ -104,7 +104,9 @@ object Skew {
         expr("cum_cnt * 1000000 div total_rows").as("cum_share_ppm"),
         col("n_keys"), col("total_rows"), col("p50_cnt"), col("p99_cnt"),
         col("max_cnt"),
-        round(col("max_cnt") * col("n_keys") / col("total_rows"), 6)
+        // int/int ratio: boundary-exact round-6 (r16 sweep)
+        graft.text.TextAnalysis.exactRound6Ratio(
+          col("max_cnt") * col("n_keys"), col("total_rows"))
           .as("skew_ratio"),
         greatest(lit(1L),
           expr("(max_cnt * n_keys + total_rows - 1) div total_rows"))

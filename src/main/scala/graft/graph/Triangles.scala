@@ -84,8 +84,10 @@ object Triangles {
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         when(col("degree") >= 2,
-          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
-            (col("degree") * (col("degree") - lit(1L))), 6))
+          // int/int ratio: boundary-exact round-6 (r16 sweep)
+          graft.text.TextAnalysis.exactRound6Ratio(
+            lit(2L) * coalesce(col("triangles"), lit(0L)),
+            col("degree") * (col("degree") - lit(1L))))
           .otherwise(lit(0.0)).as("lcc"))
   }
 
@@ -161,7 +163,9 @@ object Triangles {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         col("n_wedges"),
         when(col("n_wedges") > 0,
-          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          // int/int ratio: boundary-exact round-6 (r16 sweep)
+          graft.text.TextAnalysis.exactRound6Ratio(
+            lit(3L) * col("n_triangles"), col("n_wedges")))
           .otherwise(lit(0.0)).as("transitivity"),
         {
           // integer numerator/denominator, one double division at the
@@ -171,8 +175,11 @@ object Triangles {
             col("__b") * col("__b")
           val den = lit(2L) * col("n_edges") * col("__d") -
             col("__b") * col("__b")
+          // int/int with a signed denominator: fold den's sign into
+          // the numerator, then boundary-exact round-6 (r16 sweep)
           when(den =!= 0,
-            round(num.cast("double") / den.cast("double"), 6))
+            graft.text.TextAnalysis.exactRound6Ratio(
+              when(den < 0, -num).otherwise(num), abs(den)))
             .as("assortativity")
         })
   }

@@ -260,10 +260,20 @@ object BreadthQueries {
         .select(col("user_id"), col("event_id"), col("value"))
         .withColumn("rnk", rank().over(w))
         .withColumn("drnk", dense_rank().over(w))
-        .withColumn("prnk", round(percent_rank().over(w), 6))
+        // percent_rank/cume_dist are int/int ratios with small per-
+        // partition denominators — boundary-exact round-6 (r16 sweep);
+        // the (value desc, event_id) order is tie-free, so cume_dist
+        // equals row_number/n
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .withColumn("prnk", when(col("__n") === 1, lit(0.0)).otherwise(
+          graft.text.TextAnalysis.exactRound6Ratio(
+            col("rnk").cast("long") - 1, col("__n") - 1)))
         .withColumn("quartile", ntile(4).over(w))
         .withColumn("best_value", first(col("value")).over(w))
-        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("cume", graft.text.TextAnalysis.exactRound6Ratio(
+          row_number().over(w).cast("long"), col("__n")))
+        .drop("__n")
     }),
 
     // scalar-function battery (F4-F9 analogs): dates, strings, math,
@@ -1139,12 +1149,22 @@ object BreadthQueries {
       """SELECT user_id, event_id, value,
         |  CAST(rank() OVER w AS INTEGER) AS rnk,
         |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
-        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob);
+        |  -- tie-free order, so cume_dist = row_number/n
+        |  CASE WHEN count(*) OVER wp = 1 THEN 0.0
+        |    ELSE CAST((2 * CAST(rank() OVER w - 1 AS HUGEINT) * 1000000
+        |               + (count(*) OVER wp - 1))
+        |              // (2 * (count(*) OVER wp - 1)) AS DOUBLE)
+        |      / 1000000.0 + 0.0 END AS prnk,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  first_value(value) OVER w AS best_value,
-        |  round(cume_dist() OVER w, 6) AS cume
+        |  CAST((2 * CAST(row_number() OVER w AS HUGEINT) * 1000000
+        |        + count(*) OVER wp)
+        |       // (2 * count(*) OVER wp) AS DOUBLE)
+        |    / 1000000.0 + 0.0 AS cume
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)""".stripMargin,
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC),
+        |  wp AS (PARTITION BY user_id)""".stripMargin,
 
     "join_bloom_pruned" ->
       """SELECT c_custkey, c_name, count(*) AS n_events,
@@ -1434,9 +1454,12 @@ object BreadthQueries {
         |    UNION ALL SELECT z FROM tri)
         |  GROUP BY 1)
         |SELECT d.node, d.degree, COALESCE(t.triangles, 0) AS triangles,
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
         |  CASE WHEN d.degree >= 2 THEN
-        |    round(2.0 * COALESCE(t.triangles, 0) /
-        |          (d.degree * (d.degree - 1)), 6)
+        |    CAST((2 * CAST(2 * COALESCE(t.triangles, 0) AS HUGEINT) * 1000000
+        |          + d.degree * (d.degree - 1))
+        |         // (2 * d.degree * (d.degree - 1)) AS DOUBLE)
+        |      / 1000000.0 + 0.0
         |  ELSE 0.0 END AS lcc
         |FROM deg d LEFT JOIN tc t ON d.node = t.node""".stripMargin,
 
@@ -1468,12 +1491,23 @@ object BreadthQueries {
         |    CAST(sum(du.d * du.d + dv.d * dv.d) AS BIGINT) AS dd
         |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node)
         |SELECT ns.n_nodes, es.n_edges, tri.n_triangles, ns.n_wedges,
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
         |  CASE WHEN ns.n_wedges > 0 THEN
-        |    round(3.0 * tri.n_triangles / ns.n_wedges, 6)
+        |    CAST((2 * CAST(3 * tri.n_triangles AS HUGEINT) * 1000000
+        |          + ns.n_wedges) // (2 * ns.n_wedges) AS DOUBLE)
+        |      / 1000000.0 + 0.0
         |  ELSE 0.0 END AS transitivity,
+        |  -- signed num/den: den's sign folds into the numerator
         |  CASE WHEN 2 * es.n_edges * es.dd - es.b * es.b <> 0 THEN
-        |    round(CAST(4 * es.n_edges * es.a - es.b * es.b AS DOUBLE)
-        |        / CAST(2 * es.n_edges * es.dd - es.b * es.b AS DOUBLE), 6)
+        |    (CASE WHEN (CAST(4 * es.n_edges * es.a AS HUGEINT) - CAST(es.b AS HUGEINT) * es.b)
+        |            * (CAST(2 * es.n_edges * es.dd AS HUGEINT) - CAST(es.b AS HUGEINT) * es.b) < 0
+        |      THEN -1.0 ELSE 1.0 END)
+        |    * CAST((2 * abs(CAST(4 * es.n_edges * es.a AS HUGEINT) - CAST(es.b AS HUGEINT) * es.b)
+        |              * 1000000
+        |            + abs(CAST(2 * es.n_edges * es.dd AS HUGEINT) - CAST(es.b AS HUGEINT) * es.b))
+        |           // (2 * abs(CAST(2 * es.n_edges * es.dd AS HUGEINT) - CAST(es.b AS HUGEINT) * es.b))
+        |           AS DOUBLE)
+        |    / 1000000.0 + 0.0
         |  END AS assortativity
         |FROM ns, tri, es""".stripMargin,
 
@@ -1568,7 +1602,9 @@ object BreadthQueries {
         |  cnt * 1000000 // total_rows AS share_ppm,
         |  CAST(cum_cnt * 1000000 // total_rows AS BIGINT) AS cum_share_ppm,
         |  n_keys, total_rows, p50_cnt, p99_cnt, max_cnt,
-        |  round(CAST(max_cnt AS DOUBLE) * n_keys / total_rows, 6)
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
+        |  CAST((2 * CAST(max_cnt AS HUGEINT) * n_keys * 1000000 + total_rows)
+        |       // (2 * total_rows) AS DOUBLE) / 1000000.0 + 0.0
         |    AS skew_ratio,
         |  greatest(CAST(1 AS BIGINT),
         |    (max_cnt * n_keys + total_rows - 1) // total_rows)

@@ -357,8 +357,8 @@ object NorthStarQueries {
           s.read.parquet(OracleAux.dir(dir, "winnow_pairs")),
           withSh, "doc_id", "__sh")
         .select(col("id_a"), col("id_b"), col("shared_fps"),
-          round(col("jaccard"), 6).as("exact_jaccard"),
-          (round(col("jaccard"), 6) >= 0.5).as("is_neardup"))
+          Dedup.jaccard6(col("__ji"), col("__ju")).as("exact_jaccard"),
+          (Dedup.jaccard6(col("__ji"), col("__ju")) >= 0.5).as("is_neardup"))
     }),
 
     // one distributed BPE-training step: adjacent char-pair counts
@@ -531,11 +531,17 @@ object NorthStarQueries {
         round(pow(col("n_tokens").cast("double"), 0.3) * 1e6, 0).cast("long"))
       val tot = p.agg(sum(col("n_tokens")).as("__tn"),
         sum(col("__w6")).as("__tw"))
+      // int/int shares routed boundary-exact (r16 sweep); boost is the
+      // ratio of the two exact micro integers — itself int/int
       p.crossJoin(broadcast(tot))
         .select(col("source"), col("n_tokens"),
-          round(col("n_tokens").cast("double") / col("__tn"), 6).as("p_raw"),
-          round(col("__w6").cast("double") / col("__tw"), 6).as("p_temp"))
-        .withColumn("boost", round(col("p_temp") / col("p_raw"), 6))
+          TextAnalysis.exactRound6Ratio(col("n_tokens"), col("__tn"))
+            .as("p_raw"),
+          TextAnalysis.exactRound6Ratio(col("__w6"), col("__tw"))
+            .as("p_temp"))
+        .withColumn("boost", TextAnalysis.exactRound6Ratio(
+          round(col("p_temp") * 1e6, 0).cast("long"),
+          round(col("p_raw") * 1e6, 0).cast("long")))
     }),
 
     // per-key uniform reservoir: 10 docs per source by md5 draw,
@@ -743,9 +749,9 @@ object NorthStarQueries {
       Dedup.withJaccard(s.read.parquet(OracleAux.dir(dir, "mh_est")),
           withSh, "doc_id", "__sh")
         .select(col("id_a"), col("id_b"), col("est_jaccard"),
-          round(col("jaccard"), 6).as("exact_jaccard"),
-          round(abs(col("est_jaccard") - round(col("jaccard"), 6)), 6)
-            .as("abs_err"))
+          Dedup.jaccard6(col("__ji"), col("__ju")).as("exact_jaccard"),
+          round(abs(col("est_jaccard") -
+            Dedup.jaccard6(col("__ji"), col("__ju"))), 6).as("abs_err"))
     }),
 
     // LSH banding tuner: the S-curve evaluated over THIS corpus's
@@ -763,8 +769,11 @@ object NorthStarQueries {
       val withSh = docs.select(col("doc_id").cast("long").as("doc_id"),
         Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("__sh"))
       val pw = Dedup.withJaccard(
-        s.read.parquet(OracleAux.dir(dir, "lsh_tune")), withSh,
-        "doc_id", "__sh")
+          s.read.parquet(OracleAux.dir(dir, "lsh_tune")), withSh,
+          "doc_id", "__sh")
+        // boundary-exact input jaccard: the tuner's own round(·, 6) is
+        // then an identity on an exact micro-multiple (r16 sweep)
+        .withColumn("jaccard", Dedup.jaccard6(col("__ji"), col("__ju")))
       Dedup.lshBandingTune(pw, "jaccard", numHashes = 16,
         hiThreshold = 0.5)
     }),
@@ -888,15 +897,22 @@ object NorthStarQueries {
             .otherwise(0L)).as("fn"),
           sum(when(col("p_quality") < col("thr") && col("y") === 0, 1L)
             .otherwise(0L)).as("tn"))
+      // int/int ratios routed boundary-exact (r16 sweep); f1 =
+      // 2pr/(p+r) over the exact micro integers zp, zr is the single
+      // rational 2·zp·zr / ((zp+zr)·10⁶) — itself int/int
       val p = when(col("tp") + col("fp") > 0,
-        round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+        TextAnalysis.exactRound6Ratio(col("tp"), col("tp") + col("fp")))
       val r = when(col("tp") + col("fn") > 0,
-        round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+        TextAnalysis.exactRound6Ratio(col("tp"), col("tp") + col("fn")))
       conf.withColumn("precision", p).withColumn("recall", r)
+        .withColumn("__zp", round(col("precision") * 1e6, 0).cast("long"))
+        .withColumn("__zr", round(col("recall") * 1e6, 0).cast("long"))
         .withColumn("f1",
           when(col("precision") + col("recall") > 0,
-            round(lit(2.0) * col("precision") * col("recall") /
-              (col("precision") + col("recall")), 6)))
+            TextAnalysis.exactRound6Ratio(
+              lit(2L) * col("__zp") * col("__zr"),
+              (col("__zp") + col("__zr")) * lit(1000000L))))
+        .drop("__zp", "__zr")
     }),
 
     // cross-source overlap matrix: distinct shared 3-token lines per
@@ -1648,9 +1664,13 @@ object NorthStarQueries {
          |  CAST($r AS INTEGER) AS rows_per_band,
          |  round($sStar, 6) AS s_star, n_hi, n_lo,
          |  CASE WHEN n_hi > 0
-         |    THEN round(hs_${b}_$r / (n_hi * 1000000.0), 6) END AS recall_hi,
+         |    THEN CAST((2 * CAST(hs_${b}_$r AS HUGEINT) + n_hi)
+         |              // (2 * n_hi) AS DOUBLE) / 1000000.0 + 0.0
+         |  END AS recall_hi,
          |  CASE WHEN n_lo > 0
-         |    THEN round(ls_${b}_$r / (n_lo * 1000000.0), 6) END AS catch_lo
+         |    THEN CAST((2 * CAST(ls_${b}_$r AS HUGEINT) + n_lo)
+         |              // (2 * n_lo) AS DOUBLE) / 1000000.0 + 0.0
+         |  END AS catch_lo
          |FROM g""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH p AS (SELECT id_a, id_b
@@ -1666,8 +1686,11 @@ object NorthStarQueries {
        |    ELSE [array_to_string(toks, ' ')] END AS s
        |  FROM d),
        |e AS (
-       |  SELECT round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |      / len(list_distinct(a.s || b.s)), 6) AS s
+       |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
+       |  SELECT CAST((2 * CAST(len(list_intersect(a.s, b.s)) AS HUGEINT)
+       |          * 1000000 + len(list_distinct(a.s || b.s)))
+       |         // (2 * len(list_distinct(a.s || b.s))) AS DOUBLE)
+       |      / 1000000.0 + 0.0 AS s
        |  FROM p JOIN sh a ON a.doc_id = p.id_a
        |         JOIN sh b ON b.doc_id = p.id_b),
        |g AS MATERIALIZED (
@@ -2228,7 +2251,11 @@ object NorthStarQueries {
         |    ELSE (b - a) / greatest(a, b) END * 1e6) AS BIGINT) AS sm
         |  FROM t)
         |SELECT cell, CAST(count(*) AS BIGINT) AS n,
-        |  round(sum(sm) / 1e6 / count(*), 6) AS mean_silhouette
+        |  -- boundary-exact Σmicro/(10⁶·n) (see text_unigram_logprob)
+        |  (CASE WHEN sum(sm) < 0 THEN -1.0 ELSE 1.0 END)
+        |    * CAST((2 * abs(CAST(sum(sm) AS HUGEINT)) + count(*))
+        |           // (2 * count(*)) AS DOUBLE) / 1000000.0 + 0.0
+        |    AS mean_silhouette
         |FROM m GROUP BY 1""".stripMargin,
 
     // transitive closure over the materialized pair list, then
@@ -2441,10 +2468,15 @@ object NorthStarQueries {
         |    ELSE [array_to_string(toks, ' ')] END AS s
         |  FROM d)
         |SELECT p.id_a, p.id_b, p.shared_fps,
-        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / len(list_distinct(a.s || b.s)), 6) AS exact_jaccard,
-        |  (round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / len(list_distinct(a.s || b.s)), 6) >= 0.5) AS is_neardup
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
+        |  CAST((2 * CAST(len(list_intersect(a.s, b.s)) AS HUGEINT) * 1000000
+        |        + len(list_distinct(a.s || b.s)))
+        |       // (2 * len(list_distinct(a.s || b.s))) AS DOUBLE)
+        |    / 1000000.0 + 0.0 AS exact_jaccard,
+        |  (CAST((2 * CAST(len(list_intersect(a.s, b.s)) AS HUGEINT) * 1000000
+        |        + len(list_distinct(a.s || b.s)))
+        |       // (2 * len(list_distinct(a.s || b.s))) AS DOUBLE)
+        |    / 1000000.0 >= 0.5) AS is_neardup
         |FROM p JOIN sh a ON a.doc_id = p.id_a
         |       JOIN sh b ON b.doc_id = p.id_b""".stripMargin,
 
@@ -2506,8 +2538,11 @@ object NorthStarQueries {
         |)
         |SELECT term, cnt,
         |  CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS INTEGER) AS rank,
-        |  round(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term ASC) AS DOUBLE)
-        |    / (SELECT n_total FROM t), 6) AS cum_frac
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
+        |  CAST((2 * CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term ASC) AS HUGEINT)
+        |          * 1000000 + (SELECT n_total FROM t))
+        |       // (2 * (SELECT n_total FROM t)) AS DOUBLE)
+        |    / 1000000.0 + 0.0 AS cum_frac
         |FROM top""".stripMargin,
 
     "text_bpe_merges" -> bpeMergesOracle(6),
@@ -2629,13 +2664,13 @@ object NorthStarQueries {
         |m AS (
         |  SELECT doc_id,
         |    CAST(len(toks) AS INTEGER) AS n_tokens,
-        |    CAST(list_sum(list_transform(toks, tk -> strlen(tk))) AS DOUBLE)
+        |    CAST(list_sum(list_transform(toks, tk -> strlen(tk))) AS BIGINT)
         |      AS sum_len,
-        |    CAST(strlen(text) - strlen(replace(text, '#', '')) AS DOUBLE)
-        |      + (strlen(text) - strlen(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
+        |    CAST(strlen(text) - strlen(replace(text, '#', '')) AS BIGINT)
+        |      + (strlen(text) - strlen(regexp_replace(text, '\.\.\.', '', 'g'))) // 3
         |      AS n_symbols,
         |    CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))
-        |      AS DOUBLE) AS n_alpha,
+        |      AS BIGINT) AS n_alpha,
         |    CAST(list_contains(toks, 'the') AS INTEGER)
         |      + CAST(list_contains(toks, 'a') AS INTEGER)
         |      + CAST(list_contains(toks, 'of') AS INTEGER)
@@ -2647,9 +2682,13 @@ object NorthStarQueries {
         |  FROM t),
         |r AS (
         |  SELECT doc_id, n_tokens,
-        |    round(sum_len / n_tokens, 6) AS mean_tok_len,
-        |    round(n_symbols / n_tokens, 6) AS symbol_ratio,
-        |    round(n_alpha / n_tokens, 6) AS alpha_frac,
+        |    -- boundary-exact int/int round-6 (see text_unigram_logprob)
+        |    CAST((2 * CAST(sum_len AS HUGEINT) * 1000000 + n_tokens)
+        |          // (2 * n_tokens) AS DOUBLE) / 1000000.0 + 0.0 AS mean_tok_len,
+        |    CAST((2 * CAST(n_symbols AS HUGEINT) * 1000000 + n_tokens)
+        |          // (2 * n_tokens) AS DOUBLE) / 1000000.0 + 0.0 AS symbol_ratio,
+        |    CAST((2 * CAST(n_alpha AS HUGEINT) * 1000000 + n_tokens)
+        |          // (2 * n_tokens) AS DOUBLE) / 1000000.0 + 0.0 AS alpha_frac,
         |    n_stop_hits
         |  FROM m)
         |SELECT doc_id, n_tokens, mean_tok_len, symbol_ratio, alpha_frac,
@@ -3033,8 +3072,10 @@ object NorthStarQueries {
         |             CAST(SUM(cb) AS BIGINT) AS nb FROM t)
         |SELECT v AS at_value, CAST(abs(fa * nb - fb * na) AS BIGINT) AS d_num,
         |  na AS n_a, nb AS n_b,
-        |  round(CAST(abs(fa * nb - fb * na) AS DOUBLE) / (na * nb), 6)
-        |    AS ks_d
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
+        |  CAST((2 * CAST(abs(fa * nb - fb * na) AS HUGEINT) * 1000000
+        |        + na * nb) // (2 * CAST(na AS HUGEINT) * nb) AS DOUBLE)
+        |    / 1000000.0 + 0.0 AS ks_d
         |FROM c, n
         |ORDER BY abs(fa * nb - fb * na) DESC, v ASC
         |LIMIT 1""".stripMargin,
@@ -3100,13 +3141,19 @@ object NorthStarQueries {
         |      AS w6
         |  FROM t),
         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tn,
-        |               CAST(SUM(w6) AS BIGINT) AS tw FROM p)
+        |               CAST(SUM(w6) AS BIGINT) AS tw FROM p),
+        |z AS (
+        |  -- boundary-exact int/int round-6 micro integers
+        |  SELECT source, n_tokens,
+        |    (2 * CAST(n_tokens AS HUGEINT) * 1000000 + tn) // (2 * tn) AS zr,
+        |    (2 * CAST(w6 AS HUGEINT) * 1000000 + tw) // (2 * tw) AS zt
+        |  FROM p, tot)
         |SELECT source, n_tokens,
-        |  round(CAST(n_tokens AS DOUBLE) / tn, 6) AS p_raw,
-        |  round(CAST(w6 AS DOUBLE) / tw, 6) AS p_temp,
-        |  round(round(CAST(w6 AS DOUBLE) / tw, 6)
-        |    / round(CAST(n_tokens AS DOUBLE) / tn, 6), 6) AS boost
-        |FROM p, tot""".stripMargin,
+        |  CAST(zr AS DOUBLE) / 1000000.0 + 0.0 AS p_raw,
+        |  CAST(zt AS DOUBLE) / 1000000.0 + 0.0 AS p_temp,
+        |  CAST((2 * zt * 1000000 + zr) // (2 * zr) AS DOUBLE)
+        |    / 1000000.0 + 0.0 AS boost
+        |FROM z""".stripMargin,
 
     // the same md5-prefix draw, ranked per source — k smallest kept
     "sample_reservoir_per_key" ->
@@ -3182,13 +3229,13 @@ object NorthStarQueries {
         |m AS (
         |  SELECT doc_id, source, n_chars, is_first,
         |    CAST(len(toks) AS INTEGER) AS n_tokens,
-        |    CAST(list_sum(list_transform(toks, tk -> strlen(tk))) AS DOUBLE)
+        |    CAST(list_sum(list_transform(toks, tk -> strlen(tk))) AS BIGINT)
         |      AS sum_len,
-        |    CAST(strlen(text) - strlen(replace(text, '#', '')) AS DOUBLE)
-        |      + (strlen(text) - strlen(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
+        |    CAST(strlen(text) - strlen(replace(text, '#', '')) AS BIGINT)
+        |      + (strlen(text) - strlen(regexp_replace(text, '\.\.\.', '', 'g'))) // 3
         |      AS n_symbols,
         |    CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))
-        |      AS DOUBLE) AS n_alpha,
+        |      AS BIGINT) AS n_alpha,
         |    CAST(list_contains(toks, 'the') AS INTEGER)
         |      + CAST(list_contains(toks, 'a') AS INTEGER)
         |      + CAST(list_contains(toks, 'of') AS INTEGER)
@@ -3201,9 +3248,12 @@ object NorthStarQueries {
         |g AS (
         |  SELECT doc_id, source, n_chars, is_first, n_tokens,
         |    CASE WHEN n_tokens BETWEEN 10 AND 2000
-        |      AND round(sum_len / n_tokens, 6) BETWEEN 3.0 AND 10.0
-        |      AND round(n_symbols / n_tokens, 6) <= 0.1
-        |      AND round(n_alpha / n_tokens, 6) >= 0.8
+        |      AND CAST((2 * CAST(sum_len AS HUGEINT) * 1000000 + n_tokens)
+        |          // (2 * n_tokens) AS DOUBLE) / 1000000.0 + 0.0 BETWEEN 3.0 AND 10.0
+        |      AND CAST((2 * CAST(n_symbols AS HUGEINT) * 1000000 + n_tokens)
+        |          // (2 * n_tokens) AS DOUBLE) / 1000000.0 + 0.0 <= 0.1
+        |      AND CAST((2 * CAST(n_alpha AS HUGEINT) * 1000000 + n_tokens)
+        |          // (2 * n_tokens) AS DOUBLE) / 1000000.0 + 0.0 >= 0.8
         |      AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS gopher_pass
         |  FROM m),
         |k AS (SELECT source, doc_id, n_chars FROM g
@@ -3276,9 +3326,15 @@ object NorthStarQueries {
         |    CAST(count(*) AS BIGINT) AS n_distinct_trigrams FROM tga GROUP BY 1
         |)
         |SELECT b.doc_id, b.n_bigrams, b.top_bigram_n,
-        |  round(CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams, 6) AS top_bigram_frac,
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob);
+        |  -- 1 − d/t spelled as the single rational (t−d)/t
+        |  CAST((2 * CAST(b.top_bigram_n AS HUGEINT) * 1000000 + b.n_bigrams)
+        |       // (2 * b.n_bigrams) AS DOUBLE) / 1000000.0 + 0.0
+        |    AS top_bigram_frac,
         |  t.n_trigrams,
-        |  round(1.0 - CAST(t.n_distinct_trigrams AS DOUBLE) / t.n_trigrams, 6)
+        |  CAST((2 * CAST(t.n_trigrams - t.n_distinct_trigrams AS HUGEINT)
+        |          * 1000000 + t.n_trigrams)
+        |       // (2 * t.n_trigrams) AS DOUBLE) / 1000000.0 + 0.0
         |    AS dup_trigram_frac
         |FROM bstat b JOIN tstat t USING (doc_id)""".stripMargin,
 
@@ -3345,12 +3401,17 @@ object NorthStarQueries {
         |  WHERE a.id % 40 <> 0 AND b.id % 40 = 0
         |  GROUP BY 1, 2
         |), j AS (
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
         |  SELECT tid,
-        |    round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jac
+        |    CAST((2 * CAST(inter AS HUGEINT) * 1000000 + (sa.sz + sb.sz - inter))
+        |         // (2 * (sa.sz + sb.sz - inter)) AS DOUBLE)
+        |      / 1000000.0 + 0.0 AS jac
         |  FROM inter
         |  JOIN sizes sa ON sa.id = tid
         |  JOIN sizes sb ON sb.id = eid
-        |  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5)
+        |  WHERE CAST((2 * CAST(inter AS HUGEINT) * 1000000 + (sa.sz + sb.sz - inter))
+        |         // (2 * (sa.sz + sb.sz - inter)) AS DOUBLE)
+        |      / 1000000.0 >= 0.5)
         |SELECT tid AS doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
         |  max(jac) AS max_jaccard
         |FROM j GROUP BY 1""".stripMargin,
@@ -3585,11 +3646,16 @@ object NorthStarQueries {
         |  GROUP BY 1, 2
         |)
         |SELECT id_a, id_b,
-        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
+        |  CAST((2 * CAST(inter AS HUGEINT) * 1000000 + (sa.sz + sb.sz - inter))
+        |       // (2 * (sa.sz + sb.sz - inter)) AS DOUBLE)
+        |    / 1000000.0 + 0.0 AS jaccard
         |FROM inter
         |JOIN sizes sa ON sa.id = id_a
         |JOIN sizes sb ON sb.id = id_b
-        |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8""".stripMargin,
+        |WHERE CAST((2 * CAST(inter AS HUGEINT) * 1000000 + (sa.sz + sb.sz - inter))
+        |       // (2 * (sa.sz + sb.sz - inter)) AS DOUBLE)
+        |    / 1000000.0 >= 0.8""".stripMargin,
 
     "dedup_containment" ->
       """WITH toks AS (
@@ -3609,9 +3675,12 @@ object NorthStarQueries {
         |  GROUP BY 1, 2
         |)
         |SELECT id_a, id_b,
-        |  round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
+        |  CAST((2 * CAST(inter AS HUGEINT) * 1000000 + sa.sz)
+        |       // (2 * sa.sz) AS DOUBLE) / 1000000.0 + 0.0 AS containment
         |FROM inter JOIN sizes sa ON sa.id = id_a
-        |WHERE round(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.5""".stripMargin,
+        |WHERE CAST((2 * CAST(inter AS HUGEINT) * 1000000 + sa.sz)
+        |       // (2 * sa.sz) AS DOUBLE) / 1000000.0 >= 0.5""".stripMargin,
 
     // the unrestricted containment oracle filtered to the odd-id batch
     "dedup_containment_batch" ->
@@ -3633,9 +3702,12 @@ object NorthStarQueries {
         |  GROUP BY 1, 2
         |)
         |SELECT id_a, id_b,
-        |  round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
+        |  CAST((2 * CAST(inter AS HUGEINT) * 1000000 + sa.sz)
+        |       // (2 * sa.sz) AS DOUBLE) / 1000000.0 + 0.0 AS containment
         |FROM inter JOIN sizes sa ON sa.id = id_a
-        |WHERE round(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.5""".stripMargin,
+        |WHERE CAST((2 * CAST(inter AS HUGEINT) * 1000000 + sa.sz)
+        |       // (2 * sa.sz) AS DOUBLE) / 1000000.0 >= 0.5""".stripMargin,
 
     // estimates read from the materialized aux (hash-dependent); exact
     // jaccard + error recomputed from text — validates the sketch
@@ -3657,8 +3729,11 @@ object NorthStarQueries {
         |  FROM d),
         |e AS (
         |  SELECT p.id_a, p.id_b, p.est_jaccard,
-        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / len(list_distinct(a.s || b.s)), 6) AS exact_jaccard
+        |    -- boundary-exact int/int round-6 (see text_unigram_logprob)
+        |    CAST((2 * CAST(len(list_intersect(a.s, b.s)) AS HUGEINT) * 1000000
+        |          + len(list_distinct(a.s || b.s)))
+        |         // (2 * len(list_distinct(a.s || b.s))) AS DOUBLE)
+        |      / 1000000.0 + 0.0 AS exact_jaccard
         |  FROM p JOIN sh a ON a.doc_id = p.id_a
         |         JOIN sh b ON b.doc_id = p.id_b)
         |SELECT id_a, id_b, est_jaccard, exact_jaccard,
@@ -3683,8 +3758,10 @@ object NorthStarQueries {
         |  FROM d),
         |e AS (
         |  SELECT p.id_a, p.id_b, p.est_containment,
-        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / len(a.s), 6) AS exact_containment
+        |    -- boundary-exact int/int round-6 (see text_unigram_logprob)
+        |    CAST((2 * CAST(len(list_intersect(a.s, b.s)) AS HUGEINT) * 1000000
+        |          + len(a.s)) // (2 * len(a.s)) AS DOUBLE)
+        |      / 1000000.0 + 0.0 AS exact_containment
         |  FROM p JOIN sh a ON a.doc_id = p.id_a
         |         JOIN sh b ON b.doc_id = p.id_b)
         |SELECT id_a, id_b, est_containment, exact_containment,
@@ -3756,16 +3833,23 @@ object NorthStarQueries {
         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
         |  FROM p CROSS JOIN grid GROUP BY i),
         |pr AS (
+        |  -- boundary-exact int/int round-6 micro integers
         |  SELECT thr, tp, fp, fn, tn,
         |    CASE WHEN tp + fp > 0
-        |      THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END
-        |      AS "precision",
+        |      THEN (2 * CAST(tp AS HUGEINT) * 1000000 + (tp + fp))
+        |           // (2 * (tp + fp)) END AS zp,
         |    CASE WHEN tp + fn > 0
-        |      THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+        |      THEN (2 * CAST(tp AS HUGEINT) * 1000000 + (tp + fn))
+        |           // (2 * (tp + fn)) END AS zr
         |  FROM c)
-        |SELECT thr, tp, fp, fn, tn, "precision", recall,
-        |  CASE WHEN "precision" + recall > 0
-        |    THEN round(2.0 * "precision" * recall / ("precision" + recall), 6)
+        |SELECT thr, tp, fp, fn, tn,
+        |  CAST(zp AS DOUBLE) / 1000000.0 + 0.0 AS "precision",
+        |  CAST(zr AS DOUBLE) / 1000000.0 + 0.0 AS recall,
+        |  -- f1 over the micro integers: one int/int rational
+        |  CASE WHEN zp + zr > 0
+        |    THEN CAST((2 * (2 * zp * zr) * 1000000 + (zp + zr) * 1000000)
+        |              // (2 * (zp + zr) * 1000000) AS DOUBLE)
+        |      / 1000000.0 + 0.0
         |  END AS f1
         |FROM pr""".stripMargin,
 
@@ -3784,8 +3868,11 @@ object NorthStarQueries {
         |  FROM l a JOIN l b ON a.line = b.line AND a.source < b.source
         |  GROUP BY 1, 2)
         |SELECT src_a, src_b, n_shared,
-        |  round(n_shared / ta.n, 6) AS overlap_a,
-        |  round(n_shared / tb.n, 6) AS overlap_b
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
+        |  CAST((2 * CAST(n_shared AS HUGEINT) * 1000000 + ta.n)
+        |       // (2 * ta.n) AS DOUBLE) / 1000000.0 + 0.0 AS overlap_a,
+        |  CAST((2 * CAST(n_shared AS HUGEINT) * 1000000 + tb.n)
+        |       // (2 * tb.n) AS DOUBLE) / 1000000.0 + 0.0 AS overlap_b
         |FROM p JOIN tot ta ON ta.source = src_a
         |       JOIN tot tb ON tb.source = src_b""".stripMargin,
 
@@ -3847,8 +3934,10 @@ object NorthStarQueries {
         |SELECT doc_id,
         |  count(*) AS n_grams,
         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-        |  round(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS novelty
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
+        |  CAST((2 * CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+        |          * 1000000 + count(*))
+        |       // (2 * count(*)) AS DOUBLE) / 1000000.0 + 0.0 AS novelty
         |FROM sh JOIN dfs USING (g)
         |GROUP BY doc_id""".stripMargin,
 
@@ -3962,7 +4051,10 @@ object NorthStarQueries {
         |  GROUP BY 1, 2
         |)
         |SELECT i.id_a, i.id_b,
-        |  round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
+        |  CAST((2 * CAST(i.c AS HUGEINT) * 1000000 + (sa.n + sb.n - i.c))
+        |       // (2 * (sa.n + sb.n - i.c)) AS DOUBLE)
+        |    / 1000000.0 + 0.0 AS jaccard
         |FROM inter i JOIN sz sa ON i.id_a = sa.id
         |  JOIN sz sb ON i.id_b = sb.id
         |WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.8""".stripMargin,
@@ -4167,12 +4259,17 @@ object NorthStarQueries {
         |  FROM d
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |  -- boundary-exact int/int round-6 (see text_unigram_logprob)
+        |  CAST((2 * CAST(len(list_intersect(a.sh, b.sh)) AS HUGEINT) * 1000000
+        |        + len(list_distinct(a.sh || b.sh)))
+        |       // (2 * len(list_distinct(a.sh || b.sh))) AS DOUBLE)
+        |    / 1000000.0 + 0.0 AS jaccard
         |FROM s a, s b
         |WHERE a.doc_id < b.doc_id
-        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / len(list_distinct(a.sh || b.sh)) >= 0.8""".stripMargin,
+        |  AND CAST((2 * CAST(len(list_intersect(a.sh, b.sh)) AS HUGEINT) * 1000000
+        |        + len(list_distinct(a.sh || b.sh)))
+        |       // (2 * len(list_distinct(a.sh || b.sh))) AS DOUBLE)
+        |    / 1000000.0 >= 0.8""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -1221,8 +1221,10 @@ object Similarity {
         round(sil * 1e6).cast("long").as("__sm"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("__sm")) / 1e6 / count(lit(1)), 6)
-          .as("mean_silhouette"))
+        // Σmicro/(10⁶·n) is the census boundary class — boundary-exact
+        // integer rounding (signed: silhouettes can be negative)
+        graft.text.TextAnalysis.exactRound6Ratio(sum(col("__sm")),
+          lit(1000000L) * count(lit(1))).as("mean_silhouette"))
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the

@@ -112,9 +112,14 @@ object TextAnalysis {
       .reduce(_ + _)
     df.select(col(idCol) +: keep.map(col) ++: Seq(
         n.as("n_tokens"),
-        round(sumLen.cast("double") / n, 6).as("mean_tok_len"),
-        round((nHash + nEllipsis).cast("double") / n, 6).as("symbol_ratio"),
-        round(nAlpha.cast("double") / n, 6).as("alpha_frac"),
+        // int/int ratios: boundary-exact round-6 (r16 sweep); the
+        // downstream thresholds are exact micro-multiples, so the
+        // conjunction is decided identically on both engines
+        exactRound6Ratio(sumLen, n.cast("long")).as("mean_tok_len"),
+        exactRound6Ratio((nHash + nEllipsis).cast("long"), n.cast("long"))
+          .as("symbol_ratio"),
+        exactRound6Ratio(nAlpha.cast("long"), n.cast("long"))
+          .as("alpha_frac"),
         stopHits.as("n_stop_hits")): _*)
       .withColumn("gopher_pass",
         (col("n_tokens").between(10, 2000) &&
@@ -188,12 +193,13 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct_trigrams"))
     bi.join(tri, idCol)
       .select(col(idCol), col("n_bigrams"), col("top_bigram_n"),
-        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6)
+        // int/int ratios: boundary-exact round-6 (r16 sweep);
+        // 1 − d/t is spelled as the single rational (t−d)/t
+        exactRound6Ratio(col("top_bigram_n"), col("n_bigrams"))
           .as("top_bigram_frac"),
         col("n_trigrams"),
-        round(lit(1.0) -
-          col("n_distinct_trigrams").cast("double") / col("n_trigrams"), 6)
-          .as("dup_trigram_frac"))
+        exactRound6Ratio(col("n_trigrams") - col("n_distinct_trigrams"),
+          col("n_trigrams")).as("dup_trigram_frac"))
   }
 
   /** Train/eval decontamination: flag every training document sharing
@@ -258,9 +264,10 @@ object TextAnalysis {
       .groupBy(col(idCol), col("__eval_id"), col("__la"), col("__lb"))
       .agg(count(lit(1)).as("__inter"))
     // round BEFORE the threshold, like the set-similarity join — an
-    // ulp-level division difference can't flip an at-threshold pair
-    val j = round(col("__inter").cast("double") /
-      (col("__la") + col("__lb") - col("__inter")), 6)
+    // ulp-level division difference can't flip an at-threshold pair;
+    // boundary-exact integer rounding (int/int ratio, r16 sweep)
+    val j = exactRound6Ratio(col("__inter"),
+      col("__la") + col("__lb") - col("__inter"))
     inter.select(col(idCol), j.as("__j"))
       .where(col("__j") >= threshold)
       .groupBy(col(idCol))
@@ -718,8 +725,9 @@ object TextAnalysis {
       .join(broadcast(totals.select(col(srcCol).as("src_b"),
         col("__n").as("__nb"))), "src_b")
       .select(col("src_a"), col("src_b"), col("n_shared"),
-        round(col("n_shared") / col("__na"), 6).as("overlap_a"),
-        round(col("n_shared") / col("__nb"), 6).as("overlap_b"))
+        // int/int ratios: boundary-exact round-6 (r16 sweep)
+        exactRound6Ratio(col("n_shared"), col("__na")).as("overlap_a"),
+        exactRound6Ratio(col("n_shared"), col("__nb")).as("overlap_b"))
   }
 
   /** Sketch-based cross-source overlap — the 100-TB form of
@@ -1150,7 +1158,8 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .select(col("term"), col("cnt"),
         row_number().over(w).cast("int").as("rank"),
-        round(sum(col("cnt")).over(w).cast("double") / col("n_total"), 6)
+        // int/int ratio: boundary-exact round-6 (r16 sweep)
+        exactRound6Ratio(sum(col("cnt")).over(w), col("n_total"))
           .as("cum_frac"))
   }
 
@@ -1442,7 +1451,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty",
-        round(col("n_novel").cast("double") / col("n_grams"), 6))
+        exactRound6Ratio(col("n_novel"), col("n_grams")))
   }
 
   /** BM25 top-k retrieval (Robertson/Sparck-Jones, the Lucene
