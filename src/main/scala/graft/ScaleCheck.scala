@@ -993,3 +993,51 @@ object ScaleCheckGates {
     spark.stop()
   }
 }
+
+/** r16 cell-route recall measurement (VERDICT r15 #5) —
+  * `runMain graft.CellRecall <sfDir>`. Prints the SemDeDup-trade
+  * recall curve for BOTH production cell-route spaces:
+  *  - the multimodal byte-histogram features (the degenerate space
+  *    `multimodal_neardups` reroutes through at every scale), at the
+  *    production threshold 0.95 and neighbors;
+  *  - the embeddings corpus (the sf10 `sim_cosine_neardups` reroute
+  *    regime), at the production threshold 0.4 and neighbors;
+  * plus planted-duplicate recall at eps ∈ {0.02, 0.05, 0.1, 0.2}
+  * (cosine ≈ (1−eps²)/(1+eps²): 0.9992 … 0.923). Sampled-pair recall
+  * is unbiased for global pair recall (uniform sample of pairs) at
+  * constant cost — run at any fixture scale.
+  */
+object CellRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.similarity.Similarity
+    val media = graft.multimodal.Multimodal.asMedia(
+      graft.model.Tables.documents(spark, sfDir), "doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val feats = graft.multimodal.Multimodal
+      .extractPerceptualFeatures(spark, media).toDF()
+      .select(col("media_id"), col("features"))
+    println("[cellrecall] multimodal byte-histogram space:")
+    Similarity.cellRouteRecall(feats, "media_id", "features",
+        Seq(0.90, 0.93, 0.95, 0.97, 0.99), sampleN = 2048)
+      .collect().foreach(r => println(s"[cellrecall] mm $r"))
+    Similarity.cellRoutePlantedRecall(feats, "media_id", "features",
+        Seq(0.02, 0.05, 0.1, 0.2))
+      .collect().foreach(r => println(s"[cellrecall] mm_planted $r"))
+    val emb = graft.model.Tables.embeddings(spark, sfDir)
+    println("[cellrecall] embeddings space:")
+    Similarity.cellRouteRecall(emb, "vec_id", "embedding",
+        Seq(0.3, 0.4, 0.5, 0.7, 0.9), sampleN = 2048)
+      .collect().foreach(r => println(s"[cellrecall] emb $r"))
+    Similarity.cellRoutePlantedRecall(emb, "vec_id", "embedding",
+        Seq(0.02, 0.05, 0.1, 0.2))
+      .collect().foreach(r => println(s"[cellrecall] emb_planted $r"))
+    spark.stop()
+  }
+}

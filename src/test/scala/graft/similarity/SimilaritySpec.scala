@@ -780,4 +780,54 @@ class SimilaritySpec extends SparkSpec {
       s"($bandsMp bands x $bits bits)")
     assert(recall > 0.5, f"probe-path recall $recall%.2f too low")
   }
+
+  test("cellRouteRecall: same-cell fraction of true sample pairs, " +
+    "exact on a hand-built four-direction corpus (r15 #5)") {
+    // four PURE directions (orthogonal axes), magnitudes varying within
+    // each: cosine is scale-free, so within-direction pairs are exactly
+    // 1.0 and MUST assign to the same nearest centroid whatever the
+    // quantizer does; cross-direction pairs are exactly 0.0 and fall
+    // below every threshold — recall must be exactly 1.0. (A cluster
+    // with internal angular spread CAN legitimately split across cells
+    // — that cross-cell miss is the quantity this measures.)
+    val rows = (0 until 64).map { i =>
+      val v = Array(0f, 0f, 0f, 0f)
+      v(i % 4) = 1.0f + (i % 7)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "vec")
+    val out = Similarity.cellRouteRecall(df, "id", "vec",
+        Seq(0.9, 0.99), sampleN = 64, targetCellRows = 16)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    // 4 directions × 16 rows → 4·C(16,2) = 480 true pairs at both
+    // thresholds; all same-cell
+    val (t9, f9, rec9) = out(0.9)
+    assert(t9 == 480, s"expected 480 within-direction pairs, got $t9")
+    assert(f9 == t9 && rec9 == 1.0,
+      s"cosine-identical pairs must be same-cell: $out")
+    val (t99, f99, rec99) = out(0.99)
+    assert(t99 == 480 && f99 == t99 && rec99 == 1.0, s"$out")
+  }
+
+  test("cellRoutePlantedRecall: eps=0 analog (tiny eps) is found; " +
+    "recall and mean sim are monotone-sane (r15 #5)") {
+    val emb = Tables.embeddings(spark, sf()).limit(512)
+    val out = Similarity.cellRoutePlantedRecall(emb, "vec_id", "embedding",
+        Seq(0.01, 0.2), nPlant = 32, targetCellRows = 64)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(4))).toMap
+    val (sim1, n1, rec1) = out(0.01)
+    val (sim2, n2, rec2) = out(0.2)
+    assert(n1 == 32 && n2 == 32)
+    // cosine((1+e)x_even,(1-e)x_odd form) = analytic (1-e^2)/sqrt-ish:
+    // at eps=0.01 the copy is ~0.9998-similar, at 0.2 ~0.92
+    assert(sim1 > 0.999 && sim1 <= 1.0 + 1e-9, s"sim1=$sim1")
+    assert(sim2 < sim1, s"larger eps must lower planted sim: $sim2 >= $sim1")
+    assert(rec1 >= 0.0 && rec1 <= 1.0 && rec2 >= 0.0 && rec2 <= 1.0)
+    // a ~0.9998-similar copy lands in its original's cell essentially
+    // always; allow one boundary straggler out of 32
+    assert(rec1 >= 31.0 / 32.0, s"near-identical planted recall: $rec1")
+  }
+
 }
