@@ -69,10 +69,26 @@ object DecadeCheck {
     //    Skew must change plans, never results: the correctness leg
     //    re-runs the join/groupBy registry subset against DuckDB on the
     //    same fixture bytes.
+    //  - "zipftok": TOKEN-frequency skew in documents (VERDICT r15 #6)
+    //    — the r15 zipf flag skews fact foreign keys, but what actually
+    //    threatens the containment Σdf² gate and the text df-spectrum
+    //    paths is shingle document-frequency skew. Appends a 3-token
+    //    phrase "zt<h>a zt<h>b zt<h>c" per doc with h = ⌊16·u⁴⌋
+    //    (u hash-uniform of doc_id): density ∝ h^(-3/4), so hot phrase
+    //    h=0 lands in ~50% of ALL documents — its full shingle's df is
+    //    ~n/2 and its df² term alone is ~n²/4, real stop-shingle-grade
+    //    skew in the DATA. Skew must change plans (gate routing,
+    //    prefix-filter ordering), never results: re-run the dedup/text
+    //    registry subset against DuckDB on the same fixture bytes.
+    //    Composes with the suffix (near-dup) document mode; with
+    //    "disjoint" it deliberately re-introduces cross-replica shingle
+    //    collisions (the hot phrases are global) — use reps=1 or the
+    //    suffix mode for the clean leg.
     val flags = args.drop(3).toSet
     val sharded = flags.contains("sharded")
     val disjoint = flags.contains("disjoint")
     val zipf = flags.contains("zipf")
+    val zipfTok = flags.contains("zipftok")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -160,13 +176,23 @@ object DecadeCheck {
       rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
       rep("events", Seq("event_id", "user_id"))
     }
+    // zipftok: power-law hot 3-token phrase; h hash-drawn per doc over
+    // 16 phrase ids with density ∝ h^(-3/4) (see flag scaladoc above)
+    def hotTok(df: DataFrame): DataFrame = if (!zipfTok) df else {
+      val u = (abs(xxhash64(col("doc_id"), lit(37))) % 1000000000L)
+        .cast("double") / 1e9
+      val h = least(lit(15L), floor(lit(16.0) * pow(u, 4.0)).cast("long"))
+        .cast("string")
+      df.withColumn("text", concat(col("text"),
+        lit(" zt"), h, lit("a zt"), h, lit("b zt"), h, lit("c")))
+    }
     if (disjoint) {
       // per-replica vocabulary bijection: intra-replica text structure
       // identical to base, cross-replica shingle overlap exactly zero
       rep("documents", Seq("doc_id"),
-        _.withColumn("text", expr(
+        d => hotTok(d.withColumn("text", expr(
           "IF(__r = 0, text, array_join(transform(split(text, ' ')," +
-            " t -> concat('r', __r, '_', t)), ' '))")))
+            " t -> concat('r', __r, '_', t)), ' '))"))))
       // diagonal orthogonal transform per replica (murmur3-keyed sign
       // flips): intra-replica dots bit-identical, cross-replica ~0
       rep("embeddings", Seq("vec_id"),
@@ -177,7 +203,8 @@ object DecadeCheck {
       // suffix token: replicas are NEAR-duplicates (high-Jaccard, not
       // exact), and the vocabulary grows with the corpus
       rep("documents", Seq("doc_id"),
-        _.withColumn("text", concat(col("text"), lit(" xr"), col("__r"))))
+        d => hotTok(d.withColumn("text",
+          concat(col("text"), lit(" xr"), col("__r")))))
       // first-component nudge: replica vectors stay close but cosine
       // ties break deterministically in the data itself
       rep("embeddings", Seq("vec_id"),
