@@ -1497,15 +1497,17 @@ object BreadthQueries {
         |          + ns.n_wedges) // (2 * ns.n_wedges) AS DOUBLE)
         |      / 1000000.0 + 0.0
         |  ELSE 0.0 END AS transitivity,
-        |  -- signed num/den: den's sign folds into the numerator
-        |  CASE WHEN 2 * es.n_edges * es.dd - es.b * es.b <> 0 THEN
-        |    (CASE WHEN (CAST(4 * es.n_edges * es.a AS HUGEINT) - CAST(es.b AS HUGEINT) * es.b)
-        |            * (CAST(2 * es.n_edges * es.dd AS HUGEINT) - CAST(es.b AS HUGEINT) * es.b) < 0
+        |  -- signed num/den: den's sign folds into the numerator;
+        |  -- HUGEINT promotion BEFORE the products (r15 census lesson)
+        |  CASE WHEN 2 * CAST(es.n_edges AS HUGEINT) * es.dd
+        |         - CAST(es.b AS HUGEINT) * es.b <> 0 THEN
+        |    (CASE WHEN (4 * CAST(es.n_edges AS HUGEINT) * es.a - CAST(es.b AS HUGEINT) * es.b)
+        |            * (2 * CAST(es.n_edges AS HUGEINT) * es.dd - CAST(es.b AS HUGEINT) * es.b) < 0
         |      THEN -1.0 ELSE 1.0 END)
-        |    * CAST((2 * abs(CAST(4 * es.n_edges * es.a AS HUGEINT) - CAST(es.b AS HUGEINT) * es.b)
+        |    * CAST((2 * abs(4 * CAST(es.n_edges AS HUGEINT) * es.a - CAST(es.b AS HUGEINT) * es.b)
         |              * 1000000
-        |            + abs(CAST(2 * es.n_edges * es.dd AS HUGEINT) - CAST(es.b AS HUGEINT) * es.b))
-        |           // (2 * abs(CAST(2 * es.n_edges * es.dd AS HUGEINT) - CAST(es.b AS HUGEINT) * es.b))
+        |            + abs(2 * CAST(es.n_edges AS HUGEINT) * es.dd - CAST(es.b AS HUGEINT) * es.b))
+        |           // (2 * abs(2 * CAST(es.n_edges AS HUGEINT) * es.dd - CAST(es.b AS HUGEINT) * es.b))
         |           AS DOUBLE)
         |    / 1000000.0 + 0.0
         |  END AS assortativity
