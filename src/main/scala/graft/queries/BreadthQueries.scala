@@ -860,7 +860,7 @@ object BreadthQueries {
         |  SELECT l_returnflag, approx_orders, approx_median_price
         |  FROM read_parquet('${OracleAux.sqlDir("sketch_approx")}/*.parquet')
         |),
-        |e AS (
+        |e AS MATERIALIZED (
         |  SELECT l_returnflag,
         |    count(DISTINCT l_orderkey) AS exact_orders,
         |    count(*) AS n_rows
@@ -1288,12 +1288,17 @@ object BreadthQueries {
     // Spark side's decimal(38,0) div (no doubles: N·c(ab)·10⁶ exceeds
     // 2⁵³ at corpus scale, where double rounding would diverge)
     "agg_association_rules" ->
-      """WITH bi AS (
+      """WITH bi AS MATERIALIZED (
+        |  -- bi is referenced 4x (pr twice, n, it): DuckDB 1.0 inlines
+        |  -- CTEs per reference, so unmaterialized the 60M-row DISTINCT
+        |  -- re-evaluates 4x and the sf10 oracle ran 50+ min without
+        |  -- finishing; MATERIALIZED measures 63 s (r16 census find —
+        |  -- the label-prop 2^depth lesson again)
         |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),
         |n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
-        |it AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM bi GROUP BY 1),
-        |pr AS (
+        |it AS MATERIALIZED (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM bi GROUP BY 1),
+        |pr AS MATERIALIZED (
         |  SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS cab
         |  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -1433,22 +1438,22 @@ object BreadthQueries {
     // ordering — agreement with the Spark side proves the wedge-
     // direction trick counts each triangle exactly once
     "graph_triangle_counts" ->
-      """WITH pr AS (
+      """WITH pr AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
         |  FROM lineitem WHERE l_partkey % 4 = 0),
-        |e AS (
+        |e AS MATERIALIZED (
         |  SELECT DISTINCT a.pk AS u, b.pk AS v
         |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk),
         |deg AS (
         |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
         |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
         |  GROUP BY 1),
-        |tri AS (
+        |tri AS MATERIALIZED (
         |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
         |  FROM e e1
         |  JOIN e e2 ON e1.v = e2.u
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-        |tc AS (
+        |tc AS MATERIALIZED (
         |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
         |    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
         |    UNION ALL SELECT z FROM tri)
@@ -1468,13 +1473,13 @@ object BreadthQueries {
     // HUGEINT keeps the cleared-fraction sums exact; one double
     // division at the end mirrors the Spark side
     "graph_summary_stats" ->
-      """WITH pr AS (
+      """WITH pr AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
         |  FROM lineitem WHERE l_partkey % 4 = 0),
-        |e AS (
+        |e AS MATERIALIZED (
         |  SELECT DISTINCT a.pk AS u, b.pk AS v
         |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk),
-        |deg AS (
+        |deg AS MATERIALIZED (
         |  SELECT node, count(*) AS d FROM (
         |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
         |ns AS (
@@ -1555,13 +1560,13 @@ object BreadthQueries {
     // sequential per-stage min formulation (join + filtered MIN per
     // stage) — different plan shape, identical epoch-µs integers
     "window_funnel_steps" ->
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
-        |s1 AS (
+        |s1 AS MATERIALIZED (
         |  SELECT user_id,
         |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
         |  FROM e GROUP BY 1),
-        |s2 AS (
+        |s2 AS MATERIALIZED (
         |  SELECT e.user_id,
         |    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t1
         |      AND e.ts <= s1.t1 + 3600000000 THEN e.ts END) AS t2

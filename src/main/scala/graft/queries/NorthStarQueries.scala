@@ -1902,7 +1902,7 @@ object NorthStarQueries {
     // exact top-10 (brute-force CTE) vs the re-ranked materialized
     // candidate set — per-query hit fraction, same tiebreaks both sides
     "sim_recall_at_k" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         |bf AS (SELECT qe.vec_id AS query_id, ne.vec_id AS neighbor_id,
         |    list_cosine_similarity(qe.v, ne.v) AS score
@@ -2376,9 +2376,9 @@ object NorthStarQueries {
     // same double-ratio PMI; the bigram extraction reuses the
     // text_bigram_logprob unnest(range) idiom
     "text_pmi_collocations" ->
-      """WITH toks AS (
+      """WITH toks AS MATERIALIZED (
         |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |u AS (SELECT tok, count(*) AS cu
+        |u AS MATERIALIZED (SELECT tok, count(*) AS cu
         |      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM (SELECT unnest(t) AS tok FROM toks)),
         |bg AS (
@@ -2569,7 +2569,7 @@ object NorthStarQueries {
         |FROM top""".stripMargin,
 
     "text_unigram_logprob" ->
-      """WITH toks AS (
+      """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
         |  FROM documents),
         |v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
@@ -2593,16 +2593,16 @@ object NorthStarQueries {
     // ratio is a double division on both engines (DuckDB int/int is
     // true division), ln of the same double
     "text_bigram_logprob" ->
-      """WITH toks AS (
+      """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |  FROM documents),
-        |bg AS (
+        |bg AS MATERIALIZED (
         |  SELECT doc_id, t[i+1] AS w1, t[i+1] || ' ' || t[i+2] AS bigram
         |  FROM (SELECT doc_id, t,
         |          unnest(range(0, greatest(len(t) - 1, 0))) AS i FROM toks)),
         |v AS (SELECT count(DISTINCT tok) AS vsz
         |      FROM (SELECT unnest(t) AS tok FROM toks)),
-        |cb AS (SELECT w1, bigram, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |cb AS MATERIALIZED (SELECT w1, bigram, count(*) AS cb FROM bg GROUP BY 1, 2),
         |ctx AS (SELECT w1, sum(cb) AS ctx FROM cb GROUP BY 1),
         |lp AS (
         |  SELECT bigram,
@@ -2620,16 +2620,16 @@ object NorthStarQueries {
     // quantile_cont over the same doc_id%5 sample, rounded to 6 dp on
     // both sides BEFORE the boundary comparison
     "text_ppl_buckets" ->
-      """WITH toks AS (
+      """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |  FROM documents),
-        |bg AS (
+        |bg AS MATERIALIZED (
         |  SELECT doc_id, t[i+1] AS w1, t[i+1] || ' ' || t[i+2] AS bigram
         |  FROM (SELECT doc_id, t,
         |          unnest(range(0, greatest(len(t) - 1, 0))) AS i FROM toks)),
         |v AS (SELECT count(DISTINCT tok) AS vsz
         |      FROM (SELECT unnest(t) AS tok FROM toks)),
-        |cb AS (SELECT w1, bigram, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |cb AS MATERIALIZED (SELECT w1, bigram, count(*) AS cb FROM bg GROUP BY 1, 2),
         |ctx AS (SELECT w1, sum(cb) AS ctx FROM cb GROUP BY 1),
         |lp AS (
         |  SELECT bigram,
@@ -2721,15 +2721,15 @@ object NorthStarQueries {
     // (Spark joins concatenated n-gram strings; tokens contain no
     // whitespace so the keys are equivalent), same micro-nat sums
     "text_trigram_backoff" ->
-      """WITH toks AS (
+      """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, doc_id % 10 <> 7 AS train,
         |    string_split_regex(trim(text), '\s+') AS t
         |  FROM documents),
-        |tri AS (
+        |tri AS MATERIALIZED (
         |  SELECT doc_id, train, t[i+1] AS w1, t[i+2] AS w2, t[i+3] AS w3
         |  FROM (SELECT doc_id, train, t,
         |          unnest(range(0, greatest(len(t) - 2, 0))) AS i FROM toks)),
-        |bi AS (
+        |bi AS MATERIALIZED (
         |  SELECT doc_id, train, t[i+1] AS w1, t[i+2] AS w2
         |  FROM (SELECT doc_id, train, t,
         |          unnest(range(0, greatest(len(t) - 1, 0))) AS i FROM toks)),
@@ -3859,7 +3859,7 @@ object NorthStarQueries {
       """WITH t AS (
         |  SELECT source, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents),
-        |l AS (SELECT DISTINCT source,
+        |l AS MATERIALIZED (SELECT DISTINCT source,
         |    array_to_string(list_slice(w, i*3 + 1, i*3 + 3), ' ') AS line
         |  FROM t, unnest(range(0, CAST(ceil(len(w)/3.0) AS BIGINT))) AS u(i)),
         |tot AS (SELECT source, count(*) AS n FROM l GROUP BY 1),
@@ -4107,7 +4107,7 @@ object NorthStarQueries {
     // same moments via the pairwise self-join; rank under the same
     // (|r| desc, dims) total order
     "sim_dim_correlation" ->
-      """WITH x AS (
+      """WITH x AS MATERIALIZED (
         |  SELECT vec_id, u.d AS dim,
         |    CAST(round(CAST(u.v AS DOUBLE) * 1e6) AS BIGINT) AS xm
         |  FROM (SELECT vec_id,
