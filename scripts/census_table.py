@@ -22,9 +22,11 @@ def main(out_dir, check_log, preds_path=None):
         r"(?:\((\d+) rows(?:, oracle ([\d.]+)s)?\))?")
     for line in open(check_log):
         line = line.rstrip()
-        m = re.match(r"^PASS (\S+) \((\d+) rows, oracle ([\d.]+)s\)", line)
+        m = re.match(r"^PASS (\S+) \((\d+) rows, oracle ([\d.]+)s"
+                     r"(, sampled[^)]*)?\)", line)
         if m:
-            rows[m.group(1)] = ("exact", int(m.group(2)), float(m.group(3)))
+            kind = "sampled" if m.group(4) else "exact"
+            rows[m.group(1)] = (kind, int(m.group(2)), float(m.group(3)))
             continue
         m = re.match(r"^\[rows-only\] (\S+): (\d+) rows", line)
         if m:
@@ -47,7 +49,7 @@ def main(out_dir, check_log, preds_path=None):
             print(f"| {name} | MISSING (no verify output row) | {ss} | — |")
             continue
         kind, nrows, extra = st
-        if kind == "exact" and name in preds:
+        if kind == "sampled" or (kind == "exact" and name in preds):
             n_samp += 1
             print(f"| {name} | sampled-green ({preds[name]}; {nrows} rows)"
                   f" | {ss} | {extra} |")

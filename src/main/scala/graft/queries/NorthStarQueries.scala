@@ -1406,10 +1406,20 @@ object NorthStarQueries {
     // embedding near-dup pairs (cosine ≥ 0.4 — the corpus' top pairs sit
     // at ≈0.45; nothing is above 0.5). Wide bands, sketch pre-filter;
     // candidates materialized, exact stage DuckDB-verified
+    // MEASURED-gate routing (r16 census find — the multimodal_neardups
+    // treatment): threshold 0.4 sits at ≈3.2σ of the N(0, 1/√64)
+    // embedding background, so the banded CANDIDATE list is
+    // corpus-quadratic there — the old plan materialized it raw and
+    // died on disk at sf10 (>70 GB aux write, ENOSPC, reproduced in a
+    // fresh JVM). The auto gate measures the background and reroutes
+    // to the cell-bounded operator at that scale; EITHER route emits
+    // exact-scored pairs ≥ t, and the oracle re-scores the
+    // materialized pair list, so the contract is route-independent.
     "sim_cosine_neardups" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.cosineNearDupCandidates(emb, "vec_id", "embedding",
-        threshold = 0.4)
+      Similarity.cosineNearDupsAuto(emb, "vec_id", "embedding",
+          threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
         .write.mode("overwrite").parquet(OracleAux.dir(dir, "cosine_cands"))
       Similarity.cosineNearDupsFromCandidates(
         s.read.parquet(OracleAux.dir(dir, "cosine_cands")),
