@@ -263,9 +263,11 @@ object BreadthQueries {
         // percent_rank/cume_dist are int/int ratios with small per-
         // partition denominators — boundary-exact round-6 (r16 sweep);
         // the (value desc, event_id) order is tie-free, so cume_dist
-        // equals row_number/n
-        .withColumn("__n",
-          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        // equals row_number/n. The count shares w's partition+order
+        // (full frame) so it merges into the SAME WindowExec — no
+        // second window pass
+        .withColumn("__n", count(lit(1)).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
         .withColumn("prnk", when(col("__n") === 1, lit(0.0)).otherwise(
           graft.text.TextAnalysis.exactRound6Ratio(
             col("rnk").cast("long") - 1, col("__n") - 1)))
