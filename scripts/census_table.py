@@ -32,7 +32,9 @@ def main(out_dir, check_log, preds_path=None):
         if m:
             rows[m.group(1)] = ("rows-only", int(m.group(2)), None)
             continue
-        m = re.match(r"^FAIL (\S+)[: ](.*)", line)
+        # non-greedy name + optional colon: "FAIL name: why" must key as
+        # "name", not "name:" (a trailing colon breaks the verify-dir join)
+        m = re.match(r"^FAIL (\S+?):? (.*)", line)
         if m:
             rows[m.group(1)] = ("FAIL", None, m.group(2)[:80])
     names = sorted(set(list(rows.keys()) + [d for d in os.listdir(out_dir)
@@ -51,8 +53,8 @@ def main(out_dir, check_log, preds_path=None):
         kind, nrows, extra = st
         if kind == "sampled" or (kind == "exact" and name in preds):
             n_samp += 1
-            print(f"| {name} | sampled-green ({preds[name]}; {nrows} rows)"
-                  f" | {ss} | {extra} |")
+            print(f"| {name} | sampled-green ({preds.get(name, 'sampled')};"
+                  f" {nrows} rows) | {ss} | {extra} |")
         elif kind == "exact":
             n_exact += 1
             print(f"| {name} | exact-green ({nrows} rows) | {ss} | {extra} |")

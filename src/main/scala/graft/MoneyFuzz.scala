@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 import scala.util.Random
 
@@ -52,9 +52,15 @@ object MoneyFuzz {
   /** `oracle` carries a per-engine DuckDB twin when the shared-text
     * discipline can't hold (ratio mode: integral division is `div` on
     * DECIMAL(38,0) in Spark, `//` on HUGEINT in DuckDB). None → the
-    * Spark text runs verbatim on both engines. */
+    * Spark text runs verbatim on both engines. `df`, when present,
+    * REPLACES the Spark-side SQL with a DataFrame build through the
+    * production helper (`exactRound6Ratio`) — so the fuzzer watches
+    * the code registry queries actually run, not a SQL re-spelling of
+    * it (r16 ADVICE: the text form carried its own `+ 0.0` and so
+    * could never catch a helper signed-zero regression). */
   final case class Case(name: String, sql: String,
-                        oracle: Option[String] = None)
+                        oracle: Option[String] = None,
+                        df: Option[SparkSession => DataFrame] = None)
 
   /** `avgthr` mode (r15, VERDICT r14 optional #8): the q22 class — a
     * row/group's MEMBERSHIP decided by comparing a raw double measure
@@ -144,8 +150,11 @@ object MoneyFuzz {
     * including the boundary-dense forms (den = k·10⁶·count makes every
     * odd-constant group land EXACTLY on the .5 micro boundary), and
     * group shapes down to ~10-row groups where boundary hits are
-    * frequent. Spark runs the signum spelling over DECIMAL(38,0)/`div`;
-    * the DuckDB twin runs the SAME integer formula over HUGEINT/`//`,
+    * frequent. Spark runs the PRODUCTION helper
+    * (`TextAnalysis.exactRound6Ratio` via a DataFrame build — r17: the
+    * earlier SQL-text form re-spelled the formula and so could not
+    * catch helper regressions like the signed zero);
+    * the DuckDB twin runs the same integer formula over HUGEINT/`//`,
     * and negative-only cases with den = 10⁶·count use the registry's
     * negated spelling (`-CAST((-2·Σ + n) // (2n) AS DOUBLE)/1e6 + 0.0`)
     * so the two spellings used in production oracles are cross-checked
@@ -215,7 +224,30 @@ object MoneyFuzz {
              |        // (2 * count(*)) AS DOUBLE) / 1000000.0 + 0.0 AS r6
              |FROM t$gb""".stripMargin
         } else text("HUGEINT", "//")
-      Case(f"ratio_$i%03d", text("DECIMAL(38,0)", "div"), Some(oracle))
+      // Spark side: the PRODUCTION helper over a DataFrame build —
+      // identical grouping/den shapes, but the round-half-away
+      // arithmetic is graft.text.TextAnalysis.exactRound6Ratio itself
+      // (what every registry ratio query runs), so a helper regression
+      // (e.g. the signed-zero normalizer) fails the fuzz directly
+      val dfBuild: SparkSession => DataFrame = { s =>
+        import org.apache.spark.sql.functions._
+        val t = s.sql(
+          s"SELECT ${(groupSel :+ s"$v AS v").mkString(", ")} FROM lineitem")
+        val denCol = Seq(
+          lit(1000000L) * count(lit(1)), lit(2000000L) * count(lit(1)),
+          lit(4000000L) * count(lit(1)), count(lit(1)),
+          lit(2L) * count(lit(1)))(denFam)
+        val grouped =
+          if (groupBy.nonEmpty) t.groupBy(groupBy.map(col): _*)
+          else t.groupBy()
+        grouped
+          .agg(count(lit(1)).as("n_rows"),
+            graft.text.TextAnalysis.exactRound6Ratio(
+              sum(col("v")), denCol).as("r6"))
+          .select((groupBy.map(col) :+ col("n_rows") :+ col("r6")): _*)
+      }
+      Case(f"ratio_$i%03d", text("DECIMAL(38,0)", "div"), Some(oracle),
+        Some(dfBuild))
     }
   }
 
@@ -378,7 +410,8 @@ object MoneyFuzz {
 
     val all = cases(nCases, mode)
     all.foreach { c =>
-      try spark.sql(c.sql).repartition(1).write.mode("overwrite")
+      try c.df.map(_(spark)).getOrElse(spark.sql(c.sql))
+        .repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/${c.name}")
       catch { case e: Throwable =>
         System.err.println(s"[fuzz] ${c.name} failed: ${e.getMessage}")

@@ -968,30 +968,24 @@ object ScaleCheckGates {
     }
     // the containmentPairsAuto decision inputs + outcome, WITHOUT
     // executing the query (r16 zipftok leg: what real token-df skew
-    // does to the measured gate) — mirrors the gate arithmetic at
-    // Dedup.containmentPairsAutoWithPath
+    // does to the measured gate) — runs Dedup.containmentGate, the
+    // PRODUCTION decision code, so the printed route cannot drift
+    // from what containmentPairsAuto actually chooses (r16 ADVICE:
+    // the old hand-mirrored arithmetic ignored the postingsFit leg
+    // and hardcoded the pair ceiling)
     if (only("cont_auto_gate")) {
-      val planPostings = BigDecimal(
-        docs.queryExecution.optimizedPlan.stats.sizeInBytes) / 2
       val hotTop = docs.select(explode(graft.dedup.Dedup.shingles(
           graft.text.TextAnalysis.tokens(col("text")), 3)).as("__s"))
         .groupBy(col("__s")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc).limit(3)
         .collect().map(r => s"'${r.getString(0).take(18)}'=${r.getLong(1)}")
         .mkString(", ")
-      val df2 = docs.select(explode(graft.dedup.Dedup.shingles(
-          graft.text.TextAnalysis.tokens(col("text")), 3)).as("__s"))
-        .select(xxhash64(col("__s")).as("h"))
-        .groupBy(col("h")).agg(count(lit(1)).cast("double").as("__df"))
-        .agg(coalesce(sum(col("__df") * col("__df")), lit(0.0)))
-        .head.getDouble(0)
-      val usesSketch = df2 > 2000000000L.toDouble
-      val verify =
-        if (usesSketch) "sketch-screen"
-        else if (df2 <= graft.dedup.Dedup.CountVerifyFastPairs) "count"
-        else "broadcast-or-count-by-size"
-      println(f"cont_auto_gate               planPostings=$planPostings " +
-        f"df2=$df2%.3e route=$verify hottest: $hotTop")
+      val g = graft.dedup.Dedup.containmentGate(docs, "text", 3, 0.5)
+      println(f"cont_auto_gate               planPostings=${g.planPostings} " +
+        f"planBound=${g.planBound} measuredTotal=${g.measuredTotal} " +
+        f"postingsFit=${g.postingsFit} " +
+        f"df2=${g.df2.map(d => f"$d%.3e").getOrElse("unmeasured")} " +
+        f"route=${g.route()} hottest: $hotTop")
     }
     time("cont_verify_broadcast") {
       graft.dedup.Dedup.containmentPairsInverted(docs, "doc_id", "text",

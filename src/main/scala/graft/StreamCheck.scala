@@ -51,6 +51,16 @@ object StreamCheck {
       "cms" -> (() => checkCms(spark, sfDir)),
       "latedrop" -> (() => checkLateDrop(spark, sfDir)),
       "winnow" -> (() => checkWinnowScreen(spark, sfDir)))
+    // `bench` is a THROUGHPUT mode, not a parity check: it re-runs the
+    // three stateful plan families over a sliced replay source and
+    // reports rows/sec + per-micro-batch latency. Excluded from `all`
+    // so the 12-check parity battery stays the cross-round comparator.
+    if (mode == "bench") {
+      val ok = checkBench(spark, sfDir)
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
+    }
     val selected = checks.filter { case (n, _) => mode == "all" || mode == n }
     require(selected.nonEmpty, s"unknown --check=$mode")
     val ok = selected.map { case (_, f) => f() }.forall(identity)
@@ -618,4 +628,107 @@ object StreamCheck {
       s""""sec":${js((System.nanoTime() - t0) / 1e9)}}""")
     parity
   }
+
+  /** Streaming THROUGHPUT bench (VERDICT r16 #4): the parity battery
+    * proves stream == batch but records no performance. This mode
+    * replays the events table through the file source and reports, per
+    * plan family, wall seconds, input rows/sec, micro-batch count, and
+    * per-micro-batch trigger latency (mean/max ms, from the engine's
+    * own `StreamingQueryProgress`). Two source shapes per family:
+    *
+    *  - `bulk`: whole table in one `AvailableNow` batch — peak
+    *    sustained rows/sec through the plan (the backlog-catchup bound);
+    *  - `replay16`: the table range-partitioned on `ts` into 16 files,
+    *    mtime-ordered, `maxFilesPerTrigger=1` — 16 real watermark-
+    *    advancing micro-batches (the Kinesis-shard replay shape), so
+    *    the per-batch latency numbers include state store commit +
+    *    checkpoint overhead per trigger, which is what dominates a
+    *    small-batch production stream.
+    *
+    * Convention: run COLD (fresh JVM per invocation, BASELINE.md
+    * anchor convention); sink is the checkpointed foreachBatch parquet
+    * sink (the production sink shape), not the memory sink.
+    */
+  private def checkBench(spark: SparkSession, sfDir: String): Boolean = {
+    val windowSec = graft.queries.ReferenceQueries.WindowSec
+    val threshold = graft.queries.ReferenceQueries.Threshold
+    val ev = graft.model.Tables.events(spark, sfDir)
+    val nIn = ev.count()
+    // replay source: range-partitioned on ts so part-file lexical order
+    // == time order; mtimes pinned ascending so the file source's
+    // modification-time ordering replays the corpus chronologically
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sc_bsrc").toString
+    ev.repartitionByRange(16, col("ts")).write.mode("overwrite").parquet(srcDir)
+    val parts = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 60000L) }
+
+    def bench(name: String, plan: DataFrame => DataFrame,
+              maxFiles: Option[Int]): Boolean = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft_sc_out").toString
+      val t0 = System.nanoTime()
+      val q = plan(eventsStream0(spark, srcDir, maxFiles))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val outRows = spark.read.parquet(outDir).count()
+      // data-carrying triggers only (AvailableNow appends an empty
+      // watermark-flush batch; its latency isn't input throughput)
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      val ms = prog.map(_.durationMs.get("triggerExecution").toLong)
+      val mean = if (ms.nonEmpty) ms.sum / ms.length else 0L
+      println(
+        s"""{"check":"streaming_bench_$name","sf":"$sfDir","rows_in":$nIn,""" +
+        s""""rows_out":$outRows,"batches":${ms.length},"sec":${js(sec)},""" +
+        s""""rows_per_sec":${js(nIn / sec)},"batch_ms_mean":$mean,""" +
+        s""""batch_ms_max":${if (ms.nonEmpty) ms.max else 0L}}""")
+      outRows > 0
+    }
+
+    def statefulPlan(df: DataFrame): DataFrame =
+      graft.streaming.StatefulSpend.streamingSpendAlerts(
+        graft.streaming.StatefulSpend.asTxns(df), 200.0).toDF()
+    def fraudPlan(df: DataFrame): DataFrame =
+      graft.streaming.StreamingFraud.fraudStream(df, windowSec, threshold)
+
+    // the join's second leg opens its own stream: for the replay16
+    // shape both sides pace at 1 file/trigger together.
+    def joinPlanPaced(maxFiles: Option[Int])(df: DataFrame): DataFrame = {
+      def views(d: DataFrame) = d.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("vts"),
+          col("event_id").as("view_id"))
+      def buys(d: DataFrame) = d.where(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("bts"),
+          col("event_id").as("buy_id"), col("value").as("amount"))
+      views(df).withWatermark("vts", "10 seconds")
+        .join(buys(eventsStream0(spark, srcDir, maxFiles))
+          .withWatermark("bts", "10 seconds"),
+          expr("v_user = b_user AND bts >= vts AND" +
+            " bts <= vts + interval 1 hour"))
+        .select(col("v_user").as("user_id"), col("view_id"), col("buy_id"),
+          col("amount"))
+    }
+
+    Seq(
+      bench("fraud_bulk", fraudPlan, None),
+      bench("fraud_replay16", fraudPlan, Some(1)),
+      bench("stateful_bulk", statefulPlan, None),
+      bench("stateful_replay16", statefulPlan, Some(1)),
+      bench("join_bulk", joinPlanPaced(None), None),
+      bench("join_replay16", joinPlanPaced(Some(1)), Some(1))).forall(identity)
+  }
+
+  /** Replay-source reader over the bench slice dir. */
+  private def eventsStream0(spark: SparkSession, dir: String,
+                            maxFiles: Option[Int]): DataFrame =
+    graft.streaming.StreamingFraud.eventsStream(spark, dir, "*.parquet",
+      maxFiles)
 }

@@ -778,6 +778,30 @@ object Dedup {
     */
   val CountVerifyFastPairs: Long = 200000000L
 
+  /** Default ceiling for [[containmentPairsAuto]]'s prefix-posting
+    * volume (level 1/2) and Σdf² candidate-pair volume (level 3) —
+    * named so diagnostics (ScaleCheck `cont_auto_gate`) and the
+    * production gate share ONE constant and cannot drift.
+    */
+  val DefaultMaxPrefixPostings: Long = 2000000000L
+  val DefaultMaxCandidatePairs: Long = 2000000000L
+
+  /** Decision inputs + outcome of [[containmentPairsAuto]]'s measured
+    * gate. Produced by [[containmentGate]] — the SAME code the
+    * production entry runs — so ScaleCheck's printed route can never
+    * disagree with what the gate actually chooses.
+    */
+  private[graft] case class ContainmentGate(
+      planPostings: BigDecimal, planBound: BigDecimal,
+      measuredTotal: Option[Long], postingsFit: Boolean,
+      df2: Option[Double], usesSketch: Boolean) {
+    def route(countVerifyFastPairs: Long = CountVerifyFastPairs): String =
+      if (usesSketch) "sketch-screen"
+      else if (df2.exists(_ <= countVerifyFastPairs)) "count"
+      else if (df2.isDefined) "broadcast-or-count-by-size"
+      else "plan-time-exact (size routing decides verify)"
+  }
+
   /** [[containmentPairsInverted]] plus which verify regime the size
     * routing chose (`true` = count-verify) — the observability hook
     * the routing spec and ScaleCheck pin against.
@@ -928,7 +952,10 @@ object Dedup {
     * sketchMargin`: impossible when a doc has ≤ `sketchK` distinct
     * shingles (the estimate is then ≥ the true containment), else a
     * hypergeometric tail ~exp(−2·k·margin²) per pair (~8.7e-3 at
-    * k=64, margin=0.15) — the documented recall trade for candidate
+    * k=64, margin=0.15), plus ≤ (#capped-hot shared shingles)/k of
+    * estimator bias from the sketch join's hot-shingle cap (r17 —
+    * see [[containmentSketchPairs]]; the margin absorbs it) — the
+    * documented recall trade for candidate
     * volume that scales with OUTPUT pairs instead of corpus².
     * Production defaults leave the brute-force form to tests and the
     * bench canary (`dedup_containment` registers the auto form; the
@@ -937,27 +964,35 @@ object Dedup {
   def containmentPairsAuto(df: DataFrame, idCol: String, textCol: String,
                            shingleSize: Int, threshold: Double,
                            maxDf: Long = 0L,
-                           maxPrefixPostings: Long = 2000000000L,
+                           maxPrefixPostings: Long = DefaultMaxPrefixPostings,
                            sketchK: Int = 64,
                            sketchMargin: Double = 0.15,
-                           maxCandidatePairs: Long = 2000000000L,
+                           maxCandidatePairs: Long = DefaultMaxCandidatePairs,
                            aFilter: Column = lit(true)): DataFrame =
     containmentPairsAutoWithPath(df, idCol, textCol, shingleSize,
       threshold, maxDf, maxPrefixPostings, sketchK, sketchMargin,
       maxCandidatePairs, aFilter)._1
 
-  /** [[containmentPairsAuto]] plus which path the gate chose
-    * (`true` = sketch screen) — the observability hook the gate spec
-    * and ScaleCheck pin against.
+  /** The measured gate behind [[containmentPairsAuto]], factored out so
+    * diagnostics run the PRODUCTION decision code (no mirror to drift):
+    *  - level 1, plan time: `optimizedPlan.stats.sizeInBytes / 2 ×
+    *    (1−t)` upper-bounds prefix-posting volume — zero extra jobs;
+    *  - level 2, only when level 1 crosses: ONE pruned-column scan
+    *    measures the true shingle total;
+    *  - level 3: the count-verify join's row volume is Σ_h df(h)²
+    *    (posting PAIRS — one shingle shared by 1M docs is 1e12 pairs
+    *    from 1e6 postings), measured by one h-keyed aggregation, but
+    *    ONLY when the squared posting total (measured if level 2 ran,
+    *    else the plan bound) could possibly trip `maxCandidatePairs`
+    *    (Σ df² ≤ (Σ df)²) — tiny inputs keep the zero-extra-jobs
+    *    plan-time decision. df² sums in double: it's a bound, and long
+    *    products overflow exactly in the regime being guarded.
     */
-  private[graft] def containmentPairsAutoWithPath(
-      df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, threshold: Double, maxDf: Long,
-      maxPrefixPostings: Long, sketchK: Int, sketchMargin: Double,
-      maxCandidatePairs: Long = 2000000000L,
-      aFilter: Column = lit(true))
-      : (DataFrame, Boolean) = {
-    require(threshold > 0.0 && threshold <= 1.0 && sketchK > 0)
+  private[graft] def containmentGate(
+      df: DataFrame, textCol: String, shingleSize: Int, threshold: Double,
+      maxPrefixPostings: Long = DefaultMaxPrefixPostings,
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs)
+      : ContainmentGate = {
     val prefixFrac = 1.0 - threshold
     val planPostings = BigDecimal(
       df.queryExecution.optimizedPlan.stats.sizeInBytes) / 2
@@ -973,25 +1008,10 @@ object Dedup {
         measuredTotal = Some(total)
         total * prefixFrac <= maxPrefixPostings
       }
-    // level 3 (r14, measured): posting COUNT doesn't bound the exact
-    // path's real cost — the count-verify join's row volume is
-    // Σ_h df(h)² (posting PAIRS), which a df-skewed corpus can blow up
-    // at tiny posting counts (one shingle shared by 1M docs is 1e12
-    // pairs from 1e6 postings). One h-keyed aggregation measures it;
-    // its own cost is one linear shuffle of the postings — the same
-    // order as the exact path's first stage, and ~1% of a corpus-scale
-    // dedup job. Only runs when the posting bounds already passed AND
-    // the measurement could possibly trip: Σ df² ≤ (Σ df)² = (total
-    // postings)², so when the squared posting total (measured at level
-    // 2 if it ran, else the level-1 plan bound) already fits
-    // `maxCandidatePairs`, the gate is settled without the scan — tiny
-    // inputs keep their zero-extra-jobs plan-time decision.
     val postBound = measuredTotal.map(BigDecimal(_)).getOrElse(planPostings)
     var df2Opt: Option[Double] = None
     val usesSketch = !postingsFit ||
       (postBound * postBound > BigDecimal(maxCandidatePairs) && {
-        // df² summed in double: it's a bound, not an exact quantity, and
-        // long products overflow exactly in the regime being guarded
         val df2 = df.select(
             explode(shingles(graft.text.TextAnalysis.tokens(col(textCol)),
               shingleSize)).as("__s"))
@@ -1002,6 +1022,26 @@ object Dedup {
         df2Opt = Some(df2)
         df2 > maxCandidatePairs.toDouble
       })
+    ContainmentGate(planPostings, planBound, measuredTotal, postingsFit,
+      df2Opt, usesSketch)
+  }
+
+  /** [[containmentPairsAuto]] plus which path the gate chose
+    * (`true` = sketch screen) — the observability hook the gate spec
+    * and ScaleCheck pin against.
+    */
+  private[graft] def containmentPairsAutoWithPath(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, threshold: Double, maxDf: Long,
+      maxPrefixPostings: Long, sketchK: Int, sketchMargin: Double,
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs,
+      aFilter: Column = lit(true))
+      : (DataFrame, Boolean) = {
+    require(threshold > 0.0 && threshold <= 1.0 && sketchK > 0)
+    val gate = containmentGate(df, textCol, shingleSize, threshold,
+      maxPrefixPostings, maxCandidatePairs)
+    val usesSketch = gate.usesSketch
+    val df2Opt = gate.df2
     if (!usesSketch) {
       // the level-3 measurement, when it ran, also SELECTS the verify
       // regime: Σ df² IS the count-verify join's row volume, so under
@@ -1027,7 +1067,8 @@ object Dedup {
         .semanticEquals(
           org.apache.spark.sql.graft.bridge.expression(lit(true)))
       val screened0 = containmentSketchPairs(df, idCol, textCol,
-          shingleSize, sketchK, math.max(0.0, threshold - sketchMargin))
+          shingleSize, sketchK, math.max(0.0, threshold - sketchMargin),
+          maxJoinPairs = maxCandidatePairs)
         .select(col("id_a"), col("id_b"))
       val screened = if (trivialA) screened0 else screened0.join(
         df.where(aFilter).select(col(idCol).cast("long").as("id_a")),
@@ -1070,7 +1111,8 @@ object Dedup {
     */
   def containmentSketchPairs(df: DataFrame, idCol: String, textCol: String,
                              shingleSize: Int, k: Int,
-                             minEst: Double): DataFrame = {
+                             minEst: Double,
+                             maxJoinPairs: Long = 0L): DataFrame = {
     val hashes = df.select(col(idCol).cast("long").as("id"),
       array_sort(array_distinct(transform(
         shingles(graft.text.TextAnalysis.tokens(col(textCol)), shingleSize),
@@ -1078,7 +1120,38 @@ object Dedup {
     val a = hashes.select(col("id").as("id_a"),
       least(size(col("__hs")), lit(k)).as("__ka"),
       explode(slice(col("__hs"), 1, k)).as("h"))
-    val b = hashes.select(col("id").as("id_b"), explode(col("__hs")).as("h"))
+    val b0 = hashes.select(col("id").as("id_b"), explode(col("__hs")).as("h"))
+    // Hot-shingle cap (stop-shingle discipline, engaged by the auto
+    // gate: maxJoinPairs=0 keeps the uncapped join for the unskewed
+    // regimes every anchor measures). The candidate join's row volume
+    // is Σ_h df_a(h)·df_b(h) ≤ Σ_h df(h)² — ONE ubiquitous shingle
+    // (df ≈ n/2, the zipftok regime that trips the gate) alone is n²/4
+    // join rows, i.e. the sketch screen inherits the exact path's
+    // blowup unless the hot hashes leave the join. Cut rule: ascending
+    // df, retain while the cumulative Σ df² fits `maxJoinPairs`. The
+    // df histogram (df value → #hashes) is provably ≤ √(2·Σdf) rows
+    // (distinct values v are disjoint and each ≥ its rank), so the
+    // driver-side cut is bounded model state — the k-means/PQ collect
+    // discipline. Estimator bias: a pair's est loses at most
+    // (#dropped shared shingles)/ka; ubiquitous shingles are a
+    // vanishing fraction of any doc's bottom-k and the sketch margin
+    // absorbs the loss; survivors re-verify EXACTLY downstream, so
+    // precision is unaffected (r17 zipftok-100× leg measures recall).
+    val b =
+      if (maxJoinPairs <= 0L) b0
+      else {
+        val dfs = b0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+        val hist = dfs.groupBy(col("__df")).agg(count(lit(1)).as("__nh"))
+          .orderBy(col("__df")).collect()
+        var acc = BigInt(0)
+        var cap = if (hist.nonEmpty) hist.head.getLong(0) else 1L
+        for (r <- hist) {
+          val v = r.getLong(0)
+          acc += BigInt(v) * BigInt(v) * BigInt(r.getLong(1))
+          if (acc <= BigInt(maxJoinPairs)) cap = v
+        }
+        b0.join(dfs.where(col("__df") <= cap).select(col("h")), "h")
+      }
     a.join(b, "h")
       .where(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("__ka"))

@@ -451,6 +451,24 @@ object Similarity {
     * cross-cell pairs are missed — the SemDeDup trade, bought back with
     * cell count ∝ n (per-cell work constant, cells embarrassingly
     * parallel).
+    *
+    * MEASURED recall curve (r16 `graft.CellRecall`, sampled-pair
+    * estimator, sf0.1→sf1.0 fixtures — pick thresholds with this in
+    * hand):
+    *  - REAL near-duplicates land in one cell: planted eps-perturbed
+    *    dups recall 0.87–0.98 (eps 0.2→0.02, i.e. cosine 0.923→0.9992);
+    *    sf1.0 replica dups (cosine ≈0.99999) 911/911 = 1.000 at
+    *    t ≥ 0.7, 0.989 at 0.5. If the pairs you want are duplicates in
+    *    any curation sense, the cell route finds them.
+    *  - MID thresholds sitting on the background tail measure 0.4–0.6
+    *    recall (embeddings t=0.4→0.606, t=0.3→0.215; the degenerate
+    *    multimodal byte-histogram space at its production t=0.95→0.59,
+    *    bg p99≈0.93). That is a DESIGN POINT, not a defect: pairs at
+    *    background similarity are Θ(n²) OUTPUT by construction — no
+    *    candidate family prunes what IS the background, and enumerating
+    *    it cannot scale. Want exhaustive mid-threshold pairs anyway
+    *    (bounded n only)? Use [[cosineNearDups]] banding with the
+    *    measured bg, or brute force below ~10⁵ rows.
     */
   def cellBoundedNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                           threshold: Double,
@@ -502,6 +520,15 @@ object Similarity {
     * Both routes emit `(id_a, id_b, score)` with exact re-scored
     * cosine ≥ threshold; they differ in which true pairs the candidate
     * stage can miss (S-curve tail vs cross-cell pairs).
+    *
+    * Threshold-picking guidance (the measured r16 recall curve — full
+    * numbers at [[cellBoundedNearDups]]): genuine near-duplicates
+    * (cosine ≳ 0.92) recall 0.87–1.000 through the cell route;
+    * thresholds INSIDE the measured background tail recall 0.4–0.6
+    * because background-similarity pairs are Θ(n²) output by
+    * construction. If the gate reroutes your threshold, the corpus is
+    * telling you the threshold enumerates background, not duplicates —
+    * raise it, or accept the cell-local contract.
     */
   def cosineNearDupsAuto(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, recall: Double = 0.95,

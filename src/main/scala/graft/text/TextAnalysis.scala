@@ -310,7 +310,10 @@ object TextAnalysis {
     val a = abs(num).cast(d38)
     val b = den.cast(d38)
     val zdiv = bridgeDiv(a * lit(2000000L) + b, b * lit(2L))
-    signum(num.cast("double")) * zdiv.cast("double") / lit(1e6)
+    // `+ 0.0` normalizes IEEE -0.0 → +0.0 (num<0 with |quotient|=0 would
+    // otherwise emit -0.0 while every DuckDB twin spells `... + 0.0`;
+    // check.py compares float bits, so the signed zero alone would flag)
+    signum(num.cast("double")) * zdiv.cast("double") / lit(1e6) + lit(0.0)
   }
 
   /** Integral `div` on decimal columns (Spark's SQL `div` operator —

@@ -380,6 +380,41 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"screen recall $recall over ${exact.size} pairs")
   }
 
+  test("containment sketch hot-shingle cap: ubiquitous shingle leaves the " +
+    "join, planted excerpt keeps its exact estimate") {
+    // 58 docs share ONE ubiquitous phrase (df=58; df²=3364 — the
+    // zipftok shape at toy scale) plus 4 unique tokens each; docs 1/2
+    // are a planted excerpt pair whose shingles avoid the hot phrase
+    val big = (1 to 20).map(i => s"w$i").mkString(" ") + " hot1 hot2 hot3"
+    val excerpt = (5 to 16).map(i => s"w$i").mkString(" ")
+    val noise = (3 to 60).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d hot1 hot2 hot3"))
+    val docs = (Seq((1L, excerpt), (2L, big)) ++ noise).toDF("doc_id", "text")
+    def pairs(maxJoinPairs: Long) =
+      Dedup.containmentSketchPairs(docs, "doc_id", "text", 3, 16, 0.1,
+          maxJoinPairs = maxJoinPairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    val uncapped = pairs(0L)
+    // budget 1000 < the hot shingle's df² alone → the cap must cut it;
+    // every df≤2 shingle stays (Σ df²·nh over those ≈ a few hundred)
+    val capped = pairs(1000L)
+    // noise docs share ONLY the hot shingle: est 1/5 = 0.2 ≥ 0.1 →
+    // present uncapped, gone capped (the cap's entire purpose)
+    assert(uncapped.contains((3L, 4L)),
+      s"uncapped screen must see hot-only pairs: ${uncapped.size}")
+    assert(!capped.contains((3L, 4L)),
+      "capped screen must drop pairs that share only the capped shingle")
+    // the planted excerpt pair's shingles are all df≤2 → estimate
+    // IDENTICAL under the cap (exact 1.0: 10 shingles ≤ k=16)
+    assert(uncapped((1L, 2L)) == 1.0 && capped((1L, 2L)) == 1.0,
+      s"cap must not touch cold-shingle pairs: ${capped.get((1L, 2L))}")
+    // candidate volume actually shrank
+    assert(capped.size < uncapped.size / 10,
+      s"cap must collapse the hot-join volume: ${capped.size} vs " +
+        s"${uncapped.size}")
+  }
+
   test("containment hybrid verify: routing pinned both ways, count regime " +
     "== broadcast regime == brute force, batch form agrees on both") {
     import org.apache.spark.sql.functions.col

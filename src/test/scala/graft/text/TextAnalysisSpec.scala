@@ -760,4 +760,24 @@ class TextAnalysisSpec extends SparkSpec {
     val nValid = ids.where(TextAnalysis.luhnValid($"card", 16)).count()
     assert(nValid == 200L)
   }
+
+  test("exactRound6Ratio normalizes the signed zero (num<0, |q|<5e-7) " +
+    "and stays exact on .5-boundary and sign cases") {
+    val rows = Seq(
+      (-1L, 3000000L),   // quotient -3.3e-7 → rounds to 0; must be +0.0
+      (0L, 7L),          // plain zero
+      (-3L, 2000000L),   // exactly -1.5e-6 → half-away → -0.000002
+      (3L, 2000000L),    //  +1.5e-6 → +0.000002
+      (-7L, 4L))         // -1.75 exact
+      .toDF("num", "den")
+      .select(TextAnalysis.exactRound6Ratio($"num", $"den").as("r"))
+      .collect().map(_.getDouble(0))
+    // bit-level check: -0.0 would survive a == comparison, so compare raw bits
+    assert(java.lang.Double.doubleToRawLongBits(rows(0)) ==
+      java.lang.Double.doubleToRawLongBits(0.0),
+      s"expected +0.0 bits, got ${rows(0)} (-0.0 leaks past the normalizer)")
+    assert(java.lang.Double.doubleToRawLongBits(rows(1)) ==
+      java.lang.Double.doubleToRawLongBits(0.0))
+    assert(rows(2) == -0.000002 && rows(3) == 0.000002 && rows(4) == -1.75)
+  }
 }
