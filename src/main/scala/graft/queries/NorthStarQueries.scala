@@ -821,7 +821,8 @@ object NorthStarQueries {
     "dedup_containment_sketch" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       Dedup.containmentSketchPairs(docs, "doc_id", "text",
-          shingleSize = 3, k = 8, minEst = 0.3)
+          shingleSize = 3, k = 8, minEst = 0.3,
+          maxJoinPairs = Dedup.DefaultMaxCandidatePairs)
         .write.mode("overwrite").parquet(OracleAux.dir(dir, "cont_sketch"))
       val withSh = docs.select(col("doc_id").cast("long").as("doc_id"),
         Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("__sh"))
@@ -2470,7 +2471,7 @@ object NorthStarQueries {
         |d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         |  FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id,
         |    CASE WHEN len(toks) >= 3 THEN
         |      list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -2494,10 +2495,10 @@ object NorthStarQueries {
     // fingerprints, df-capped buckets, a<b self-join
     "text_winnow_neardups" ->
       s"""WITH $winnowCtes,
-        |sel AS (
+        |sel AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, fp FROM s WHERE $winnowKeep),
         |dfc AS (SELECT fp, count(*) AS df FROM sel GROUP BY 1),
-        |kept AS (SELECT sel.doc_id, sel.fp FROM sel
+        |kept AS MATERIALIZED (SELECT sel.doc_id, sel.fp FROM sel
         |         JOIN dfc ON sel.fp = dfc.fp WHERE dfc.df <= 20)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(count(*) AS BIGINT) AS shared_fps
@@ -2911,7 +2912,10 @@ object NorthStarQueries {
         |  SELECT cell, centroid, norm
         |  FROM read_parquet('${OracleAux.sqlDir("semdedup_centroids")}/*.parquet')
         |),
-        |a AS (
+        |-- MATERIALIZED (r17): referenced twice (x, y) — the per-row
+        |-- centroid top-1 is the oracle's dominant cost; inlining
+        |-- re-evaluated it per reference (719 s sampled at sf10)
+        |a AS MATERIALIZED (
         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
         |    (SELECT c.cell FROM c
         |     ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
@@ -3642,13 +3646,13 @@ object NorthStarQueries {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |  FROM documents
-        |), sh AS (
+        |), sh AS MATERIALIZED (
         |  SELECT doc_id AS id, unnest(CASE WHEN len(t) >= 3
         |    THEN list_distinct(list_transform(range(1, len(t) - 1),
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
         |    ELSE [array_to_string(t, ' ')] END) AS s
         |  FROM toks
-        |), sizes AS (
+        |), sizes AS MATERIALIZED (
         |  SELECT id, count(*) AS sz FROM sh GROUP BY 1
         |), inter AS (
         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -3671,13 +3675,13 @@ object NorthStarQueries {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |  FROM documents
-        |), sh AS (
+        |), sh AS MATERIALIZED (
         |  SELECT doc_id AS id, unnest(CASE WHEN len(t) >= 3
         |    THEN list_distinct(list_transform(range(1, len(t) - 1),
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
         |    ELSE [array_to_string(t, ' ')] END) AS s
         |  FROM toks
-        |), sizes AS (
+        |), sizes AS MATERIALIZED (
         |  SELECT id, count(*) AS sz FROM sh GROUP BY 1
         |), inter AS (
         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -3697,13 +3701,13 @@ object NorthStarQueries {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |  FROM documents
-        |), sh AS (
+        |), sh AS MATERIALIZED (
         |  SELECT doc_id AS id, unnest(CASE WHEN len(t) >= 3
         |    THEN list_distinct(list_transform(range(1, len(t) - 1),
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
         |    ELSE [array_to_string(t, ' ')] END) AS s
         |  FROM toks
-        |), sizes AS (
+        |), sizes AS MATERIALIZED (
         |  SELECT id, count(*) AS sz FROM sh GROUP BY 1
         |), inter AS (
         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -3730,7 +3734,7 @@ object NorthStarQueries {
         |d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         |  FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id,
         |    CASE WHEN len(toks) >= 3 THEN
         |      list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -3759,7 +3763,7 @@ object NorthStarQueries {
         |d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         |  FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id,
         |    CASE WHEN len(toks) >= 3 THEN
         |      list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -4044,16 +4048,16 @@ object NorthStarQueries {
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |  FROM documents
-        |), s AS (
+        |), s AS MATERIALIZED (
         |  SELECT doc_id,
         |    CASE WHEN len(toks) >= 3 THEN
         |      list_distinct([array_to_string(toks[i:i+2], ' ')
         |                     for i in range(1, len(toks) - 1)])
         |    ELSE [array_to_string(toks, ' ')] END AS sh
         |  FROM d
-        |), post AS (
+        |), post AS MATERIALIZED (
         |  SELECT doc_id AS id, unnest(sh) AS g FROM s
-        |), sz AS (
+        |), sz AS MATERIALIZED (
         |  SELECT doc_id AS id, len(sh) AS n FROM s
         |), inter AS (
         |  SELECT x.id AS id_a, y.id AS id_b, count(*) AS c
