@@ -3646,13 +3646,13 @@ object NorthStarQueries {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |  FROM documents
-        |), sh AS MATERIALIZED (
+        |), sh AS (
         |  SELECT doc_id AS id, unnest(CASE WHEN len(t) >= 3
         |    THEN list_distinct(list_transform(range(1, len(t) - 1),
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
         |    ELSE [array_to_string(t, ' ')] END) AS s
         |  FROM toks
-        |), sizes AS MATERIALIZED (
+        |), sizes AS (
         |  SELECT id, count(*) AS sz FROM sh GROUP BY 1
         |), inter AS (
         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -3675,13 +3675,13 @@ object NorthStarQueries {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |  FROM documents
-        |), sh AS MATERIALIZED (
+        |), sh AS (
         |  SELECT doc_id AS id, unnest(CASE WHEN len(t) >= 3
         |    THEN list_distinct(list_transform(range(1, len(t) - 1),
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
         |    ELSE [array_to_string(t, ' ')] END) AS s
         |  FROM toks
-        |), sizes AS MATERIALIZED (
+        |), sizes AS (
         |  SELECT id, count(*) AS sz FROM sh GROUP BY 1
         |), inter AS (
         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -3701,13 +3701,13 @@ object NorthStarQueries {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |  FROM documents
-        |), sh AS MATERIALIZED (
+        |), sh AS (
         |  SELECT doc_id AS id, unnest(CASE WHEN len(t) >= 3
         |    THEN list_distinct(list_transform(range(1, len(t) - 1),
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
         |    ELSE [array_to_string(t, ' ')] END) AS s
         |  FROM toks
-        |), sizes AS MATERIALIZED (
+        |), sizes AS (
         |  SELECT id, count(*) AS sz FROM sh GROUP BY 1
         |), inter AS (
         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -4048,16 +4048,16 @@ object NorthStarQueries {
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |  FROM documents
-        |), s AS MATERIALIZED (
+        |), s AS (
         |  SELECT doc_id,
         |    CASE WHEN len(toks) >= 3 THEN
         |      list_distinct([array_to_string(toks[i:i+2], ' ')
         |                     for i in range(1, len(toks) - 1)])
         |    ELSE [array_to_string(toks, ' ')] END AS sh
         |  FROM d
-        |), post AS MATERIALIZED (
+        |), post AS (
         |  SELECT doc_id AS id, unnest(sh) AS g FROM s
-        |), sz AS MATERIALIZED (
+        |), sz AS (
         |  SELECT doc_id AS id, len(sh) AS n FROM s
         |), inter AS (
         |  SELECT x.id AS id_a, y.id AS id_b, count(*) AS c
