@@ -1150,7 +1150,11 @@ object Dedup {
           acc += BigInt(v) * BigInt(v) * BigInt(r.getLong(1))
           if (acc <= BigInt(maxJoinPairs)) cap = v
         }
-        b0.join(dfs.where(col("__df") <= cap).select(col("h")), "h")
+        // non-binding cap (total Σ df² fits the budget — every anchored
+        // bench scale): keep the ORIGINAL uncapped join; the filter
+        // join is pure overhead when it drops nothing
+        if (hist.isEmpty || cap >= hist.last.getLong(0)) b0
+        else b0.join(dfs.where(col("__df") <= cap).select(col("h")), "h")
       }
     a.join(b, "h")
       .where(col("id_a") =!= col("id_b"))
