@@ -32,9 +32,11 @@ def main(out_dir, check_log, preds_path=None):
         if m:
             rows[m.group(1)] = ("rows-only", int(m.group(2)), None)
             continue
-        # non-greedy name + optional colon: "FAIL name: why" must key as
-        # "name", not "name:" (a trailing colon breaks the verify-dir join)
-        m = re.match(r"^FAIL (\S+?):? (.*)", line)
+        # name must stop at the first colon (no \S+? backtracking past
+        # it): "FAIL name: why" AND "FAIL name:why" both key as "name"
+        # (a trailing colon breaks the verify-dir join; r17's pattern
+        # required a space after the colon and dropped bare name:reason)
+        m = re.match(r"^FAIL ([^:\s]+):?\s*(.*)", line)
         if m:
             rows[m.group(1)] = ("FAIL", None, m.group(2)[:80])
     names = sorted(set(list(rows.keys()) + [d for d in os.listdir(out_dir)

@@ -15,6 +15,19 @@ oracle's joins, cutting pair-producing oracle cost by the sampling
 factor). The compare stays exact on the deterministic subset; the
 full-output row count is still printed. This is the sf10-sweep
 mechanism for oracles that are linear in output size (VERDICT r13 #1).
+
+Pred ROTATION (VERDICT r17 #1 — the sampled-channel blind spot): a
+fixed pred can never see a defect whose wrong rows sit outside its
+slice. Preds may therefore carry the placeholders {rot} / {rotodd};
+check.py substitutes rot = $GRAFT_PRED_ROT % 10 (default 0) and
+rotodd = (2*rot+1) % 10 (always odd — for outputs whose id_a is
+odd-only, e.g. dedup_containment_batch's aFilter). Run each round
+with GRAFT_PRED_ROT=<round#> so every slice is eventually audited;
+a persistent wrong slice is caught within ≤10 rounds.
+
+VACUOUS-compare guard: a sampled compare whose pred matches 0 of a
+non-empty output proves nothing (the r16 tpch_q9 trap) — it now
+FAILs instead of silently passing.
 """
 import sys, os, json, time
 import duckdb
@@ -26,6 +39,12 @@ def canon(df):
 
 def main(sf_dir, out_dir, preds_path=None):
     preds = json.load(open(preds_path)) if preds_path else {}
+    rot = int(os.environ.get("GRAFT_PRED_ROT", "0")) % 10
+    preds = {k: v.replace("{rotodd}", str((2 * rot + 1) % 10))
+                 .replace("{rot}", str(rot))
+             for k, v in preds.items()}
+    if preds and rot:
+        print(f"[pred-rotation] GRAFT_PRED_ROT={rot}")
     con = duckdb.connect()
     # out-of-core joins for decade-scale oracles: an in-memory DuckDB
     # has no temp spill by default, so the sf10 tpch/tfidf oracles died
@@ -67,6 +86,15 @@ def main(sf_dir, out_dir, preds_path=None):
         # sampled FAIL/rows-only count misreads as a full-output count
         samp = (f", sampled {len(got)}/{n_full} rows by [{pred}]"
                 if pred else "")
+        # vacuous-compare guard: 0 sampled rows of a non-empty output
+        # compares nothing — fail loudly so the pred gets fixed
+        # (r16's tpch_q9 pred matched 0 rows for two rounds unnoticed)
+        if pred and n_full > 0 and len(got) == 0:
+            print(f"FAIL {name}: vacuous sampled compare (0 of {n_full} "
+                  f"rows match [{pred}]) — pick a pred that samples the "
+                  f"output")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got)} rows{samp}")
             continue

@@ -246,8 +246,15 @@ object MoneyFuzz {
               sum(col("v")), denCol).as("r6"))
           .select((groupBy.map(col) :+ col("n_rows") :+ col("r6")): _*)
       }
-      Case(f"ratio_$i%03d", text("DECIMAL(38,0)", "div"), Some(oracle),
-        Some(dfBuild))
+      // `sql` is RECORD-ONLY here (r17 ADVICE): the runner always
+      // executes `dfBuild` when `df` is present and the oracle dump
+      // always prefers `oracle` — a Spark SQL re-spelling stored in
+      // the executed slot can silently drift from the DataFrame build
+      // it claims to mirror, so store an explicit marker instead
+      Case(f"ratio_$i%03d",
+        "-- record-only: runner executes the dfBuild (exactRound6Ratio); " +
+          "DuckDB twin is in `oracle`",
+        Some(oracle), Some(dfBuild))
     }
   }
 

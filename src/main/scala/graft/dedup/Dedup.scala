@@ -794,7 +794,13 @@ object Dedup {
   private[graft] case class ContainmentGate(
       planPostings: BigDecimal, planBound: BigDecimal,
       measuredTotal: Option[Long], postingsFit: Boolean,
-      df2: Option[Double], usesSketch: Boolean) {
+      df2: Option[Double], usesSketch: Boolean,
+      // the level-3 measurement's full shape: df value → #hashes,
+      // ascending (≤ √(2·Σdf) rows). Present iff the Σdf² job ran;
+      // handed to [[containmentSketchPairs]] so the sketch path's
+      // hot-shingle cap reuses the measurement instead of re-running
+      // the h-keyed aggregation at construction time (r17 ADVICE)
+      hist: Option[Array[(Long, Long)]] = None) {
     def route(countVerifyFastPairs: Long = CountVerifyFastPairs): String =
       if (usesSketch) "sketch-screen"
       else if (df2.exists(_ <= countVerifyFastPairs)) "count"
@@ -985,8 +991,11 @@ object Dedup {
     *    ONLY when the squared posting total (measured if level 2 ran,
     *    else the plan bound) could possibly trip `maxCandidatePairs`
     *    (Σ df² ≤ (Σ df)²) — tiny inputs keep the zero-extra-jobs
-    *    plan-time decision. df² sums in double: it's a bound, and long
-    *    products overflow exactly in the regime being guarded.
+    *    plan-time decision. Measured as the df HISTOGRAM (collect is
+    *    ≤ √(2·Σdf) rows), Σ df² then exact in BigInt driver-side; the
+    *    histogram rides along in the gate so the sketch path's
+    *    hot-shingle cap reuses the measurement instead of re-running
+    *    the h-keyed aggregation (r17 ADVICE).
     */
   private[graft] def containmentGate(
       df: DataFrame, textCol: String, shingleSize: Int, threshold: Double,
@@ -1010,20 +1019,35 @@ object Dedup {
       }
     val postBound = measuredTotal.map(BigDecimal(_)).getOrElse(planPostings)
     var df2Opt: Option[Double] = None
+    var histOpt: Option[Array[(Long, Long)]] = None
     val usesSketch = !postingsFit ||
       (postBound * postBound > BigDecimal(maxCandidatePairs) && {
-        val df2 = df.select(
+        // measured as the full df HISTOGRAM (df value → #hashes) rather
+        // than a scalar sum(df²): same shuffle (the second-stage agg is
+        // over ≤ √(2·Σdf) distinct df values), but the shape is exactly
+        // what the sketch path's hot-shingle cap needs — when the gate
+        // routes to sketch, [[containmentSketchPairs]] reuses this
+        // measurement and its construction becomes fully lazy (r17
+        // ADVICE: the cap re-ran this aggregation eagerly). Σdf² is
+        // then exact in BigInt driver-side (the old double sum was a
+        // bound in the overflow regime).
+        val hist = df.select(
             explode(shingles(graft.text.TextAnalysis.tokens(col(textCol)),
               shingleSize)).as("__s"))
           .select(xxhash64(col("__s")).as("h"))
-          .groupBy(col("h")).agg(count(lit(1)).cast("double").as("__df"))
-          .agg(coalesce(sum(col("__df") * col("__df")), lit(0.0)))
-          .head.getDouble(0)
-        df2Opt = Some(df2)
-        df2 > maxCandidatePairs.toDouble
+          .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+          .groupBy(col("__df")).agg(count(lit(1)).as("__nh"))
+          .orderBy(col("__df")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        histOpt = Some(hist)
+        val df2 = hist.iterator
+          .map { case (v, nh) => BigInt(v) * BigInt(v) * BigInt(nh) }
+          .foldLeft(BigInt(0))(_ + _)
+        df2Opt = Some(df2.toDouble)
+        df2 > BigInt(maxCandidatePairs)
       })
     ContainmentGate(planPostings, planBound, measuredTotal, postingsFit,
-      df2Opt, usesSketch)
+      df2Opt, usesSketch, histOpt)
   }
 
   /** [[containmentPairsAuto]] plus which path the gate chose
@@ -1068,7 +1092,8 @@ object Dedup {
           org.apache.spark.sql.graft.bridge.expression(lit(true)))
       val screened0 = containmentSketchPairs(df, idCol, textCol,
           shingleSize, sketchK, math.max(0.0, threshold - sketchMargin),
-          maxJoinPairs = maxCandidatePairs)
+          maxJoinPairs = maxCandidatePairs,
+          precomputedHist = gate.hist)
         .select(col("id_a"), col("id_b"))
       val screened = if (trivialA) screened0 else screened0.join(
         df.where(aFilter).select(col(idCol).cast("long").as("id_a")),
@@ -1112,7 +1137,9 @@ object Dedup {
   def containmentSketchPairs(df: DataFrame, idCol: String, textCol: String,
                              shingleSize: Int, k: Int,
                              minEst: Double,
-                             maxJoinPairs: Long = 0L): DataFrame = {
+                             maxJoinPairs: Long = 0L,
+                             precomputedHist: Option[Array[(Long, Long)]] =
+                               None): DataFrame = {
     val hashes = df.select(col(idCol).cast("long").as("id"),
       array_sort(array_distinct(transform(
         shingles(graft.text.TextAnalysis.tokens(col(textCol)), shingleSize),
@@ -1128,11 +1155,9 @@ object Dedup {
     // (df ≈ n/2, the zipftok regime that trips the gate) alone is n²/4
     // join rows, i.e. the sketch screen inherits the exact path's
     // blowup unless the hot hashes leave the join. Cut rule: ascending
-    // df, retain while the cumulative Σ df² fits `maxJoinPairs`. The
-    // df histogram (df value → #hashes) is provably ≤ √(2·Σdf) rows
-    // (distinct values v are disjoint and each ≥ its rank), so the
-    // driver-side cut is bounded model state — the k-means/PQ collect
-    // discipline. Estimator bias: a pair's est loses at most
+    // df, retain while the cumulative Σ df² fits `maxJoinPairs`, with
+    // the lowest-df bucket as an explicit FLOOR (see the inline policy
+    // note below). Estimator bias: a pair's est loses at most
     // (#dropped shared shingles)/ka; ubiquitous shingles are a
     // vanishing fraction of any doc's bottom-k and the sketch margin
     // absorbs the loss; survivors re-verify EXACTLY downstream, so
@@ -1140,21 +1165,54 @@ object Dedup {
     val b =
       if (maxJoinPairs <= 0L) b0
       else {
-        val dfs = b0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
-        val hist = dfs.groupBy(col("__df")).agg(count(lit(1)).as("__nh"))
-          .orderBy(col("__df")).collect()
+        // df histogram (df value → #hashes, ascending; provably
+        // ≤ √(2·Σdf) rows since distinct values are disjoint and each
+        // ≥ its rank — bounded driver-side model state, the k-means/PQ
+        // collect discipline). The AUTO path passes the gate's level-3
+        // measurement through `precomputedHist`, making construction
+        // here fully lazy (r17 ADVICE: the cap used to re-run the
+        // h-keyed aggregation the gate had just paid for). Direct
+        // callers pay one eager collect — unavoidable: the cap is a
+        // driver-side scalar that steers the join's plan SHAPE. (The
+        // gate's histogram counts per-doc-distinct shingle hashes
+        // without the b0 side's extra array_distinct over hash values;
+        // they differ only on a within-doc xxhash64 collision — the
+        // cap is a cost heuristic and survivors re-verify exactly.)
+        val hist: Array[(Long, Long)] = precomputedHist.getOrElse {
+          b0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+            .groupBy(col("__df")).agg(count(lit(1)).as("__nh"))
+            .orderBy(col("__df")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }
         var acc = BigInt(0)
-        var cap = if (hist.nonEmpty) hist.head.getLong(0) else 1L
-        for (r <- hist) {
-          val v = r.getLong(0)
-          acc += BigInt(v) * BigInt(v) * BigInt(r.getLong(1))
+        var cap = 0L
+        for ((v, nh) <- hist) {
+          acc += BigInt(v) * BigInt(v) * BigInt(nh)
           if (acc <= BigInt(maxJoinPairs)) cap = v
         }
+        // Lowest-bucket FLOOR — explicit policy, not an initialization
+        // accident (r17 ADVICE): when even the lowest-df bucket alone
+        // blows the budget, retain it anyway. An empty screen is a
+        // SILENT 100% recall loss, strictly worse than an over-budget-
+        // but-minimal join, and the floor join is the cheapest
+        // non-vacuous candidate join any cut can produce (every
+        // retained posting has minimum df). Corollary: a single-bucket
+        // skewed corpus runs uncapped BY POLICY — there is nothing to
+        // drop that doesn't drop everything; a caller needing a hard
+        // ceiling there must shrink the corpus slice, not the cap.
+        val floorCap = if (hist.isEmpty) 0L else math.max(cap, hist.head._1)
         // non-binding cap (total Σ df² fits the budget — every anchored
         // bench scale): keep the ORIGINAL uncapped join; the filter
         // join is pure overhead when it drops nothing
-        if (hist.isEmpty || cap >= hist.last.getLong(0)) b0
-        else b0.join(dfs.where(col("__df") <= cap).select(col("h")), "h")
+        if (hist.isEmpty || floorCap >= hist.last._1) b0
+        else {
+          // dfs recomputes lazily at execution (one h-keyed agg over
+          // b0) — deliberately NOT cached: at corpus scale the
+          // distinct-hash table is itself shuffle-sized, and a cached
+          // copy costs more than the recompute it saves
+          val dfs = b0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+          b0.join(dfs.where(col("__df") <= floorCap).select(col("h")), "h")
+        }
       }
     a.join(b, "h")
       .where(col("id_a") =!= col("id_b"))

@@ -413,6 +413,58 @@ class DedupSpec extends SparkSpec {
     assert(capped.size < uncapped.size / 10,
       s"cap must collapse the hot-join volume: ${capped.size} vs " +
         s"${uncapped.size}")
+
+    // gate-reuse parity (r17 ADVICE): the auto path hands the gate's
+    // level-3 histogram to the sketch so construction is lazy — the
+    // precomputed-hist form must choose the IDENTICAL cap
+    val gate = Dedup.containmentGate(docs, "text", 3, 0.5,
+      maxCandidatePairs = 1L)
+    assert(gate.hist.isDefined,
+      "a 1-pair budget must force the level-3 histogram measurement")
+    val viaGateHist =
+      Dedup.containmentSketchPairs(docs, "doc_id", "text", 3, 16, 0.1,
+          maxJoinPairs = 1000L, precomputedHist = gate.hist)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    assert(viaGateHist == capped,
+      "precomputed gate histogram must reproduce the self-measured cap")
+  }
+
+  test("containment sketch cap floor: lowest-df bucket survives a blown " +
+    "budget (non-vacuous screen); single-bucket corpus runs uncapped") {
+    // every doc has an identical twin → EVERY shingle has df = 2: the
+    // histogram is a single bucket whose Σ df²·nh blows any tiny budget
+    val base = (1 to 20).map(i =>
+      s"v${i}a v${i}b v${i}c v${i}d v${i}e v${i}f")
+    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+      Seq((2L * i, t), (2L * i + 1, t)) }.toDF("doc_id", "text")
+    def pairs(maxJoinPairs: Long) =
+      Dedup.containmentSketchPairs(docs, "doc_id", "text", 3, 16, 0.1,
+          maxJoinPairs = maxJoinPairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(0L)
+    assert(uncapped.contains((0L, 1L)) && uncapped.contains((1L, 0L)),
+      "twins must screen as containment pairs")
+    // budget 1 < the single df=2 bucket's Σ df²·nh → the FLOOR policy
+    // retains the lowest bucket anyway: dropping it would return an
+    // empty screen (silent 100% recall loss). Single-bucket corpus →
+    // floorCap == hist.last → the uncapped join, BY POLICY.
+    assert(pairs(1L) == uncapped,
+      "single-bucket corpus must run uncapped (floor == last bucket)")
+    // two buckets, budget below BOTH: floor keeps df=2 (twin pairs
+    // survive), cuts the df=42 hot shingle (hot-only pairs vanish)
+    val hot = base.zipWithIndex.flatMap { case (t, i) =>
+      val s = s"$t hotx hoty hotz"
+      Seq((2L * i, s), (2L * i + 1, s)) }
+      .++(Seq((100L, "hotx hoty hotz"))).toDF("doc_id", "text")
+    val hotFloor =
+      Dedup.containmentSketchPairs(hot, "doc_id", "text", 3, 16, 0.1,
+          maxJoinPairs = 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hotFloor.contains((0L, 1L)),
+      "floor must keep the lowest-df bucket: twin pairs survive")
+    assert(!hotFloor.exists(p => p._1 == 100L || p._2 == 100L),
+      "hot-only doc must leave the screen once the hot bucket is cut")
   }
 
   test("containment hybrid verify: routing pinned both ways, count regime " +
