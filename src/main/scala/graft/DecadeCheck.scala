@@ -84,11 +84,18 @@ object DecadeCheck {
     //    "disjoint" it deliberately re-introduces cross-replica shingle
     //    collisions (the hot phrases are global) — use reps=1 or the
     //    suffix mode for the clean leg.
+    //  - "only:<t1>,<t2>": write just the named tables (e.g.
+    //    "only:documents,embeddings" for an sf100 gate-measurement
+    //    fixture — the doc/vector tables are <1 GB at ×1000 while
+    //    lineitem alone would be ~9 GB the gate legs never read).
     val flags = args.drop(3).toSet
     val sharded = flags.contains("sharded")
     val disjoint = flags.contains("disjoint")
     val zipf = flags.contains("zipf")
     val zipfTok = flags.contains("zipftok")
+    val onlyTables: Option[Set[String]] = flags.find(_.startsWith("only:"))
+      .map(_.stripPrefix("only:").split(',').filter(_.nonEmpty).toSet)
+    def want(name: String): Boolean = onlyTables.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -111,6 +118,7 @@ object DecadeCheck {
     // replicate with remapped keys; non-key columns pass through
     def rep(name: String, keys: Seq[String],
             extra: DataFrame => DataFrame = identity): Unit = {
+      if (!want(name)) return
       val base = spark.read.parquet(s"$src/$name.parquet")
       val cols = base.columns.map(c =>
         if (keys.contains(c)) shift(c) else col(c))
@@ -119,7 +127,7 @@ object DecadeCheck {
       writeSingleFile(out, name)
     }
 
-    def copy(name: String): Unit =
+    def copy(name: String): Unit = if (want(name))
       writeSingleFile(spark.read.parquet(s"$src/$name.parquet"), name)
 
     // one FILE per table (DuckDB-oracle compat; see scaladoc) — or a

@@ -1133,13 +1133,25 @@ object Dedup {
     * verify stage shape); the screen's miss probability is the
     * hypergeometric tail below `minEst`, the documented trade for
     * bounded shuffle volume.
+    *
+    * Under a BINDING hot-shingle cap (`maxJoinPairs`), the estimator
+    * is additionally one-sidedly low by (capped shared shingles in
+    * a's sketch)/ka — measured TIGHT on the r18 boundary fixture
+    * (est = c·(1−hot_mass_fraction)), so `capCompensate` (default on)
+    * credits every capped-hot hash in a's sketch as a potential match
+    * when FILTERING against `minEst` (the emitted estimate stays raw).
+    * Precision is unaffected (survivors re-verify exactly) and the
+    * capped join volume is untouched — candidates still arise only
+    * from cold-hash matches, so pairs sharing ONLY capped shingles
+    * (the n²/4 blowup class) remain invisible by design.
     */
   def containmentSketchPairs(df: DataFrame, idCol: String, textCol: String,
                              shingleSize: Int, k: Int,
                              minEst: Double,
                              maxJoinPairs: Long = 0L,
                              precomputedHist: Option[Array[(Long, Long)]] =
-                               None): DataFrame = {
+                               None,
+                             capCompensate: Boolean = true): DataFrame = {
     val hashes = df.select(col(idCol).cast("long").as("id"),
       array_sort(array_distinct(transform(
         shingles(graft.text.TextAnalysis.tokens(col(textCol)), shingleSize),
@@ -1162,8 +1174,8 @@ object Dedup {
     // vanishing fraction of any doc's bottom-k and the sketch margin
     // absorbs the loss; survivors re-verify EXACTLY downstream, so
     // precision is unaffected (r17 zipftok-100× leg measures recall).
-    val b =
-      if (maxJoinPairs <= 0L) b0
+    val (b, bindingCap) =
+      if (maxJoinPairs <= 0L) (b0, None)
       else {
         // df histogram (df value → #hashes, ascending; provably
         // ≤ √(2·Σdf) rows since distinct values are disjoint and each
@@ -1204,24 +1216,58 @@ object Dedup {
         // non-binding cap (total Σ df² fits the budget — every anchored
         // bench scale): keep the ORIGINAL uncapped join; the filter
         // join is pure overhead when it drops nothing
-        if (hist.isEmpty || floorCap >= hist.last._1) b0
+        if (hist.isEmpty || floorCap >= hist.last._1) (b0, None)
         else {
           // dfs recomputes lazily at execution (one h-keyed agg over
           // b0) — deliberately NOT cached: at corpus scale the
           // distinct-hash table is itself shuffle-sized, and a cached
-          // copy costs more than the recompute it saves
+          // copy costs more than the recompute it saves (the two
+          // branches below are identical subplans, so Spark's
+          // ReusedExchange picks up the shuffle anyway)
           val dfs = b0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
-          b0.join(dfs.where(col("__df") <= floorCap).select(col("h")), "h")
+          (b0.join(dfs.where(col("__df") <= floorCap).select(col("h")), "h"),
+            Some(floorCap))
         }
       }
-    a.join(b, "h")
+    val matches = a.join(b, "h")
       .where(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("__ka"))
       .agg(count(lit(1)).as("__m"))
       .withColumn("est_containment",
         TextAnalysis.exactRound6Ratio(col("__m"), col("__ka")))
-      .where(col("est_containment") >= minEst)
-      .select(col("id_a"), col("id_b"), col("est_containment"))
+    val screened = bindingCap match {
+      case Some(floorCap) if capCompensate =>
+        // Capped-hot COMPENSATION (r18, from the boundary-recall
+        // measurement): cutting a hot hash from the join makes the
+        // estimator ONE-SIDEDLY low — a pair whose containment mass
+        // rides the capped shingles loses exactly (capped shared in
+        // a's sketch)/ka of est, which the margin cannot absorb when
+        // hot mass dominates (measured TIGHT: est_capped = c·(1−hot
+        // fraction) on the boundary fixture). Since survivors
+        // re-verify EXACTLY downstream, the screen may be optimistic
+        // for free: credit every capped-hot hash in a's sketch as a
+        // potential match (__ahot — it *would* have joined B if B
+        // contains it) and keep the pair when the credited estimate
+        // clears minEst. The bounded join volume — the thing the cap
+        // exists to protect — is untouched: candidate pairs are still
+        // generated ONLY by cold-hash matches, so a pair sharing
+        // nothing but capped shingles stays invisible (that IS the
+        // n²/4 blowup class; its pairs are unrecoverable by design
+        // and belong to the exact path's regime). Emitted
+        // est_containment stays the RAW (uncredited) estimate.
+        val dfs = b0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+        val hotSet = dfs.where(col("__df") > floorCap).select(col("h"))
+        val aHot = a.join(hotSet, Seq("h"), "left_semi")
+          .groupBy(col("id_a")).agg(count(lit(1)).as("__ahot"))
+        matches.join(aHot, Seq("id_a"), "left")
+          .withColumn("__ahot", coalesce(col("__ahot"), lit(0L)))
+          .where(TextAnalysis.exactRound6Ratio(
+            col("__m") + col("__ahot"), col("__ka")) >= minEst)
+          .drop("__ahot")
+      case _ =>
+        matches.where(col("est_containment") >= minEst)
+    }
+    screened.select(col("id_a"), col("id_b"), col("est_containment"))
   }
 
   /** Exact directional containment re-scored over full shingle sets

@@ -467,6 +467,54 @@ class DedupSpec extends SparkSpec {
       "hot-only doc must leave the screen once the hot bucket is cut")
   }
 
+  test("capped-sketch boundary recall (r17 #2): bias bound TIGHT, " +
+    "uncompensated collapse where c(1-h) < minEst, compensation restores " +
+    "every cold-sharing pair") {
+    // 12 cells: c in [.375,.556] x hot-mass fraction in {.83,.5,.25};
+    // tiny budget binds the cap on the 192-doc fixture (hot df = 192,
+    // hot sum-df2 = 368k > 100k budget > cold sum-df2 ~ 26k)
+    val cells = graft.ScaleCheckCapRecall.measure(spark, pairsPerCell = 8,
+      budget = 100000L)
+    assert(cells.size == 12, s"expected 12 cells, got ${cells.size}")
+    val minEst = 0.35
+    // deterministic regime: |S_A| <= k=64 -> the sketch IS the full
+    // shingle set, so estimates are exact and recall is 0/1 per cell
+    val det = cells.filter(c => c.m + c.q + 10 <= 64)
+    assert(det.nonEmpty)
+    det.foreach { c =>
+      assert(c.recallUncapped == 1.0, s"uncapped must see $c")
+      val expCap = if (c.floor >= minEst) 1.0 else 0.0
+      assert(c.recallCapped == expCap,
+        s"uncompensated capped recall must be exactly the floor rule: $c")
+      assert(c.recallCompensated == 1.0,
+        s"compensation must restore every cold-sharing planted pair: $c")
+      // bias bound TIGHT: the capped estimate (emitted raw by the
+      // compensated screen) is exactly c(1-h) = m/|S_A| (6dp rounding)
+      assert(math.abs(c.meanEstCompensated - c.floor) < 2e-6,
+        s"capped est must sit exactly on the analytic floor: $c")
+    }
+    // at-threshold cells (c >= 0.5) are the recall CONTRACT: the
+    // 0.15 margin must hold them through the screen
+    val atThr = cells.filter(_.cTrue >= 0.5)
+    assert(atThr.size == 6)
+    atThr.foreach { c =>
+      assert(c.recallUncapped >= 0.9, s"uncapped at-threshold recall: $c")
+      assert(c.recallCompensated >= 0.9 &&
+        c.recallCompensated >= c.recallCapped,
+        s"compensated at-threshold recall: $c")
+    }
+    // the headline defect this fixture exists to measure: at hot-mass
+    // >= 0.5 the uncompensated cap misses AT-THRESHOLD true pairs
+    // (floor c(1-h) <= 0.28 < minEst) -- the r17 'margin absorbs it'
+    // claim is FALSE there, and only compensation closes it
+    val collapsed = cells.filter(c => c.cTrue >= 0.5 && c.hotFrac >= 0.5)
+    assert(collapsed.nonEmpty &&
+      collapsed.forall(c => c.recallCapped == 0.0 &&
+        c.recallCompensated == 1.0),
+      s"hot-mass collapse + compensation recovery must be measured: " +
+        s"$collapsed")
+  }
+
   test("containment hybrid verify: routing pinned both ways, count regime " +
     "== broadcast regime == brute force, batch form agrees on both") {
     import org.apache.spark.sql.functions.col
