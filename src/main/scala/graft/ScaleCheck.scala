@@ -987,6 +987,22 @@ object ScaleCheckGates {
         f"df2=${g.df2.map(d => f"$d%.3e").getOrElse("unmeasured")} " +
         f"route=${g.route()} hottest: $hotTop")
     }
+    // the AUTO route EXECUTED end to end (r18 sf100 leg: the gate's
+    // decision above, actually run — screen → exact verify when it
+    // chose sketch, the hybrid verify otherwise).
+    // GRAFT_CONT_BUDGET overrides maxCandidatePairs: the budget is the
+    // per-deployment disk knob — the default 2e9-row candidate shuffle
+    // is sized for cluster disk (~56 GB spread over executors), not a
+    // single box (measured ENOSPC at sf100 on 68 GB free local disk)
+    time("cont_auto_exec") {
+      val budget = sys.env.get("GRAFT_CONT_BUDGET").map(_.toLong)
+        .getOrElse(graft.dedup.Dedup.DefaultMaxCandidatePairs)
+      val (out, usedSketch) = graft.dedup.Dedup.containmentPairsAutoWithPath(
+        docs, "doc_id", "text", 3, 0.5, maxDf = 0L,
+        maxPrefixPostings = graft.dedup.Dedup.DefaultMaxPrefixPostings,
+        sketchK = 64, sketchMargin = 0.15, maxCandidatePairs = budget)
+      s"rows=${out.count()} usedSketch=$usedSketch budget=$budget"
+    }
     time("cont_verify_broadcast") {
       graft.dedup.Dedup.containmentPairsInverted(docs, "doc_id", "text",
         3, 0.5, maxVerifyBroadcastBytes = Long.MaxValue).count().toString
@@ -1000,16 +1016,40 @@ object ScaleCheckGates {
       val bg = graft.similarity.Similarity.measuredBgSim(
         emb, "vec_id", "embedding", 0.4)
       val n = emb.count()
-      val estOutPerRow = bg.fracAtOrAbove * math.max(0L, n - 1) / 2.0
+      // PRODUCTION decision code (r18: factored nearDupsReroute — the
+      // containmentGate treatment, so this print cannot drift)
+      val (estOutPerRow, reroutes) = graft.similarity.Similarity
+        .nearDupsReroute(bg, n, 0.4)
       println(f"cosine_auto_gate             n=$n bgMean=${bg.mean}%.4f " +
         f"bgP99=${bg.p99}%.4f frac>=0.4=${bg.fracAtOrAbove}%.6f " +
         f"estOutPerRow=$estOutPerRow%.2f " +
-        s"reroutes=${0.4 <= bg.p99 + 0.05 || estOutPerRow > 32.0}")
+        s"reroutes=$reroutes")
     }
     time("cosine_auto_exec") {
       val (out, rerouted) = graft.similarity.Similarity
         .cosineNearDupsAutoWithPath(emb, "vec_id", "embedding", 0.4)
       s"rows=${out.count()} rerouted=$rerouted"
+    }
+    // the multimodal_neardups gate decision (r18, sf100 route table):
+    // same measured-background arithmetic as the cosine leg but over
+    // the byte-histogram feature space the registry query routes on,
+    // at its production threshold 0.95 — gate only, no execution
+    if (only("mm_auto_gate")) {
+      val media = graft.multimodal.Multimodal.asMedia(
+        graft.model.Tables.documents(spark, sfDir), "doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val feats = graft.multimodal.Multimodal
+        .extractPerceptualFeatures(spark, media).toDF()
+        .select(col("media_id"), col("features"))
+      val bg = graft.similarity.Similarity.measuredBgSim(
+        feats, "media_id", "features", 0.95)
+      val n = feats.count()
+      val (estOutPerRow, reroutes) = graft.similarity.Similarity
+        .nearDupsReroute(bg, n, 0.95)
+      println(f"mm_auto_gate                 n=$n bgMean=${bg.mean}%.4f " +
+        f"bgP99=${bg.p99}%.4f frac>=0.95=${bg.fracAtOrAbove}%.6f " +
+        f"estOutPerRow=$estOutPerRow%.2f " +
+        s"reroutes=$reroutes")
     }
     spark.stop()
   }

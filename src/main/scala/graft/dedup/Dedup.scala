@@ -1143,7 +1143,14 @@ object Dedup {
     * Precision is unaffected (survivors re-verify exactly) and the
     * capped join volume is untouched — candidates still arise only
     * from cold-hash matches, so pairs sharing ONLY capped shingles
-    * (the n²/4 blowup class) remain invisible by design.
+    * (the n²/4 blowup class) remain invisible by design. Compensation
+    * is GUARDED by the cap's measured cut-mass fraction: when the cut
+    * buckets carry ≥ `minEst` of all postings (a deep cap in the bulk
+    * of the df spectrum, not a hot tail), the credit alone would clear
+    * the threshold for typical pairs and the screen would stop
+    * filtering — it then reverts to the raw-estimate filter and the
+    * deep-cap recall trade is taken deliberately (see the inline
+    * guard note).
     */
   def containmentSketchPairs(df: DataFrame, idCol: String, textCol: String,
                              shingleSize: Int, k: Int,
@@ -1216,6 +1223,28 @@ object Dedup {
         // non-binding cap (total Σ df² fits the budget — every anchored
         // bench scale): keep the ORIGINAL uncapped join; the filter
         // join is pure overhead when it drops nothing
+        // compensation guard (measured from the SAME histogram, zero
+        // extra jobs): cutFrac = the cut buckets' share of all
+        // postings ≈ the typical doc's hot-mass fraction. When
+        // cutFrac ≥ minEst, the per-doc credit ALONE clears the screen
+        // threshold for typical pairs — the compensated screen stops
+        // filtering and the exact-verify stage inherits the full
+        // candidate-join volume (measured: sf100 at a deep 2e8 cap
+        // ENOSPC'd the verify arrays). Compensation therefore engages
+        // only in the regime it was built for — few ubiquitous
+        // shingles carrying a borderline pair's mass (zipftok:
+        // cutFrac ≈ 1%; boundary fixture: 0.25) — and a cap cutting
+        // into the BULK of the df spectrum reverts to the raw-est
+        // filter, accepting the documented deep-cap recall trade (the
+        // pair-volume bound takes precedence; the budget knob, not
+        // the margin, is the recall lever there).
+        def cutFrac(floorCap: Long): Double = {
+          val total = hist.iterator
+            .map { case (v, nh) => BigInt(v) * BigInt(nh) }.sum
+          val cut = hist.iterator.filter(_._1 > floorCap)
+            .map { case (v, nh) => BigInt(v) * BigInt(nh) }.sum
+          if (total > 0) cut.toDouble / total.toDouble else 0.0
+        }
         if (hist.isEmpty || floorCap >= hist.last._1) (b0, None)
         else {
           // dfs recomputes lazily at execution (one h-keyed agg over
@@ -1226,7 +1255,7 @@ object Dedup {
           // ReusedExchange picks up the shuffle anyway)
           val dfs = b0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
           (b0.join(dfs.where(col("__df") <= floorCap).select(col("h")), "h"),
-            Some(floorCap))
+            Some((floorCap, cutFrac(floorCap))))
         }
       }
     val matches = a.join(b, "h")
@@ -1236,7 +1265,7 @@ object Dedup {
       .withColumn("est_containment",
         TextAnalysis.exactRound6Ratio(col("__m"), col("__ka")))
     val screened = bindingCap match {
-      case Some(floorCap) if capCompensate =>
+      case Some((floorCap, cutFrac)) if capCompensate && cutFrac < minEst =>
         // Capped-hot COMPENSATION (r18, from the boundary-recall
         // measurement): cutting a hot hash from the join makes the
         // estimator ONE-SIDEDLY low — a pair whose containment mass

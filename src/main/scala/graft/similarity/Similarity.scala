@@ -538,6 +538,21 @@ object Similarity {
     cosineNearDupsAutoWithPath(corpus, idCol, vecCol, threshold, recall,
       targetBucket, bgMargin, maxOutputPerRow, sampleN)._1
 
+  /** The measured-background reroute decision, factored out so
+    * diagnostics print the PRODUCTION arithmetic — no mirror to drift
+    * (the containmentGate treatment, r16 ADVICE). Returns
+    * (estOutPerRow, reroute): reroute to the cell-bounded operator
+    * when the threshold sits inside the background tail (p99+margin)
+    * or the estimated true output is itself corpus-quadratic.
+    */
+  private[graft] def nearDupsReroute(bg: BgSimStats, n: Long,
+      threshold: Double, bgMargin: Double = 0.05,
+      maxOutputPerRow: Double = 32.0): (Double, Boolean) = {
+    val estOutPerRow = bg.fracAtOrAbove * math.max(0L, n - 1) / 2.0
+    (estOutPerRow,
+      threshold <= bg.p99 + bgMargin || estOutPerRow > maxOutputPerRow)
+  }
+
   /** [[cosineNearDupsAuto]] plus which route the measured gate chose
     * (`true` = cell-bounded reroute) — the observability hook the gate
     * spec and ScaleCheck pin against.
@@ -550,9 +565,8 @@ object Similarity {
     require(threshold > 0.0 && threshold <= 1.0)
     val n = corpus.count()
     val bg = measuredBgSim(corpus, idCol, vecCol, threshold, sampleN)
-    val estOutPerRow = bg.fracAtOrAbove * math.max(0L, n - 1) / 2.0
-    val reroute = threshold <= bg.p99 + bgMargin ||
-      estOutPerRow > maxOutputPerRow
+    val (_, reroute) = nearDupsReroute(bg, n, threshold, bgMargin,
+      maxOutputPerRow)
     if (reroute)
       (cellBoundedNearDupsN(corpus, idCol, vecCol, threshold,
         targetCellRows = 1024, n), true)

@@ -515,6 +515,36 @@ class DedupSpec extends SparkSpec {
         s"$collapsed")
   }
 
+  test("capped-sketch compensation guard: a deep cap in the BULK of the " +
+    "df spectrum disables the credit (screen reverts to raw estimates)") {
+    // every doc = 15 shared hot tokens (13 hot shingles) + 6 private;
+    // twins duplicate each doc. Per doc: 19 shingles, 13 hot -> the
+    // cut carries ~0.68 of all postings >= minEst 0.35 -> crediting
+    // ahot (13) would pass EVERY 1-cold-match pair (est credit 13/19
+    // = 0.68 alone clears 0.35) - the sf100 deep-cap explosion. The
+    // guard must disable compensation: twins' raw capped est is
+    // 6/19 = 0.316 < 0.35, so the capped screen misses them (the
+    // documented deep-cap recall trade), while uncapped sees them.
+    val hotBlock = (0 until 15).map(i => s"g$i").mkString(" ")
+    val docs = (0 until 20).flatMap { i =>
+      val t = s"$hotBlock w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"
+      Seq((2L * i, t), (2L * i + 1, t)) }.toDF("doc_id", "text")
+    def screen(maxJoinPairs: Long) =
+      Dedup.containmentSketchPairs(docs, "doc_id", "text", 3, 64, 0.35,
+          maxJoinPairs = maxJoinPairs, capCompensate = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = screen(0L)
+    assert(uncapped.contains((0L, 1L)), "uncapped must see the twins")
+    // budget 200: hot bucket df=40 has 13*1600 = 20,800 df-squared, the
+    // cold df=2 buckets ~6*40*4 = 960 -> even cold alone exceeds 200?
+    // cold sum = 6 hashes/doc-pair * 20 pairs * 4 = 480 > 200 -> floor
+    // retains df=2, cuts df=40. cutFrac = 13*40/(13*40+6*40) = 0.68.
+    val capped = screen(200L)
+    assert(!capped.contains((0L, 1L)),
+      "guard must disable compensation at deep cut mass: raw est " +
+        s"6/19 < 0.35 misses the twins (got ${capped.size} pairs)")
+  }
+
   test("containment hybrid verify: routing pinned both ways, count regime " +
     "== broadcast regime == brute force, batch form agrees on both") {
     import org.apache.spark.sql.functions.col
