@@ -1158,7 +1158,9 @@ object Dedup {
                              maxJoinPairs: Long = 0L,
                              precomputedHist: Option[Array[(Long, Long)]] =
                                None,
-                             capCompensate: Boolean = true): DataFrame = {
+                             capCompensate: Boolean = true,
+                             maxHotBroadcastHashes: Long = 1000000L)
+      : DataFrame = {
     val hashes = df.select(col(idCol).cast("long").as("id"),
       array_sort(array_distinct(transform(
         shingles(graft.text.TextAnalysis.tokens(col(textCol)), shingleSize),
@@ -1247,15 +1249,41 @@ object Dedup {
         }
         if (hist.isEmpty || floorCap >= hist.last._1) (b0, None)
         else {
-          // dfs recomputes lazily at execution (one h-keyed agg over
-          // b0) — deliberately NOT cached: at corpus scale the
-          // distinct-hash table is itself shuffle-sized, and a cached
-          // copy costs more than the recompute it saves (the two
-          // branches below are identical subplans, so Spark's
-          // ReusedExchange picks up the shuffle anyway)
-          val dfs = b0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
-          (b0.join(dfs.where(col("__df") <= floorCap).select(col("h")), "h"),
-            Some((floorCap, cutFrac(floorCap))))
+          val hotHashCount = hist.iterator.filter(_._1 > floorCap)
+            .map { case (_, nh) => BigInt(nh) }.sum
+          if (hotHashCount <= BigInt(maxHotBroadcastHashes)) {
+            // SKEW regime — the cap's home turf: the cut buckets hold
+            // FEW distinct hashes (the histogram proves it BEFORE any
+            // work: zipftok cuts ~16). Collect their VALUES once at
+            // construction and spell the cut as a BROADCAST anti-join.
+            // This deletes every extra posting-scale pass from the
+            // executed plan: a ReuseProbe on the shuffle-join spelling
+            // measured ZERO ReusedExchange across the cut/credit
+            // subplans, i.e. the h-keyed aggregation re-ran once for
+            // the cut and once for the credit — two full posting
+            // passes. The price is ONE bounded construction job (the
+            // hot-value collect, ≤ maxHotBroadcastHashes rows — the
+            // same driver-side-model-state discipline as the
+            // histogram itself).
+            val sess = df.sparkSession
+            import sess.implicits._
+            val hot = b0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+              .where(col("__df") > floorCap)
+              .select(col("h")).collect().map(_.getLong(0))
+            val hotDf = hot.toSeq.toDF("h")
+            (b0.join(broadcast(hotDf), Seq("h"), "left_anti"),
+              Some((floorCap, cutFrac(floorCap), Some(hotDf))))
+          } else {
+            // BULK-cut regime (unskewed volume trips, e.g. sf100 at a
+            // reduced budget): too many hot hashes to collect — keep
+            // the shuffle-join cut; the compensation guard disables
+            // the credit in this regime anyway (cutFrac ≥ minEst), so
+            // the plan carries exactly one extra posting pass
+            val dfs = b0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+            (b0.join(dfs.where(col("__df") <= floorCap).select(col("h")),
+                "h"),
+              Some((floorCap, cutFrac(floorCap), None)))
+          }
         }
       }
     val matches = a.join(b, "h")
@@ -1265,7 +1293,8 @@ object Dedup {
       .withColumn("est_containment",
         TextAnalysis.exactRound6Ratio(col("__m"), col("__ka")))
     val screened = bindingCap match {
-      case Some((floorCap, cutFrac)) if capCompensate && cutFrac < minEst =>
+      case Some((floorCap, cutFrac, hotDfOpt))
+          if capCompensate && cutFrac < minEst =>
         // Capped-hot COMPENSATION (r18, from the boundary-recall
         // measurement): cutting a hot hash from the join makes the
         // estimator ONE-SIDEDLY low — a pair whose containment mass
@@ -1284,8 +1313,14 @@ object Dedup {
         // n²/4 blowup class; its pairs are unrecoverable by design
         // and belong to the exact path's regime). Emitted
         // est_containment stays the RAW (uncredited) estimate.
-        val dfs = b0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
-        val hotSet = dfs.where(col("__df") > floorCap).select(col("h"))
+        // credit source: the broadcast hot set when the skew regime
+        // collected it (no shuffle, no posting recompute); else the
+        // shuffle-derived hot set (bulk regime — in practice the
+        // guard above already excluded it)
+        val hotSet = hotDfOpt.map(broadcast).getOrElse {
+          b0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+            .where(col("__df") > floorCap).select(col("h"))
+        }
         val aHot = a.join(hotSet, Seq("h"), "left_semi")
           .groupBy(col("id_a")).agg(count(lit(1)).as("__ahot"))
         matches.join(aHot, Seq("id_a"), "left")

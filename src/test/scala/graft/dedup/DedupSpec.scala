@@ -515,6 +515,28 @@ class DedupSpec extends SparkSpec {
         s"$collapsed")
   }
 
+  test("capped-sketch hot-broadcast cut == shuffle-join cut (r18: the " +
+    "skew-regime spelling deletes the extra posting passes)") {
+    // the hot-shingle-cap fixture again: one ubiquitous phrase + a
+    // planted excerpt pair; binding budget cuts the hot bucket
+    val big = (1 to 20).map(i => s"w$i").mkString(" ") + " hot1 hot2 hot3"
+    val excerpt = (5 to 16).map(i => s"w$i").mkString(" ")
+    val noise = (3 to 60).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d hot1 hot2 hot3"))
+    val docs = (Seq((1L, excerpt), (2L, big)) ++ noise).toDF("doc_id", "text")
+    def pairs(maxHotBroadcast: Long) =
+      Dedup.containmentSketchPairs(docs, "doc_id", "text", 3, 16, 0.1,
+          maxJoinPairs = 1000L, maxHotBroadcastHashes = maxHotBroadcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    val viaBroadcast = pairs(1000000L) // hot count 1 << bound
+    val viaShuffle = pairs(0L)         // force the shuffle-join fallback
+    assert(viaBroadcast == viaShuffle,
+      "the two cut spellings must emit identical (pair, est) sets")
+    assert(viaBroadcast.contains((1L, 2L)),
+      "planted excerpt must survive either spelling")
+  }
+
   test("capped-sketch compensation guard: a deep cap in the BULK of the " +
     "df spectrum disables the credit (screen reverts to raw estimates)") {
     // every doc = 15 shared hot tokens (13 hot shingles) + 6 private;
